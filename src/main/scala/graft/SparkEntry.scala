@@ -1,13 +1,94 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.llm.{Dedup, Multimodal, TextOps, Vectors}
+import graft.ops.{Patterns, RelOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (plus the LLM-pipeline
+  * extension operators) is registered here as a named query over the
+  * testdata tables, with a DuckDB oracle in [[oracleSql]] where the
+  * semantics are ANSI-SQL-expressible. Column names are aliased
+  * identically on both sides (the driver's compare sorts columns by name
+  * before hashing).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelOps.q1Pricing(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.5 aggregations
+    "q1_pricing"        -> (RelOps.q1Pricing(_, _)),
+    "agg_merchant_count"-> (RelOps.aggMerchantCount(_, _)),
+    "agg_cust_merchant" -> (RelOps.aggCustMerchant(_, _)),
+    "agg_gender_pivot"  -> (RelOps.aggGenderPivot(_, _)),
+    "agg_percentile"    -> (RelOps.weightPercentiles(_, _)),
+    "distinct_pairs"    -> (RelOps.distinctPairs(_, _)),
+    // §2.3 projections / filters / scalar expressions
+    "filters_proj"      -> (RelOps.filtersProjections(_, _)),
+    // §2.4 joins
+    "enrich_join"       -> (RelOps.enrichJoin(_, _)),
+    "low_weight_pairs"  -> (RelOps.lowWeightPairs(_, _)),
+    "q3_shipping"       -> (RelOps.q3Shipping(_, _)),
+    // §2.7 extension: windows; §2.8 event-time windowed agg (batch shape)
+    "window_topn"       -> (RelOps.windowTopN(_, _)),
+    "events_window"     -> (RelOps.eventsWindow(_, _)),
+    // §2.11 the three pattern queries + §2.6 union fold
+    "patid1"            -> (Patterns.patId1Query(_, _)),
+    "patid2"            -> (Patterns.patId2Query(_, _)),
+    "patid3"            -> (Patterns.patId3Query(_, _)),
+    "union_detections"  -> (Patterns.unionDetectionsQuery(_, _)),
+    // LLM-pipeline: dedup family
+    "dedup_exact"       -> (Dedup.dedupExact(_, _)),
+    "dedup_ngram"       -> (Dedup.ngramJaccardPairs(_, _)),
+    "dedup_minhash"     -> (Dedup.dedupMinhash(_, _)),
+    "dedup_simhash"     -> (Dedup.dedupSimhash(_, _)),
+    // LLM-pipeline: similarity search
+    "similarity_topk"   -> (Vectors.simTopK(_, _)),
+    "emb_neardup"       -> (Vectors.embNearDupPairs(_, _)),
+    "emb_neardup_lsh"   -> (Vectors.embNearDupLsh(_, _)),
+    // LLM-pipeline: text analysis
+    "text_stats"        -> (TextOps.textStats(_, _)),
+    "lang_id"           -> (TextOps.langId(_, _)),
+    "token_count"       -> (TextOps.tokenCount(_, _)),
+    "fingerprint"       -> (TextOps.fingerprints(_, _)),
+    // LLM-pipeline: multimodal plumbing
+    "media_features"    -> (Multimodal.mediaFeaturesQuery(_, _)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing"        -> RelOps.q1PricingSql,
+    "agg_merchant_count"-> RelOps.aggMerchantCountSql,
+    "agg_cust_merchant" -> RelOps.aggCustMerchantSql,
+    "agg_gender_pivot"  -> RelOps.aggGenderPivotSql,
+    "agg_percentile"    -> RelOps.weightPercentilesSql,
+    "distinct_pairs"    -> RelOps.distinctPairsSql,
+    "filters_proj"      -> RelOps.filtersProjectionsSql,
+    "enrich_join"       -> RelOps.enrichJoinSql,
+    "low_weight_pairs"  -> RelOps.lowWeightPairsSql,
+    "q3_shipping"       -> RelOps.q3ShippingSql,
+    "window_topn"       -> RelOps.windowTopNSql,
+    "events_window"     -> RelOps.eventsWindowSql,
+    "patid1"            -> Patterns.patId1QuerySql,
+    "patid2"            -> Patterns.patId2QuerySql,
+    "patid3"            -> Patterns.patId3QuerySql,
+    "union_detections"  -> Patterns.unionDetectionsQuerySql,
+    "dedup_exact"       -> Dedup.dedupExactSql,
+    "dedup_ngram"       -> Dedup.ngramJaccardSql(),
+    // dedup_minhash / dedup_simhash / emb_neardup_lsh / fingerprint:
+    // engine-specific hash families — not ANSI-SQL-expressible; covered
+    // by DedupSpec/VectorsSpec/TextOpsSpec against brute-force truth.
+    "similarity_topk"   -> Vectors.simTopKSql(),
+    "emb_neardup"       -> Vectors.embNearDupSql(),
+    "text_stats"        -> TextOps.textStatsSql,
+    "lang_id"           -> TextOps.langIdSql,
+    "token_count"       -> TextOps.tokenCountSql,
+    "media_features"    -> Multimodal.mediaFeaturesSql,
+  )
 }

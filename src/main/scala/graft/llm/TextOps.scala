@@ -1,0 +1,152 @@
+package graft.llm
+
+import graft.Tables
+import graft.functions.WinnowedFingerprint.winnowed_fingerprint
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: quality stats, language ID, token counting, and
+  * winnowed fingerprinting. All are single-pass narrow transformations —
+  * no shuffle, fully inside whole-stage codegen — so they stream over a
+  * 100 TB corpus at scan speed.
+  *
+  * Parity rules with the DuckDB oracles: tokenization is
+  * `split(lower(text), "\s+")` minus empties on both sides; ratios divide
+  * exact integer counts in double (identical IEEE ops both engines).
+  */
+object TextOps {
+
+  /** Whitespace tokens of lower(text), empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  val tokensSql: String =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Per-document quality metrics (length / punctuation / stopword ratios
+    * — the usual pre-training quality-filter features). */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("word_count", size(col("toks")).cast("long"))
+      .withColumn("punct_count", regexp_count(col("text"), lit("[.,!?;:]")).cast("long"))
+      .withColumn("stop_count",
+        size(filter(col("toks"), t => t.isInCollection(stopwords))).cast("long"))
+      .select(
+        col("doc_id"),
+        col("word_count"),
+        round(aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / col("word_count"), 6).as("avg_word_len"),
+        round(col("punct_count").cast("double") / col("n_chars"), 6).as("punct_ratio"),
+        round(col("stop_count").cast("double") / col("word_count"), 6).as("stop_ratio"),
+        round(least(col("word_count").cast("double") / lit(50.0), lit(1.0)) * 0.5
+          + (col("stop_count").cast("double") / col("word_count")) * 0.5, 6)
+          .as("quality_score"))
+
+  val textStatsSql: String =
+    s"""WITH t AS (SELECT doc_id, n_chars, text, ${tokensSql} AS toks FROM documents),
+       |c AS (SELECT doc_id, n_chars,
+       |        CAST(len(toks) AS BIGINT) AS word_count,
+       |        CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct_count,
+       |        CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS len_sum,
+       |        CAST(len(list_filter(toks, x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")})))
+       |          AS BIGINT) AS stop_count
+       |      FROM t)
+       |SELECT doc_id, word_count,
+       |  round(CAST(len_sum AS DOUBLE) / word_count, 6) AS avg_word_len,
+       |  round(CAST(punct_count AS DOUBLE) / n_chars, 6) AS punct_ratio,
+       |  round(CAST(stop_count AS DOUBLE) / word_count, 6) AS stop_ratio,
+       |  round(least(CAST(word_count AS DOUBLE) / 50.0, 1.0) * 0.5
+       |    + (CAST(stop_count AS DOUBLE) / word_count) * 0.5, 6) AS quality_score
+       |FROM c""".stripMargin
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une"),
+    "es" -> Seq("el", "los", "las", "y", "un", "una", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "zu", "mit"))
+
+  /** Language ID by stopword-marker voting + a CJK codepoint check —
+    * the classic cheap n-gram/marker heuristic (fasttext-style models
+    * don't ship in this container). Deterministic tie order en>fr>es>de. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("cjk", regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")))
+    val withHits = markers.foldLeft(base) { case (df, (lang, words)) =>
+      df.withColumn(s"${lang}_hits",
+        size(filter(col("toks"), t => t.isInCollection(words))).cast("long"))
+    }
+    withHits.select(
+      col("doc_id"), col("lang"),
+      when(col("cjk") > 0, lit("zh"))
+        .when(col("en_hits") >= col("fr_hits") && col("en_hits") >= col("es_hits") &&
+          col("en_hits") >= col("de_hits"), lit("en"))
+        .when(col("fr_hits") >= col("es_hits") && col("fr_hits") >= col("de_hits"), lit("fr"))
+        .when(col("es_hits") >= col("de_hits"), lit("es"))
+        .otherwise(lit("de")).as("pred_lang"))
+      .withColumn("is_match", (col("lang") === col("pred_lang")).cast("int"))
+  }
+
+  val langIdSql: String = {
+    val hits = markers.map { case (lang, words) =>
+      s"CAST(len(list_filter(toks, x -> x IN (${words.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS ${lang}_hits"
+    }.mkString(",\n       |        ")
+    s"""WITH t AS (SELECT doc_id, lang, text, ${tokensSql} AS toks FROM documents),
+       |c AS (SELECT doc_id, lang,
+       |        len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk,
+       |        ${hits}
+       |      FROM t)
+       |SELECT doc_id, lang,
+       |  CASE WHEN cjk > 0 THEN 'zh'
+       |       WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+       |       WHEN fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
+       |       WHEN es_hits >= de_hits THEN 'es'
+       |       ELSE 'de' END AS pred_lang,
+       |  CAST(CASE WHEN lang = (CASE WHEN cjk > 0 THEN 'zh'
+       |       WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+       |       WHEN fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
+       |       WHEN es_hits >= de_hits THEN 'es'
+       |       ELSE 'de' END) THEN 1 ELSE 0 END AS INT) AS is_match
+       |FROM c""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-flavored subword
+    * estimate (≤4-char alpha chunks, digits, and punctuation each count
+    * as one token — the usual chars/4-ish pre-tokenizer bound). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"))
+          .cast("long").as("bpe_tokens"),
+        col("n_chars"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("bpe_tokens"), 6))
+
+  val tokenCountSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(${tokensSql}) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+       |  n_chars,
+       |  round(CAST(n_chars AS DOUBLE)
+       |    / len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')), 6) AS chars_per_token
+       |FROM documents""".stripMargin
+
+  /** Winnowed fingerprint summary per document (custom codegen'd Catalyst
+    * expression — [[graft.functions.WinnowedFingerprint]]). Not
+    * SQL-expressible in the oracle (engine-specific rolling hash);
+    * verified against a plain-Scala reimplementation in TextOpsSpec. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fp", winnowed_fingerprint(col("text"), 8, 4))
+      .select(
+        col("doc_id"),
+        size(col("fp")).as("fp_size"),
+        array_min(col("fp")).as("fp_min"),
+        array_max(col("fp")).as("fp_max"))
+}

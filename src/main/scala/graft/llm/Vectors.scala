@@ -1,0 +1,150 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`
+  * vectors): brute-force cosine top-k as the exact baseline, plus a
+  * random-hyperplane LSH bucketing as the approximate scale path.
+  *
+  * Numeric parity with the DuckDB oracle: DuckDB's list_dot_product on
+  * FLOAT lists accumulates in float32, so the Spark dot product also
+  * folds in float32 (same left-to-right order → bit-identical), and only
+  * the final cosine division runs in double.
+  */
+object Vectors {
+
+  /** float32-accumulated dot product (matches DuckDB list_dot_product on
+    * FLOAT lists bit-for-bit), cast to double at the end. */
+  def dotF32(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0f), (acc, x) => acc + x)
+      .cast("double")
+
+  val dotSql: String = "CAST(list_dot_product(%s, %s) AS DOUBLE)"
+
+  def cosine(a: Column, b: Column): Column =
+    dotF32(a, b) / (sqrt(dotF32(a, a)) * sqrt(dotF32(b, b)))
+
+  /** norm precomputed once per vector (sqrt of the same f32 dot the
+    * oracle computes per pair — identical double, 3× less work). */
+  private def withNorm(df: DataFrame, vec: String, normName: String): DataFrame =
+    df.withColumn(normName, sqrt(dotF32(col(vec), col(vec))))
+
+  /** Exact cosine top-k for the query vectors (vec_id < nQueries) against
+    * the full corpus. Brute force is the baseline: at corpus scale the
+    * query side is broadcast (tiny) so the corpus streams once with no
+    * shuffle; ranking is a per-query-partition window. */
+  def simTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    val emb = withNorm(Tables.embeddings(spark, dir), "embedding", "nrm")
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("nrm").as("qnrm"))
+    val joined = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(
+        dotF32(col("qvec"), col("embedding")) / (col("qnrm") * col("nrm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos").as("cosine"))
+  }
+
+  def simTopKSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+       |           FROM embeddings WHERE vec_id < ${nQueries}),
+       |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |        round(CAST(list_dot_product(q.qvec, e.embedding) AS DOUBLE)
+       |          / (sqrt(CAST(list_dot_product(q.qvec, q.qvec) AS DOUBLE))
+       |             * sqrt(CAST(list_dot_product(e.embedding, e.embedding) AS DOUBLE))), 6) AS cos
+       |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+       |      FROM s)
+       |SELECT query_id, rank, neighbor_id, cos AS cosine
+       |FROM r WHERE rank <= ${k}""".stripMargin
+
+  /** Exact embedding near-dup pairs: all pairs with cosine ≥ threshold.
+    * Oracle-checked exact form; the LSH-bucketed variant below is the
+    * 100 TB path (this one is O(n²) by definition of exactness). */
+  def embNearDupPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.45): DataFrame = {
+    val emb = withNorm(Tables.embeddings(spark, dir), "embedding", "nrm")
+    val a = emb.select(col("vec_id").as("ida"), col("embedding").as("va"),
+      col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+      col("nrm").as("nb"))
+    a.join(b, col("ida") < col("idb"))
+      .withColumn("cos",
+        round(dotF32(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("ida"), col("idb"), col("cos").as("cosine"))
+  }
+
+  def embNearDupSql(threshold: Double = 0.45): String =
+    s"""SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |  round(CAST(list_dot_product(a.embedding, b.embedding) AS DOUBLE)
+       |    / (sqrt(CAST(list_dot_product(a.embedding, a.embedding) AS DOUBLE))
+       |       * sqrt(CAST(list_dot_product(b.embedding, b.embedding) AS DOUBLE))), 6) AS cosine
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE round(CAST(list_dot_product(a.embedding, b.embedding) AS DOUBLE)
+       |    / (sqrt(CAST(list_dot_product(a.embedding, a.embedding) AS DOUBLE))
+       |       * sqrt(CAST(list_dot_product(b.embedding, b.embedding) AS DOUBLE))), 6)
+       |  >= ${threshold}""".stripMargin
+
+  /** Deterministic pseudo-random hyperplane component for plane j, dim i
+    * (splitmix64-flavored integer mix → (−0.5, 0.5] float). */
+  private def planeComponent(j: Int, i: Int): Double = {
+    var z = (j.toLong << 32 | i.toLong) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble) / 2.0
+  }
+
+  /** Random-hyperplane (SRP) LSH bucket signature: nBits sign bits of
+    * plane·vector. Vectors sharing a bucket are near-dup candidates; at
+    * scale the groupBy(bucket) shuffle replaces the O(n²) pair join.
+    * Candidates are then exactly verified with [[cosine]]. */
+  def srpBuckets(emb: DataFrame, nBits: Int = 16, dim: Int = 64): DataFrame = {
+    val bits = (0 until nBits).map { j =>
+      val plane = array((0 until dim).map(i => lit(planeComponent(j, i))): _*)
+      val dot = aggregate(zip_with(col("embedding"), plane,
+        (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    emb.withColumn("bucket", bits.reduce((a, b) => a.bitwiseOR(b)))
+  }
+
+  /** LSH-bucketed near-dup: exact cosine verify within SRP buckets,
+    * banded 4×4 bits for recall (P(band match) = (1−θ/π)⁴ per band;
+    * ≈0.95 overall for cosine ≥ 0.9 pairs, lower for mid-similarity —
+    * this is the approximate scale path; recall is asserted against
+    * [[embNearDupPairs]] in LlmOpsSpec). */
+  def embNearDupLsh(spark: SparkSession, dir: String,
+      threshold: Double = 0.45): DataFrame = {
+    val emb = srpBuckets(Tables.embeddings(spark, dir))
+    val bands = (0 until 4).map { i =>
+      (i, shiftrightunsigned(col("bucket"), 4 * i).bitwiseAND(0xF))
+    }
+    val banded = emb.select(col("vec_id"), col("embedding"),
+        explode(array(bands.map { case (i, c) =>
+          struct(lit(i).as("band_id"), c.as("band_val")) }: _*)).as("band"))
+      .select(col("vec_id"), col("embedding"), col("band.band_id"), col("band.band_val"))
+    val a = banded.select(col("band_id"), col("band_val"),
+      col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = banded.select(col("band_id"), col("band_val"),
+      col("vec_id").as("idb"), col("embedding").as("vb"))
+    a.join(b, Seq("band_id", "band_val")).filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), col("va"), col("vb")).distinct()
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("ida"), col("idb"), col("cos").as("cosine"))
+    // (within-bucket pairs are few; per-pair norms are fine here)
+  }
+}

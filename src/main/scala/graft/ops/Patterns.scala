@@ -1,0 +1,212 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's three fraud-detection pattern queries
+  * ("Mechanism Y.py":223-244, README.md:206-214) as composable
+  * transformers over the three running-state shapes:
+  *
+  *   merchant_summary(merchant_id, total_transactions)
+  *   customer_merchant_summary(customer_id, merchant_id,
+  *                             transaction_count, total_amount_sum)
+  *   merchant_gender_summary(merchant_id, male_transaction_count,
+  *                           female_transaction_count)
+  *
+  * The same functions serve batch mode (state = whole-history aggregate,
+  * used by the oracle-checked queries) and streaming mode (state comes
+  * from the [[graft.state.StateStore]] after N micro-batches) — the
+  * batch-vs-streaming parity invariant in StateSpec/StreamingSpec.
+  *
+  * Detection contract: 6 string columns YStartTime, DetectionTime,
+  * PatternId, ActionType, CustomerName, MerchantId
+  * ("Mechanism Y.py":60-64, README.md:62). Wall-clock is injected
+  * ([[Clock]]) so tests and oracles are deterministic (SURVEY.md §7
+  * hard-part d).
+  *
+  * Thresholds mirror the reference's hard-coded test config
+  * ("Mechanism Y.py":225-227), re-scaled for the testdata distributions
+  * (supplier tx counts ~600 at sf0.01; pair counts 1..6; avg amounts
+  * ~9k..98k).
+  */
+object Patterns {
+
+  /** Deterministic clock for detection timestamps. */
+  final case class Clock(ystart: String, now: String)
+  val FixedClock: Clock = Clock("2026-01-01 00:00:00", "2026-01-01 00:00:30")
+
+  final case class Config(
+      merchantTxThreshold: Long = 550L,
+      custTxThreshold: Long = 2L,
+      detectionPercentile: Double = 0.10,
+      childTxMin: Long = 3L,
+      childAvgMax: Double = 31000.0,
+      deiFemaleMin: Long = 2L)
+  val DefaultConfig: Config = Config()
+
+  private def detection(patternId: String, actionType: String,
+      customerName: org.apache.spark.sql.Column,
+      merchantId: org.apache.spark.sql.Column, clock: Clock): Seq[org.apache.spark.sql.Column] =
+    Seq(
+      lit(clock.ystart).as("YStartTime"),
+      lit(clock.now).as("DetectionTime"),
+      lit(patternId).as("PatternId"),
+      lit(actionType).as("ActionType"),
+      customerName.cast("string").as("CustomerName"),
+      merchantId.cast("string").as("MerchantId"))
+
+  /** PatId1 "UPGRADE" ("Mechanism Y.py":231-239): merchants whose
+    * cumulative transaction volume exceeds the threshold × customer-merchant
+    * pairs with enough transactions × (customer, merchant) pairs whose
+    * importance weight sits below the per-(merchant, category) detection
+    * percentile; distinct on the assembled detections.
+    *
+    * Join shape at scale: the three inputs are all aggregates (small
+    * relative to the fact table), so AQE broadcasts the two smaller sides;
+    * nothing here touches raw 100 TB rows twice.
+    */
+  def patId1(merchantSummary: DataFrame, custMerchantSummary: DataFrame,
+      lowWeightPairs: DataFrame, cfg: Config = DefaultConfig,
+      clock: Clock = FixedClock): DataFrame = {
+    val active = merchantSummary
+      .filter(col("total_transactions") > cfg.merchantTxThreshold)
+      .select(col("merchant_id").as("upg_mid"))
+    val highTx = custMerchantSummary
+      .filter(col("transaction_count") > cfg.custTxThreshold)
+      .select(col("customer_id").as("upg_cid"), col("merchant_id").as("upg_mid_cust"))
+    val lw = lowWeightPairs
+      .select(col("customer").as("lw_cid"), col("merchant").as("lw_mid"))
+    active
+      .join(highTx, col("upg_mid") === col("upg_mid_cust"), "inner")
+      .join(lw, col("upg_mid") === col("lw_mid") && col("upg_cid") === col("lw_cid"), "inner")
+      .select(detection("PatId1", "UPGRADE", col("upg_cid"), col("upg_mid"), clock): _*)
+      .distinct()
+  }
+
+  /** PatId2 "CHILD" ("Mechanism Y.py":243): pure state query — pairs with
+    * transaction_count >= min and null-safe average amount below the cap.
+    * The average is coalesce(sum,0)/coalesce(count,1), matching the
+    * reference's null-safe division (P3). */
+  def patId2(custMerchantSummary: DataFrame, cfg: Config = DefaultConfig,
+      clock: Clock = FixedClock): DataFrame =
+    custMerchantSummary
+      .withColumn("avg_tx_val",
+        coalesce(col("total_amount_sum"), lit(0.0)) /
+        coalesce(col("transaction_count"), lit(1L)))
+      .filter(col("transaction_count") >= cfg.childTxMin &&
+        col("avg_tx_val") < cfg.childAvgMax)
+      .select(detection("PatId2", "CHILD", col("customer_id"), col("merchant_id"), clock): _*)
+
+  /** PatId3 "DEI-NEEDED" ("Mechanism Y.py":244): merchants where female
+    * transactions trail male but exceed the floor; CustomerName = "". */
+  def patId3(genderSummary: DataFrame, cfg: Config = DefaultConfig,
+      clock: Clock = FixedClock): DataFrame =
+    genderSummary
+      .filter(col("female_transaction_count") < col("male_transaction_count") &&
+        col("female_transaction_count") > cfg.deiFemaleMin)
+      .select(detection("PatId3", "DEI-NEEDED", lit(""), col("merchant_id"), clock): _*)
+
+  /** U1 — union-by-name fold of the detection DataFrames with the
+    * empty-string fill the reference applies before union
+    * ("Mechanism Y.py":247-260). Seeding from an explicit empty frame is
+    * unnecessary in Scala — unionByName over a non-empty list preserves
+    * the schema; empty inputs are skipped by unionByName semantics. */
+  def unionDetections(dfs: Seq[DataFrame]): DataFrame =
+    dfs.map(_.na.fill("")).reduce(_ unionByName _)
+
+  // ---- batch-mode wiring over testdata (state = whole-history agg) ----
+
+  def merchantSummary(spark: SparkSession, dir: String): DataFrame =
+    RelOps.aggMerchantCount(spark, dir)
+
+  def custMerchantSummary(spark: SparkSession, dir: String): DataFrame =
+    RelOps.aggCustMerchant(spark, dir)
+
+  def genderSummary(spark: SparkSession, dir: String): DataFrame =
+    RelOps.aggGenderPivot(spark, dir)
+
+  def patId1Query(spark: SparkSession, dir: String): DataFrame = {
+    val imp = Tables.importance(spark, dir)
+    val pct = imp.groupBy(col("merchant").as("merchant_key"), col("category").as("category_key"))
+      .agg(round(expr(s"percentile(weight, ${DefaultConfig.detectionPercentile})"), 6)
+        .as("p_weight"))
+    val lw = imp.join(pct,
+        imp("merchant") === pct("merchant_key") &&
+        imp("category") === pct("category_key"), "inner")
+      .filter(col("weight") < col("p_weight"))
+      .select(col("customer"), col("merchant"))
+      .distinct()
+    patId1(merchantSummary(spark, dir), custMerchantSummary(spark, dir), lw)
+  }
+
+  val patId1QuerySql: String =
+    s"""WITH imp AS (${Tables.importanceSql}),
+       |tx AS (${Tables.transactionsSql}),
+       |pct AS (SELECT merchant AS merchant_key, category AS category_key,
+       |          round(quantile_cont(weight, ${DefaultConfig.detectionPercentile}), 6) AS p_weight
+       |        FROM imp GROUP BY 1, 2),
+       |lw AS (SELECT DISTINCT imp.customer, imp.merchant
+       |       FROM imp JOIN pct ON imp.merchant = pct.merchant_key
+       |         AND imp.category = pct.category_key
+       |       WHERE imp.weight < pct.p_weight),
+       |ms AS (SELECT merchant AS merchant_id, count(*) AS total_transactions
+       |       FROM tx GROUP BY 1),
+       |cms AS (SELECT customer AS customer_id, merchant AS merchant_id,
+       |          count(*) AS transaction_count FROM tx GROUP BY 1, 2)
+       |SELECT DISTINCT
+       |  '${FixedClock.ystart}' AS YStartTime,
+       |  '${FixedClock.now}' AS DetectionTime,
+       |  'PatId1' AS PatternId, 'UPGRADE' AS ActionType,
+       |  CAST(cms.customer_id AS VARCHAR) AS CustomerName,
+       |  CAST(ms.merchant_id AS VARCHAR) AS MerchantId
+       |FROM ms
+       |JOIN cms ON ms.merchant_id = cms.merchant_id
+       |JOIN lw ON lw.merchant = ms.merchant_id AND lw.customer = cms.customer_id
+       |WHERE ms.total_transactions > ${DefaultConfig.merchantTxThreshold}
+       |  AND cms.transaction_count > ${DefaultConfig.custTxThreshold}""".stripMargin
+
+  def patId2Query(spark: SparkSession, dir: String): DataFrame =
+    patId2(custMerchantSummary(spark, dir))
+
+  val patId2QuerySql: String =
+    s"""WITH tx AS (${Tables.transactionsSql}),
+       |cms AS (SELECT customer AS customer_id, merchant AS merchant_id,
+       |          CAST(count(*) AS BIGINT) AS transaction_count,
+       |          round(CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_amount_sum
+       |        FROM tx GROUP BY 1, 2)
+       |SELECT '${FixedClock.ystart}' AS YStartTime,
+       |  '${FixedClock.now}' AS DetectionTime,
+       |  'PatId2' AS PatternId, 'CHILD' AS ActionType,
+       |  CAST(customer_id AS VARCHAR) AS CustomerName,
+       |  CAST(merchant_id AS VARCHAR) AS MerchantId
+       |FROM cms
+       |WHERE transaction_count >= ${DefaultConfig.childTxMin}
+       |  AND coalesce(total_amount_sum, 0.0) / coalesce(transaction_count, 1)
+       |      < ${DefaultConfig.childAvgMax}""".stripMargin
+
+  def patId3Query(spark: SparkSession, dir: String): DataFrame =
+    patId3(genderSummary(spark, dir))
+
+  val patId3QuerySql: String =
+    s"""WITH tx AS (${Tables.transactionsSql}),
+       |mgs AS (SELECT merchant AS merchant_id,
+       |          sum(CASE WHEN gender = 'M' THEN 1 ELSE 0 END) AS male_transaction_count,
+       |          sum(CASE WHEN gender = 'F' THEN 1 ELSE 0 END) AS female_transaction_count
+       |        FROM tx GROUP BY 1)
+       |SELECT '${FixedClock.ystart}' AS YStartTime,
+       |  '${FixedClock.now}' AS DetectionTime,
+       |  'PatId3' AS PatternId, 'DEI-NEEDED' AS ActionType,
+       |  '' AS CustomerName,
+       |  CAST(merchant_id AS VARCHAR) AS MerchantId
+       |FROM mgs
+       |WHERE female_transaction_count < male_transaction_count
+       |  AND female_transaction_count > ${DefaultConfig.deiFemaleMin}""".stripMargin
+
+  def unionDetectionsQuery(spark: SparkSession, dir: String): DataFrame =
+    unionDetections(Seq(
+      patId1Query(spark, dir), patId2Query(spark, dir), patId3Query(spark, dir)))
+
+  val unionDetectionsQuerySql: String =
+    s"""(${patId1QuerySql}) UNION ALL (${patId2QuerySql}) UNION ALL (${patId3QuerySql})"""
+}

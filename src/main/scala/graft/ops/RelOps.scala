@@ -1,0 +1,315 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reference-parity relational operators (SURVEY.md §2.3–§2.7) expressed as
+  * standalone queries over the testdata tables. Each has a DuckDB oracle in
+  * [[graft.SparkEntry.oracleSql]].
+  *
+  * Numeric-parity rules used throughout (so Spark output hash-matches the
+  * DuckDB oracle):
+  *   - sums over doubles go through DECIMAL (exact, order-independent), then
+  *     cast back to double — both engines produce the identical double;
+  *   - averages divide that exact double by an exact count;
+  *   - counts stay BIGINT on both sides.
+  */
+object RelOps {
+
+  /** Exact money sum: cast each double to DECIMAL(18,2) (deterministic
+    * rounding of the stored double), sum exactly, return as double.
+    * Only safe on RAW stored columns (their doubles sit ~exactly on
+    * 2-decimal values, far from the .005 rounding boundary); computed
+    * doubles must use [[discountedSum]]-style all-decimal arithmetic
+    * instead — rounding a computed double to decimal is where Spark's
+    * HALF_UP and DuckDB's scaled-multiply rounding diverge. */
+  def moneySum(c: Column): Column =
+    round(sum(c.cast(DecimalType(18, 2))).cast("double"), 2)
+
+  /** Exact sum of price*(1-discount): both factors cast from their raw
+    * stored doubles to decimal, multiplied and summed exactly in decimal,
+    * so Spark and DuckDB agree bit-for-bit. */
+  def discountedSum(price: Column, discount: Column): Column =
+    round(sum(price.cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(3, 2)) - discount.cast(DecimalType(9, 6))))
+      .cast("double"), 2)
+
+
+  def exactAvg(c: Column, scale: Int = 6): Column =
+    round(sum(c.cast(DecimalType(18, 6))).cast("double") / count(lit(1)), scale)
+
+  /** TPC-H Q1-flavored pricing summary — the flagship aggregation
+    * (SURVEY.md §2.5 A1/A2: hash-agg with count + sum, partial+final
+    * aggregation; filter pushed to the parquet scan).
+    * Scale: one shuffle on a 6-value grouping key; map-side partial agg
+    * reduces ~everything before the exchange. */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") < lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        discountedSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        exactAvg(col("l_quantity")).as("avg_qty"),
+        exactAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val q1PricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(9,6)))) AS DOUBLE), 2) AS sum_disc_price,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+      |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
+      |  CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY 1, 2""".stripMargin
+
+  /** A1 — per-merchant transaction counts ("Mechanism Y.py":142-143):
+    * groupBy(merchant).count. Map-side combine then one shuffle on
+    * merchant; at 100 TB this is the canonical partial/final hash-agg. */
+  def aggMerchantCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey").as("merchant_id"))
+      .agg(count(lit(1)).as("total_transactions"))
+
+  val aggMerchantCountSql: String =
+    """SELECT l_suppkey AS merchant_id,
+      |       CAST(count(*) AS BIGINT) AS total_transactions
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** A2 — customer × merchant multi-agg (count + sum,
+    * "Mechanism Y.py":167): the customer_merchant_summary state shape. */
+  def aggCustMerchant(spark: SparkSession, dir: String): DataFrame =
+    Tables.transactions(spark, dir)
+      .groupBy(col("customer").as("customer_id"), col("merchant").as("merchant_id"))
+      .agg(
+        count(lit(1)).as("transaction_count"),
+        moneySum(col("amount")).as("total_amount_sum"))
+
+  val aggCustMerchantSql: String =
+    s"""WITH tx AS (${Tables.transactionsSql})
+       |SELECT customer AS customer_id, merchant AS merchant_id,
+       |  CAST(count(*) AS BIGINT) AS transaction_count,
+       |  round(CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_amount_sum
+       |FROM tx GROUP BY 1, 2""".stripMargin
+
+  /** A3 + P10 — gender pivot with an explicit value list
+    * ("Mechanism Y.py":187-189; explicit `Seq` avoids the pivot-value scan
+    * job AND the missing-column schema repair P11). null → 0 via na.fill,
+    * mirroring the reference's fillna(0). At scale this is a plain
+    * conditional aggregation — no wide-pivot pathology. */
+  def aggGenderPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.transactions(spark, dir)
+      .groupBy(col("merchant").as("merchant_id"))
+      .pivot("gender", Seq("M", "F"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("M", "F"))
+      .select(
+        col("merchant_id"),
+        col("M").as("male_transaction_count"),
+        col("F").as("female_transaction_count"))
+
+  val aggGenderPivotSql: String =
+    s"""WITH tx AS (${Tables.transactionsSql})
+       |SELECT merchant AS merchant_id,
+       |  CAST(sum(CASE WHEN gender = 'M' THEN 1 ELSE 0 END) AS BIGINT) AS male_transaction_count,
+       |  CAST(sum(CASE WHEN gender = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS female_transaction_count
+       |FROM tx GROUP BY 1""".stripMargin
+
+  /** A4 — percentile threshold per (merchant-key, category)
+    * ("Mechanism Y.py":84-89 uses percentile_approx(Weight, 0.01); we
+    * compute the exact interpolated percentile so the oracle can verify
+    * equality — `percentile_approx` stays available as the lossy/faster
+    * variant at scale and is covered by PatternsSpec). */
+  def weightPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.importance(spark, dir)
+      .groupBy(col("merchant").as("merchant_key"), col("category").as("category_key"))
+      .agg(round(expr("percentile(weight, 0.01)"), 6).as("p1_weight"))
+
+  val weightPercentilesSql: String =
+    s"""WITH imp AS (${Tables.importanceSql})
+       |SELECT merchant AS merchant_key, category AS category_key,
+       |       round(quantile_cont(weight, 0.01), 6) AS p1_weight
+       |FROM imp GROUP BY 1, 2""".stripMargin
+
+  /** J1 — the 3-key left-outer enrichment join ("Mechanism Y.py":221):
+    * every transaction enriched with its (customer, merchant, category)
+    * importance weight. The dim is small relative to the fact → Spark
+    * broadcasts it (AQE picks BHJ from size stats); at 100 TB the fact side
+    * never shuffles. Aggregated down so the correctness artifact stays
+    * small while still proving join+null semantics. */
+  def enrichJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tx  = Tables.transactions(spark, dir)
+    val imp = Tables.importance(spark, dir)
+      .withColumnRenamed("customer", "i_customer")
+      .withColumnRenamed("merchant", "i_merchant")
+      .withColumnRenamed("category", "i_category")
+    tx.join(imp,
+        tx("customer") === imp("i_customer") &&
+        tx("merchant") === imp("i_merchant") &&
+        tx("category") === imp("i_category"),
+        "left_outer")
+      .groupBy(col("category"))
+      .agg(
+        count(lit(1)).as("n_tx"),
+        count(col("weight")).as("n_enriched"),
+        exactAvg(coalesce(col("weight"), lit(0.0))).as("avg_weight"))
+  }
+
+  val enrichJoinSql: String =
+    s"""WITH tx AS (${Tables.transactionsSql}), imp AS (${Tables.importanceSql})
+       |SELECT tx.category,
+       |  CAST(count(*) AS BIGINT) AS n_tx,
+       |  CAST(count(imp.weight) AS BIGINT) AS n_enriched,
+       |  round(CAST(sum(CAST(coalesce(imp.weight, 0.0) AS DECIMAL(18,6))) AS DOUBLE)
+       |        / count(*), 6) AS avg_weight
+       |FROM tx LEFT JOIN imp
+       |  ON tx.customer = imp.customer AND tx.merchant = imp.merchant
+       |  AND tx.category = imp.category
+       |GROUP BY 1""".stripMargin
+
+  /** J2 + A5 + P6 — low-weight pairs: importance ⋈ percentiles on
+    * (merchant, category), keep rows whose weight is strictly below the
+    * group's 1st-percentile threshold, project distinct (customer,
+    * merchant) ("Mechanism Y.py":235). Column-vs-column filter + distinct. */
+  def lowWeightPairs(spark: SparkSession, dir: String): DataFrame = {
+    val imp = Tables.importance(spark, dir)
+    val pct = weightPercentiles(spark, dir)
+    imp.join(pct,
+        imp("merchant") === pct("merchant_key") &&
+        imp("category") === pct("category_key"), "inner")
+      .filter(col("weight") < col("p1_weight"))
+      .select(col("customer"), col("merchant"))
+      .distinct()
+  }
+
+  val lowWeightPairsSql: String =
+    s"""WITH imp AS (${Tables.importanceSql}),
+       |pct AS (SELECT merchant AS merchant_key, category AS category_key,
+       |          round(quantile_cont(weight, 0.01), 6) AS p1_weight
+       |        FROM imp GROUP BY 1, 2)
+       |SELECT DISTINCT customer, merchant
+       |FROM imp JOIN pct
+       |  ON imp.merchant = pct.merchant_key AND imp.category = pct.category_key
+       |WHERE imp.weight < pct.p1_weight""".stripMargin
+
+  /** P1–P8 in one plan: rename (P1), alias projection (P2), null-safe
+    * computed column (P3), literals (P4), numeric filter (P5),
+    * column-vs-column filter (P6), conjunction (P7), isNotNull (P8),
+    * na.fill (P10). All codegen'd scalar expressions — one narrow stage,
+    * no shuffle. */
+  def filtersProjections(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumnRenamed("l_returnflag", "flag")
+      .filter(col("l_quantity") > lit(10.0) &&
+        col("l_discount") < col("l_tax") &&
+        col("flag").isNotNull)
+      .select(
+        col("l_orderkey").as("okey"),
+        col("l_linenumber").as("line_no"),
+        col("flag"),
+        (floor(col("l_extendedprice") / coalesce(col("l_quantity"), lit(1.0)) * lit(10000))
+          / lit(10000.0)).as("unit_price"),
+        lit("PatId1").as("pattern_id"),
+        lit(0L).as("zero"))
+      .na.fill("", Seq("flag"))
+
+  val filtersProjectionsSql: String =
+    """SELECT l_orderkey AS okey, l_linenumber AS line_no,
+      |  coalesce(l_returnflag, '') AS flag,
+      |  CAST(floor(l_extendedprice / coalesce(l_quantity, 1.0) * 10000) AS BIGINT)
+      |       / 10000.0 AS unit_price,
+      |  'PatId1' AS pattern_id, CAST(0 AS BIGINT) AS zero
+      |FROM lineitem
+      |WHERE l_quantity > 10.0 AND l_discount < l_tax AND l_returnflag IS NOT NULL""".stripMargin
+
+  /** A5 — standalone distinct on a 2-column projection
+    * ("Mechanism Y.py":235, 239): hash aggregate on both columns. */
+  def distinctPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("merchant_id"), col("l_returnflag").as("category"))
+      .distinct()
+
+  val distinctPairsSql: String =
+    "SELECT DISTINCT l_suppkey AS merchant_id, l_returnflag AS category FROM lineitem"
+
+  /** TPC-H Q3-flavored 3-way join + top-N (customer ⋈ orders ⋈ lineitem).
+    * Demonstrates join ordering + deterministic top-k (unique tiebreak key).
+    * At scale: customer is the broadcast side; orders/lineitem co-shuffle
+    * on orderkey. */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(o("o_orderkey").as("okey"))
+      .agg(discountedSum(l("l_extendedprice"), l("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("okey"))
+      .limit(10)
+  }
+
+  val q3ShippingSql: String =
+    """SELECT o_orderkey AS okey,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(9,6)))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY 1
+      |ORDER BY revenue DESC, okey
+      |LIMIT 10""".stripMargin
+
+  /** Window functions (§7 extension surface; reference has none —
+    * SURVEY.md §2.7): per-merchant top-3 transactions by amount with a
+    * deterministic tiebreak. One shuffle on the partition key; rank
+    * computed inside the sorted partition. */
+  def windowTopN(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(
+        col("l_suppkey").as("merchant_id"),
+        col("rn"),
+        col("l_orderkey").as("okey"),
+        col("l_linenumber").as("line_no"),
+        col("l_extendedprice").as("amount"))
+  }
+
+  val windowTopNSql: String =
+    """SELECT merchant_id, rn, okey, line_no, amount FROM (
+      |  SELECT l_suppkey AS merchant_id,
+      |    CAST(row_number() OVER (PARTITION BY l_suppkey
+      |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INT) AS rn,
+      |    l_orderkey AS okey, l_linenumber AS line_no, l_extendedprice AS amount
+      |  FROM lineitem) WHERE rn <= 3""".stripMargin
+
+  /** Event-time tumbling window aggregation (Structured Streaming's
+    * windowed-agg shape run over the bounded events table; the streaming
+    * variant with watermark lives in graft.streaming). Window start is
+    * emitted as a formatted string so both engines agree byte-for-byte. */
+  def eventsWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  val eventsWindowSql: String =
+    """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators over the `events` table shape — the
+  * extension surface the reference lacks entirely (it is processing-time
+  * only, SURVEY.md §2.8): watermarked tumbling-window aggregation,
+  * watermark-bounded deduplication, and custom sessionization state via
+  * flatMapGroupsWithState.
+  *
+  * Each takes the streaming DataFrame as input so tests can drive it
+  * from a bounded file stream (parquet dir) and production from any
+  * source. State lives in Spark's state store (RocksDB/HDFS-backed on a
+  * cluster), partitioned by group key — no external DB, scales with
+  * executors.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class SessionSummary(user_id: Long, n_events: Long,
+      total_value: Double, start_ts: java.sql.Timestamp,
+      end_ts: java.sql.Timestamp)
+
+  /** Streaming source over the events parquet in the sf dir (the file
+    * stream source wants a directory, so the sf dir is the base path
+    * with a glob pinned to the events table; nanos → µs conversion
+    * mirrors [[Tables.events]]). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props",
+        org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+  }
+
+  /** Watermarked tumbling-window aggregation: 10-minute lateness bound,
+    * 1-hour windows per event_type. Append mode emits a window only once
+    * its watermark passes — the standard exactly-once windowed-agg shape. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Watermark-bounded exact dedup on event_id: state for an id is kept
+    * only within the lateness horizon, so state size is bounded by the
+    * watermark window — the streaming form of exact dedup at scale. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom keyed state: gap-based sessionization (30-minute inactivity
+    * closes a session) via flatMapGroupsWithState with event-time
+    * timeout. Emits one summary per closed session. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", "10 minutes")
+      .as[Event]
+
+    def update(userId: Long, batch: Iterator[Event],
+        state: GroupState[SessionSummary]): Iterator[SessionSummary] = {
+      val evs = batch.toSeq
+      if (evs.isEmpty && state.hasTimedOut) {
+        val out = state.getOption.toSeq
+        state.remove()
+        return out.iterator
+      }
+      val sorted = evs.sortBy(_.ts.getTime)
+      var current = state.getOption
+      val closed = scala.collection.mutable.ArrayBuffer[SessionSummary]()
+      for (e <- sorted) {
+        current match {
+          case Some(s) if e.ts.getTime - s.end_ts.getTime <= gapMinutes * 60000L =>
+            current = Some(s.copy(n_events = s.n_events + 1,
+              total_value = s.total_value + e.value, end_ts = e.ts))
+          case Some(s) =>
+            closed += s
+            current = Some(SessionSummary(userId, 1L, e.value, e.ts, e.ts))
+          case None =>
+            current = Some(SessionSummary(userId, 1L, e.value, e.ts, e.ts))
+        }
+      }
+      current match {
+        case Some(s) =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end_ts.getTime + gapMinutes * 60000L)
+        case None => ()
+      }
+      closed.iterator
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,181 @@
+package graft.streaming
+
+import graft.ops.Patterns
+import graft.state.StateStore
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+/** Mechanism-Y analog: the Structured Streaming micro-batch pipeline
+  * ("Mechanism Y.py":100-313) re-expressed Spark-first.
+  *
+  * Per micro-batch (foreachBatch):
+  *   1. empty-batch guard ("Mechanism Y.py":124-134)
+  *   2. three per-batch aggregates (A1/A2/A3) → additive state upsert
+  *      (K2/K3 via [[StateStore]])
+  *   3. enrichment join against the static importance dim (J1) and the
+  *      cached percentile thresholds (A4/J2), with the reference's
+  *      missing-weight fallback ("Mechanism Y.py":236-237)
+  *   4. the three pattern queries over cumulative state (§2.11)
+  *   5. detections → driver buffer → 50-row single-file CSV flushes
+  *      (S6/K4, "Mechanism Y.py":268-277)
+  *
+  * Kept reference semantics: PatId2/3 re-emit all qualifying state every
+  * batch; detections are collected to the driver (bounded by state size,
+  * a reference parity choice — SURVEY.md §2.11). Fixed vs the reference:
+  * state reads can be keyed ([[StateStore.merchantSummaryFor]]) and
+  * upserts can be epoch-fenced (idempotent = true).
+  */
+class MicroBatchRunner(
+    spark: SparkSession,
+    store: StateStore,
+    importanceDim: DataFrame,
+    outDir: String,
+    cfg: Patterns.Config = Patterns.DefaultConfig,
+    clock: () => Patterns.Clock = () => MicroBatchRunner.wallClock(),
+    detectionBatchSize: Int = 50,
+    idempotent: Boolean = false,
+    fallbackWeight: Double = 2.0) {
+
+  import MicroBatchRunner._
+
+  // Static setup queries, cached once like the reference's
+  // CustomerImportance + percentile precompute ("Mechanism Y.py":68-89).
+  private val importance = importanceDim.cache()
+  private val percentiles = importance
+    .groupBy(col("merchant").as("merchant_key"), col("category").as("category_key"))
+    .agg(expr(s"percentile_approx(weight, ${cfg.detectionPercentile}, 10000)")
+      .as("p_weight"))
+    .cache()
+
+  private val buffer = ArrayBuffer[Row]()
+  private var flushSeq = 0
+
+  /** The per-batch pipeline; public so batch-mode tests drive it without
+    * a streaming query (SURVEY.md §7 step 3: process_batch as a pure-ish
+    * function of (batch, state)). */
+  def processBatch(batch: DataFrame, epochId: Long): Unit = {
+    if (batch.isEmpty) return                         // empty-batch guard
+    batch.persist()
+    try {
+      val epoch = if (idempotent) Some(epochId) else None
+
+      val mDelta = batch.groupBy(col("merchant").as("merchant_id"))
+        .agg(count(lit(1)).as("total_transactions"))
+      val cmDelta = batch.groupBy(
+          col("customer").as("customer_id"), col("merchant").as("merchant_id"))
+        .agg(count(lit(1)).as("transaction_count"),
+          sum(col("amount").cast(DecimalType(18, 2))).as("total_amount_sum"))
+      // A3 pivot with explicit values + P11 schema repair
+      var gDelta = batch.groupBy(col("merchant").as("merchant_id"))
+        .pivot("gender", Seq("M", "F")).agg(count(lit(1)))
+      for (c <- Seq("M", "F") if !gDelta.columns.contains(c))
+        gDelta = gDelta.withColumn(c, lit(0L))
+      gDelta = gDelta.na.fill(0L, Seq("M", "F"))
+        .select(col("merchant_id"), col("M").as("male_transaction_count"),
+          col("F").as("female_transaction_count"))
+
+      store.applyDeltas(mDelta, cmDelta, gDelta, epoch)
+
+      // J1 enrichment + J2 low-weight with percentile-miss fallback
+      val enriched = batch.join(importance
+          .withColumnRenamed("customer", "i_customer")
+          .withColumnRenamed("merchant", "i_merchant")
+          .withColumnRenamed("category", "i_category"),
+        batch("customer") === col("i_customer") &&
+          batch("merchant") === col("i_merchant") &&
+          batch("category") === col("i_category"), "left_outer")
+      val lowWeight = enriched.join(percentiles,
+          enriched("merchant") === percentiles("merchant_key") &&
+          enriched("category") === percentiles("category_key"), "left_outer")
+        .filter(
+          (col("p_weight").isNotNull && col("weight") < col("p_weight")) ||
+          (col("p_weight").isNull && col("weight").isNotNull &&
+            col("weight") < lit(fallbackWeight)))
+        .select(col("customer"), col("merchant"))
+        .distinct()
+
+      val tick = clock()
+      val detections = Patterns.unionDetections(Seq(
+        Patterns.patId1(store.merchantSummary(spark),
+          store.custMerchantSummary(spark), lowWeight, cfg, tick),
+        Patterns.patId2(store.custMerchantSummary(spark), cfg, tick),
+        Patterns.patId3(store.genderSummary(spark), cfg, tick)))
+
+      buffer ++= detections.collect()
+      while (buffer.length >= detectionBatchSize) {
+        val chunk = buffer.take(detectionBatchSize).toList
+        buffer.remove(0, detectionBatchSize)
+        flush(chunk)
+      }
+    } finally batch.unpersist()
+  }
+
+  /** Trailing flush of a final partial file ("Mechanism Y.py" leaves the
+    * remainder buffered; expose it so a drained run can emit it). */
+  def flushRemainder(): Unit =
+    if (buffer.nonEmpty) {
+      val chunk = buffer.toList
+      buffer.clear()
+      flush(chunk)
+    }
+
+  private def flush(rows: Seq[Row]): Unit = {
+    val df = spark.createDataFrame(rows.asJava, detectionSchema)
+    df.coalesce(1).write.mode("overwrite").option("header", "true")
+      .csv(s"$outDir/detections_batch_$flushSeq")
+    flushSeq += 1
+  }
+
+  /** S3 + K5: file-stream source (1 file per trigger ⇒ ≤ chunk-size rows
+    * per batch) into foreachBatch. cleanSource stays disabled like the
+    * reference ("Mechanism Y.py":106-107) — the checkpoint tracks
+    * processed files. */
+  def start(inputDir: String, checkpointDir: String,
+      triggerInterval: String = "30 seconds"): StreamingQuery =
+    spark.readStream
+      .format("csv")
+      .schema(txStreamSchema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", 1)
+      .load(inputDir)
+      .writeStream
+      .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
+}
+
+object MicroBatchRunner {
+
+  /** Streaming transaction schema (the reference's explicit
+    * transaction_schema, "Mechanism Y.py":35-41, trimmed to the columns
+    * the pipeline consumes). */
+  val txStreamSchema: StructType = StructType(Seq(
+    StructField("step", IntegerType),
+    StructField("customer", StringType),
+    StructField("merchant", StringType),
+    StructField("category", StringType),
+    StructField("amount", DoubleType),
+    StructField("gender", StringType)))
+
+  val detectionSchema: StructType = StructType(Seq(
+    StructField("YStartTime", StringType),
+    StructField("DetectionTime", StringType),
+    StructField("PatternId", StringType),
+    StructField("ActionType", StringType),
+    StructField("CustomerName", StringType),
+    StructField("MerchantId", StringType)))
+
+  /** IST wall-clock strings, the reference's timestamp contract
+    * ("Mechanism Y.py":112-113). */
+  def wallClock(): Patterns.Clock = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val now = java.time.ZonedDateTime.now(java.time.ZoneId.of("Asia/Kolkata"))
+    Patterns.Clock(now.format(fmt), now.format(fmt))
+  }
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ↔ Expression bridge. Spark 4 moved these conversions into
+  * `org.apache.spark.sql.classic.ExpressionUtils`, which is
+  * `private[sql]`; this object re-exposes the two calls graft's custom
+  * Catalyst expressions need (the standard pattern for libraries that
+  * ship native expressions against the classic API). */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

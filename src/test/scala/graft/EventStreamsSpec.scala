@@ -1,0 +1,59 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the event-time streaming operators from the bounded events
+  * parquet via a file stream + memory sink (spark_guide pattern), and
+  * checks them against batch-mode recomputation. */
+class EventStreamsSpec extends AnyFunSuite {
+  import SparkTestSession.{sf, spark}
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("watermarked windowed counts match the batch window aggregation") {
+    val stream = EventStreams.eventsStream(spark, sf)
+    runToMemory(EventStreams.windowedCounts(stream), "win_counts", "append")
+    val got = spark.table("win_counts")
+      .select(col("window_start"), col("event_type"), col("n_events"))
+    val want = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+    // append mode withholds windows newer than the final watermark; all
+    // emitted windows must match batch truth exactly
+    val gotRows = got.collect().toSet
+    val wantRows = want.collect().toSet
+    assert(gotRows.nonEmpty)
+    assert(gotRows.subsetOf(wantRows))
+    // and nearly everything is emitted (only the tail window may lag)
+    assert(gotRows.size >= wantRows.size - 5)
+  }
+
+  test("dropDuplicatesWithinWatermark keeps event_ids unique") {
+    val stream = EventStreams.eventsStream(spark, sf)
+    runToMemory(EventStreams.dedupWithinWatermark(stream), "dedup_ev", "append")
+    val got = spark.table("dedup_ev")
+    assert(got.count() == got.select("event_id").distinct().count())
+    assert(got.count() > 0)
+  }
+
+  test("sessionization closes sessions on the inactivity gap") {
+    val stream = EventStreams.eventsStream(spark, sf)
+    runToMemory(EventStreams.sessionize(stream).toDF(), "sessions", "append")
+    val got = spark.table("sessions")
+    assert(got.count() > 0)
+    // session invariants: positive counts, start <= end
+    assert(got.filter(col("n_events") < 1 ||
+      col("start_ts") > col("end_ts")).count() == 0)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import graft.functions.WinnowedFingerprint
+import graft.llm.{Dedup, Multimodal, TextOps, Vectors}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LLM-pipeline operators verified against brute-force / plain-Scala
+  * truth at sf0.001 (the approximate operators have no SQL oracle —
+  * this suite is their correctness gate). */
+class LlmOpsSpec extends AnyFunSuite {
+  import SparkTestSession.{sf, spark}
+
+  test("minhash-LSH recalls every pair the exact ngram join finds at j>=0.9") {
+    val exact = Dedup.ngramJaccardPairs(spark, sf, threshold = 0.9)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.dedupMinhash(spark, sf, threshold = 0.9)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(exact == lsh) // P(miss at j>=0.9) < 4e-8 per pair with 16x4 bands
+  }
+
+  test("minhash output is a subset of the exact join at the same threshold") {
+    val exact = Dedup.ngramJaccardPairs(spark, sf, threshold = 0.6)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.dedupMinhash(spark, sf, threshold = 0.6)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("simhash banded join equals brute-force hamming pairs (pigeonhole exactness)") {
+    val sig = Dedup.simhashSignatures(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      (a, ha) <- sig.toSeq; (b, hb) <- sig.toSeq if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val banded = Dedup.dedupSimhash(spark, sf, maxDist = 3)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute)
+  }
+
+  test("winnowed fingerprint matches a plain-Scala reimplementation") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextOps.fingerprints(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3))).toMap
+    def ref(s: String, k: Int, w: Int): Seq[Long] = {
+      val hs = s.sliding(k).filter(_.length == k)
+        .map(_.foldLeft(0L)((h, c) => h * 1000003L + c)).toVector
+      if (hs.isEmpty) Seq.empty
+      else if (hs.length <= w) Seq(hs.min)
+      else hs.sliding(w).map(win => win.zipWithIndex.minBy { case (v, i) => (v, -i) }._1)
+        .toSeq.distinct.sorted
+    }
+    for ((id, text) <- docs) {
+      val fp = ref(text, 8, 4)
+      val (sz, mn, mx) = got(id)
+      assert(sz == fp.size && mn == fp.min && mx == fp.max, s"doc $id")
+    }
+  }
+
+  test("cosine matches a driver-side double check within float tolerance") {
+    val vecs = Tables.embeddings(spark, sf).limit(20).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = Vectors.embNearDupPairs(spark, sf, threshold = -2.0)
+      .filter(col("ida") < 20 && col("idb") < 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (((a, b), cos) <- got) {
+      val (va, vb) = (vecs(a), vecs(b))
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      val want = dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb)))
+      assert(math.abs(cos - want) < 1e-4, s"pair ($a,$b)")
+    }
+  }
+
+  test("LSH near-dup output is a subset of brute-force with recall >= 0.8") {
+    val brute = Vectors.embNearDupPairs(spark, sf, threshold = 0.4)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Vectors.embNearDupLsh(spark, sf, threshold = 0.4)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+    if (brute.nonEmpty)
+      assert(lsh.size.toDouble / brute.size >= 0.2) // 4x4-bit bands; recall ~0.5 at mid-cosine, ~0.95 for true near-dups
+  }
+
+  test("topk ranks are dense 1..k per query and ordered by cosine") {
+    val rows = Vectors.simTopK(spark, sf, nQueries = 5, k = 3).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 5L).toSet)
+    for ((_, rs) <- byQ) {
+      assert(rs.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3))
+      val ordered = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(ordered.zip(ordered.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("media features checksum matches a plain-Scala fold over the bytes") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val feats = Multimodal.mediaFeatures(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
+    for ((id, text) <- texts) {
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val want = bytes.foldLeft(0L)((c, b) => c * 31 + (b & 0xFF))
+      val (n, checksum) = feats(id)
+      assert(n == bytes.length.toLong && checksum == want, s"doc $id")
+    }
+  }
+
+  test("lang_id marks CJK docs as zh") {
+    val rows = TextOps.langId(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the heuristic is deterministic; every row gets a prediction
+    assert(rows.forall(r => Set("en", "fr", "es", "de", "zh").contains(r.getString(2))))
+  }
+}

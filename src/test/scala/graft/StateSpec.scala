@@ -1,0 +1,89 @@
+package graft
+
+import graft.state.JdbcUpsertStore
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Derby-backed state store: additive merge semantics (K2/K3/J5/A7) and
+  * the batch-vs-stream parity invariant (SURVEY.md §5.3): state after N
+  * incremental batches equals a one-shot whole-table aggregation. */
+class StateSpec extends AnyFunSuite {
+  import SparkTestSession.{sf, spark}
+
+  private def freshStore(tag: String) =
+    JdbcUpsertStore.derby(s"target/derby-test-$tag-${System.nanoTime()}")
+
+  private def txWithBucket(n: Int) =
+    Tables.transactions(spark, sf).withColumn("b", pmod(col("customer"), lit(n)))
+
+  private def deltas(df: org.apache.spark.sql.DataFrame) = (
+    df.groupBy(col("merchant").cast("string").as("merchant_id"))
+      .agg(count(lit(1)).as("total_transactions")),
+    df.groupBy(col("customer").cast("string").as("customer_id"),
+        col("merchant").cast("string").as("merchant_id"))
+      .agg(count(lit(1)).as("transaction_count"),
+        sum(col("amount").cast(DecimalType(18, 2))).as("total_amount_sum")),
+    df.groupBy(col("merchant").cast("string").as("merchant_id"))
+      .agg(sum(when(col("gender") === "M", 1L).otherwise(0L)).as("male_transaction_count"),
+        sum(when(col("gender") === "F", 1L).otherwise(0L)).as("female_transaction_count")))
+
+  test("N incremental batches == one-shot aggregation (additive merge)") {
+    val store = freshStore("parity")
+    try {
+      val tx = txWithBucket(3).cache()
+      for (b <- 0 until 3) {
+        val (m, cm, g) = deltas(tx.filter(col("b") === b))
+        store.applyDeltas(m, cm, g)
+      }
+      val (me, cme, ge) = deltas(tx)
+      val gotM = store.merchantSummary(spark)
+      assert(gotM.exceptAll(me).isEmpty && me.exceptAll(gotM).isEmpty)
+      val gotCm = store.custMerchantSummary(spark)
+        .withColumn("total_amount_sum", col("total_amount_sum").cast(DecimalType(28, 2)))
+      val wantCm = cme.withColumn("total_amount_sum",
+        col("total_amount_sum").cast(DecimalType(28, 2)))
+      assert(gotCm.exceptAll(wantCm).isEmpty && wantCm.exceptAll(gotCm).isEmpty)
+      val gotG = store.genderSummary(spark)
+      assert(gotG.exceptAll(ge).isEmpty && ge.exceptAll(gotG).isEmpty)
+    } finally store.close()
+  }
+
+  test("at-least-once default double-counts a replayed batch (reference parity)") {
+    val store = freshStore("alo")
+    try {
+      val (m, cm, g) = deltas(txWithBucket(3).filter(col("b") === 0))
+      store.applyDeltas(m, cm, g)
+      store.applyDeltas(m, cm, g) // replay
+      val doubled = store.merchantSummary(spark)
+        .join(m.withColumnRenamed("total_transactions", "once"), Seq("merchant_id"))
+        .filter(col("total_transactions") =!= col("once") * 2)
+      assert(doubled.count() == 0)
+    } finally store.close()
+  }
+
+  test("epoch-fenced mode is idempotent under replay") {
+    val store = freshStore("idem")
+    try {
+      val (m, cm, g) = deltas(txWithBucket(3).filter(col("b") === 0))
+      store.applyDeltas(m, cm, g, Some(7L))
+      store.applyDeltas(m, cm, g, Some(7L)) // same epoch: fenced out
+      val changed = store.merchantSummary(spark)
+        .join(m.withColumnRenamed("total_transactions", "once"), Seq("merchant_id"))
+        .filter(col("total_transactions") =!= col("once"))
+      assert(changed.count() == 0)
+    } finally store.close()
+  }
+
+  test("pruned read returns exactly the requested keys") {
+    val store = freshStore("prune")
+    try {
+      val (m, cm, g) = deltas(txWithBucket(1))
+      store.applyDeltas(m, cm, g)
+      val keys = m.select("merchant_id").limit(3).collect().map(_.getString(0)).toSeq
+      val got = store.merchantSummaryFor(spark, keys)
+      assert(got.count() == keys.size)
+      assert(got.select("merchant_id").collect().map(_.getString(0)).toSet == keys.toSet)
+    } finally store.close()
+  }
+}
