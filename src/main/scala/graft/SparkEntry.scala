@@ -37,6 +37,7 @@ object SparkEntry {
     // §2.7 extension: windows; §2.8 event-time windowed agg (batch shape)
     "window_topn"       -> (RelOps.windowTopN(_, _)),
     "events_window"     -> (RelOps.eventsWindow(_, _)),
+    "count_distinct_users" -> (RelOps.countDistinctUsers(_, _)),
     // §2.11 the three pattern queries + §2.6 union fold
     "patid1"            -> (Patterns.patId1Query(_, _)),
     "patid2"            -> (Patterns.patId2Query(_, _)),
@@ -75,6 +76,7 @@ object SparkEntry {
     "q3_shipping"       -> RelOps.q3ShippingSql,
     "window_topn"       -> RelOps.windowTopNSql,
     "events_window"     -> RelOps.eventsWindowSql,
+    "count_distinct_users" -> RelOps.countDistinctUsersSql,
     "patid1"            -> Patterns.patId1QuerySql,
     "patid2"            -> Patterns.patId2QuerySql,
     "patid3"            -> Patterns.patId3QuerySql,

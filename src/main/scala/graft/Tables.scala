@@ -45,6 +45,15 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Fan a small-file scan out to every core. The doc/embedding tables
+    * arrive as one parquet file → one scan partition; any pipeline doing
+    * real per-row compute (shingling, hashing, pair joins) would run
+    * single-threaded without this. The shuffled bytes are tiny relative
+    * to the compute they unlock; at cluster scale the same holds for a
+    * handful of input splits fanning to thousands of cores. */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** The reference's transaction stream schema re-expressed on testdata:
     * customer = o_custkey, merchant = l_suppkey, category = l_returnflag,
     * amount = l_extendedprice, gender derived deterministically from the
@@ -66,6 +75,9 @@ object Tables {
         li("l_returnflag").as("category"),
         li("l_extendedprice").as("amount"),
         when(o("o_custkey") % 2 === 0, lit("M")).otherwise(lit("F")).as("gender"))
+    // deliberately NOT cached: caching an AQE-coalesced join output pins
+    // its (often single-partition) layout and serializes every consumer;
+    // recomputing the co-partitioned join is cheaper at every scale
   }
 
   /** SQL text of [[transactions]] as a DuckDB CTE body, reused by oracle

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for graft's native expressions, so
+  * `spark.sql("SELECT winnowed_fingerprint(text, 8, 4) ...")` works the
+  * same as the Column API. Two entry points:
+  *
+  *   - [[register]]: imperative, into an existing session's registry;
+  *   - [[GraftExtensions]]: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *     for config-driven injection at session build (the library-style
+  *     deployment on a shared cluster).
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "winnowed_fingerprint" -> { exprs =>
+      exprs match {
+        case Seq(c) => WinnowedFingerprint(c, 8, 4)
+        case Seq(c, k, w) => WinnowedFingerprint(c, intArg(k), intArg(w))
+        case _ => throw new IllegalArgumentException(
+          "winnowed_fingerprint(text[, k, w])")
+      }
+    },
+    "float_dot" -> { exprs =>
+      require(exprs.length == 2, "float_dot(a, b)")
+      FloatDot(exprs.head, exprs(1))
+    })
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}
+
+/** Config-driven injection: `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("winnowed_fingerprint"),
+      new ExpressionInfo(classOf[WinnowedFingerprint].getName, "winnowed_fingerprint"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => WinnowedFingerprint(c, 8, 4)
+        case Seq(c, k, w) => WinnowedFingerprint(c,
+          k.eval().asInstanceOf[Number].intValue(),
+          w.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "winnowed_fingerprint(text[, k, w])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
+      (exprs: Seq[Expression]) => FloatDot(exprs.head, exprs(1))))
+  }
+}

@@ -28,14 +28,14 @@ object ChunkFeeder {
   /** Write ceil(n/chunkSize) chunk files; returns the number written.
     * intervalMs > 0 paces uploads like the reference's 1/s sleep. */
   def feed(df: DataFrame, outDir: String, chunkSize: Int = 10000,
-      intervalMs: Long = 0L): Int = {
+      intervalMs: Long = 0L, namePrefix: String = "transactions_chunk"): Int = {
     Files.createDirectories(Paths.get(outDir))
     val header = df.columns.mkString(",")
     val it = df.toLocalIterator()
     var part = 0
     val buf = new scala.collection.mutable.ArrayBuffer[String](chunkSize)
     def flush(): Unit = if (buf.nonEmpty) {
-      val name = f"transactions_chunk_part$part%05d.csv"
+      val name = f"${namePrefix}_part$part%05d.csv"
       val body = (header +: buf).mkString("", "\n", "\n")
       // write-then-rename so the file-stream source never lists a
       // half-written file

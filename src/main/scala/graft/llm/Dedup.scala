@@ -21,27 +21,32 @@ object Dedup {
 
   /** 3-token shingles of the whitespace tokens (word-salad corpora make
     * unigram sets non-discriminative; 3-grams separate the planted
-    * near-dup pairs from the background at Jaccard ≥ 0.6). */
-  def shingles(text: Column): Column = {
-    val toks = TextOps.tokens(text)
+    * near-dup pairs from the background at Jaccard ≥ 0.6).
+    *
+    * `toks` MUST be a materialized column (bound by a projection), not
+    * the raw tokenize expression: `transform`'s lambda evaluates its
+    * argument per sequence element, so an inlined split-regex would run
+    * O(tokens²) per document — measured 50× slower on the corpus. */
+  def shinglesFromTokens(toks: Column): Column =
     when(size(toks) >= 3,
       transform(sequence(lit(1), size(toks) - 2), i =>
         concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
           element_at(toks, i + 2))))
       .otherwise(array(concat_ws(" ", toks)))
-  }
 
   val shinglesSql: String =
-    s"""CASE WHEN len(${TextOps.tokensSql}) >= 3
-       |  THEN list_transform(generate_series(1, len(${TextOps.tokensSql}) - 2),
-       |         i -> ${TextOps.tokensSql}[i] || ' ' || ${TextOps.tokensSql}[i+1] || ' ' || ${TextOps.tokensSql}[i+2])
-       |  ELSE [array_to_string(${TextOps.tokensSql}, ' ')] END""".stripMargin
+    """CASE WHEN len(toks) >= 3
+      |  THEN list_transform(generate_series(1, len(toks) - 2),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
 
   /** Exploded distinct (doc_id, shingle) relation — the inverted-index
-    * input shared by the exact-Jaccard and MinHash paths. */
+    * input shared by the exact-Jaccard and MinHash paths. Tokens are
+    * bound in their own projection first (see [[shinglesFromTokens]]). */
   def shingleSets(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"))).as("shingle"))
       .distinct()
 
   /** Exact dedup (hash-groupBy): md5 over the raw text; keeper = min id.
@@ -87,8 +92,9 @@ object Dedup {
   }
 
   def ngramJaccardSql(threshold: Double = 0.6): String =
-    s"""WITH sh AS (SELECT DISTINCT doc_id, unnest(${shinglesSql}) AS shingle
-       |            FROM documents),
+    s"""WITH tk AS (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest(${shinglesSql}) AS shingle
+       |            FROM tk),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
        |          FROM sh a JOIN sh b USING (shingle)
@@ -103,16 +109,18 @@ object Dedup {
 
   // ---- MinHash + LSH ----
 
-  /** 64-permutation MinHash signature per document: permutation i is the
-    * seeded hash xxhash64(i, shingle); the signature is the per-document
-    * min of each. Computed as 64 codegen'd min-aggregates over the
-    * exploded shingle relation — one shuffle on doc_id, no UDF (and no
-    * ANSI-mode overflow, unlike an affine a·h+b family on Long). */
+  /** 64-permutation MinHash signature per document: the shingle string is
+    * hashed to a long ONCE, then permutation i is the seeded re-hash
+    * xxhash64(i, h) over that 8-byte value (64 string hashes per posting
+    * would cost ~8× more). The signature is the per-document min of each
+    * permutation — 64 codegen'd min-aggregates, one shuffle on doc_id,
+    * no UDF (and no ANSI-mode overflow, unlike an affine a·h+b family). */
   def minhashSignatures(sh: DataFrame, numPerm: Int = 64): DataFrame = {
+    val hashed = sh.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
     val mins = (0 until numPerm).map { i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i")
+      min(xxhash64(lit(i), col("h"))).as(s"mh_$i")
     }
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: 16 bands × 4 rows over the 64 minhashes; documents
@@ -131,25 +139,32 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash-LSH near-dedup: LSH candidates, then exact Jaccard verify
-    * (join back to the shingle inverted index restricted to candidates).
-    * The scale path for ngramJaccardPairs: the shingle self-join only
-    * ever runs within LSH buckets. */
+  /** Per-document distinct shingle ARRAY (sorted for determinism) —
+    * candidate verification joins against this instead of re-running the
+    * inverted-index self-join. */
+  def shingleArrays(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(shinglesFromTokens(col("toks")))).as("shset"))
+
+  /** MinHash-LSH near-dedup: LSH candidates, then exact Jaccard verify by
+    * joining each candidate pair to the two per-doc shingle arrays and
+    * intersecting (O(candidates), never a corpus-wide self-join). This is
+    * the scale path for ngramJaccardPairs: at 100 TB the banded-bucket
+    * shuffle replaces any all-pairs or full-posting-list join, and the
+    * verify join ships only the candidate ids + two shingle arrays. */
   def dedupMinhash(spark: SparkSession, dir: String,
       threshold: Double = 0.6): DataFrame = {
-    val sh = shingleSets(spark, dir).cache()
+    val sets = shingleArrays(spark, dir)
+    val sh = sets.select(col("doc_id"), explode(col("shset")).as("shingle"))
     val cand = minhashCandidates(minhashSignatures(sh))
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("ida"), col("shingle"))
-    val b = sh.select(col("doc_id").as("idb"), col("shingle"))
-    val inter = a.join(b, Seq("shingle")).filter(col("ida") < col("idb"))
-      .join(cand, Seq("ida", "idb"), "left_semi")
-      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("i"))
-    inter
-      .join(sz.select(col("doc_id").as("ida"), col("n").as("na")), Seq("ida"))
-      .join(sz.select(col("doc_id").as("idb"), col("n").as("nb")), Seq("idb"))
-      .withColumn("jaccard",
-        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+    cand
+      .join(sets.select(col("doc_id").as("ida"), col("shset").as("sa")), Seq("ida"))
+      .join(sets.select(col("doc_id").as("idb"), col("shset").as("sb")), Seq("idb"))
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard", col("i").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("ida"), col("idb"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -161,7 +176,7 @@ object Dedup {
     * Expressed as 64 conditional-sum aggregates + a bit-assembly fold —
     * all codegen'd, one shuffle on doc_id. */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
+    val tok = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
       .distinct()
       .withColumn("h", xxhash64(col("token")))

@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
 object Vectors {
 
   /** float32-accumulated dot product (matches DuckDB list_dot_product on
-    * FLOAT lists bit-for-bit), cast to double at the end. */
+    * FLOAT lists bit-for-bit) — a native codegen'd expression
+    * ([[graft.functions.FloatDot]]); the hot path of every brute-force
+    * similarity join. */
   def dotF32(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0f), (acc, x) => acc + x)
-      .cast("double")
+    graft.functions.FloatDot.float_dot(a, b)
 
   val dotSql: String = "CAST(list_dot_product(%s, %s) AS DOUBLE)"
 
@@ -38,7 +39,8 @@ object Vectors {
     * shuffle; ranking is a per-query-partition window. */
   def simTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
       k: Int = 5): DataFrame = {
-    val emb = withNorm(Tables.embeddings(spark, dir), "embedding", "nrm")
+    val emb = withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
+      "embedding", "nrm")
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("nrm").as("qnrm"))
@@ -74,7 +76,8 @@ object Vectors {
     * 100 TB path (this one is O(n²) by definition of exactness). */
   def embNearDupPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.45): DataFrame = {
-    val emb = withNorm(Tables.embeddings(spark, dir), "embedding", "nrm")
+    val emb = withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
+      "embedding", "nrm")
     val a = emb.select(col("vec_id").as("ida"), col("embedding").as("va"),
       col("nrm").as("na"))
     val b = emb.select(col("vec_id").as("idb"), col("embedding").as("vb"),
@@ -128,7 +131,7 @@ object Vectors {
     * [[embNearDupPairs]] in LlmOpsSpec). */
   def embNearDupLsh(spark: SparkSession, dir: String,
       threshold: Double = 0.45): DataFrame = {
-    val emb = srpBuckets(Tables.embeddings(spark, dir))
+    val emb = srpBuckets(Tables.fanOut(Tables.embeddings(spark, dir)))
     val bands = (0 until 4).map { i =>
       (i, shiftrightunsigned(col("bucket"), 4 * i).bitwiseAND(0xF))
     }

@@ -292,6 +292,22 @@ object RelOps {
       |    l_orderkey AS okey, l_linenumber AS line_no, l_extendedprice AS amount
       |  FROM lineitem) WHERE rn <= 3""".stripMargin
 
+  /** Exact distinct-count per group (count_distinct shuffles the distinct
+    * pairs once — expand + two-phase agg); the approximate HLL variant
+    * (approx_count_distinct, constant memory per group at any scale) is
+    * asserted within 5% of this in RelOpsSpec. */
+  def countDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  val countDistinctUsersSql: String =
+    """SELECT event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Event-time tumbling window aggregation (Structured Streaming's
     * windowed-agg shape run over the bounded events table; the streaming
     * variant with watermark lives in graft.streaming). Window start is

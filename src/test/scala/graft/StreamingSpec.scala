@@ -53,6 +53,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally store.close()
   }
 
+  test("checkpoint restart resumes without reprocessing consumed files") {
+    val base = Files.createTempDirectory("graft-restart").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val cp = s"$base/cp"
+    val store = JdbcUpsertStore.derby(s"$base/derby")
+    try {
+      val tx = Tables.transactions(spark, sf)
+        .withColumn("step", lit(0))
+        .select("step", "customer", "merchant", "category", "amount", "gender")
+        .cache()
+      val half = tx.limit((tx.count() / 2).toInt)
+      ChunkFeeder.feed(half, inDir, chunkSize = 1000)
+      val runner = new MicroBatchRunner(spark, store, Tables.importance(spark, sf),
+        outDir, clock = () => Patterns.FixedClock)
+      val q1 = runner.start(inDir, cp, triggerInterval = "1 second")
+      q1.processAllAvailable(); q1.stop()
+      val afterFirst = store.merchantSummary(spark)
+        .agg(sum(col("total_transactions"))).collect()(0).getLong(0)
+      assert(afterFirst == half.count())
+
+      // second feed under new names; the restarted query must process
+      // exactly these files — the first run's files are in the
+      // checkpoint's seen-file log and must not be replayed
+      ChunkFeeder.feed(tx, inDir, chunkSize = 1000, namePrefix = "refeed_chunk")
+      val q2 = runner.start(inDir, cp, triggerInterval = "1 second")
+      q2.processAllAvailable(); q2.stop()
+      val afterSecond = store.merchantSummary(spark)
+        .agg(sum(col("total_transactions"))).collect()(0).getLong(0)
+      assert(afterSecond == afterFirst + tx.count())
+    } finally store.close()
+  }
+
   test("empty batch is a no-op (guard)") {
     val base = Files.createTempDirectory("graft-empty").toString
     val store = JdbcUpsertStore.derby(s"$base/derby")
