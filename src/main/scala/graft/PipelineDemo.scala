@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import graft.ingest.ChunkFeeder
+import graft.ops.Patterns
+import graft.state.JdbcUpsertStore
+import graft.streaming.MicroBatchRunner
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Runnable replica of the reference's two-process pipeline
+  * (README.md:31-62 of /root/reference): Mechanism X chunks the
+  * transaction table into 10k-row CSV files in a watched directory;
+  * Mechanism Y streams them through the micro-batch detector with an
+  * embedded-Derby state store and writes 50-row detection CSVs.
+  *
+  *   sbt "runMain graft.PipelineDemo [sfDir] [chunkSize] [rate-ms]"
+  *
+  * Prints per-batch progress, final state-table sizes, detection file
+  * inventory, and end-to-end throughput.
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val chunkSize = if (args.length > 1) args(1).toInt else 10000
+    val rateMs = if (args.length > 2) args(2).toLong else 0L
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Files.createTempDirectory("graft-pipeline").toString
+    println(s"[pipeline] working dir: $base")
+    val store = JdbcUpsertStore.derbyMemory("pipeline-demo")
+
+    val tx = Tables.transactions(spark, sfDir)
+      .withColumn("step", lit(0))
+      .select("step", "customer", "merchant", "category", "amount", "gender")
+    val nRows = tx.count()
+
+    val t0 = System.nanoTime()
+    val nChunks = ChunkFeeder.feed(tx, s"$base/in", chunkSize, rateMs)
+    println(s"[mechanism-x] fed $nChunks chunk files ($nRows rows)")
+
+    val runner = new MicroBatchRunner(spark, store,
+      Tables.importance(spark, sfDir), s"$base/out")
+    val q = runner.start(s"$base/in", s"$base/cp", triggerInterval = "1 second")
+    q.processAllAvailable()
+    q.stop()
+    runner.flushRemainder()
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    println(f"[mechanism-y] processed $nRows rows in $secs%.1f s " +
+      f"(${nRows / secs}%.0f rows/s end-to-end incl. feed + state round-trips)")
+    for ((name, df) <- Seq(
+        "merchant_summary" -> store.merchantSummary(spark),
+        "customer_merchant_summary" -> store.custMerchantSummary(spark),
+        "merchant_gender_summary" -> store.genderSummary(spark)))
+      println(s"[state] $name: ${df.count()} rows")
+    val outDirs = Option(new java.io.File(s"$base/out").listFiles()).getOrElse(Array())
+      .filter(_.isDirectory)
+    val detections = if (outDirs.isEmpty) 0L
+      else spark.read.option("header", "true")
+        .csv(outDirs.map(_.toString): _*).count()
+    println(s"[detections] ${outDirs.length} files, $detections rows")
+    store.close()
+    spark.stop()
+  }
+}

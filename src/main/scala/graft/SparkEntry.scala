@@ -56,6 +56,7 @@ object SparkEntry {
     "text_stats"        -> (TextOps.textStats(_, _)),
     "lang_id"           -> (TextOps.langId(_, _)),
     "token_count"       -> (TextOps.tokenCount(_, _)),
+    "doc_chunks"        -> (TextOps.docChunks(_, _)),
     "fingerprint"       -> (TextOps.fingerprints(_, _)),
     // LLM-pipeline: multimodal plumbing
     "media_features"    -> (Multimodal.mediaFeaturesQuery(_, _)),
@@ -91,6 +92,7 @@ object SparkEntry {
     "text_stats"        -> TextOps.textStatsSql,
     "lang_id"           -> TextOps.langIdSql,
     "token_count"       -> TextOps.tokenCountSql,
+    "doc_chunks"        -> TextOps.docChunksSql(),
     "media_features"    -> Multimodal.mediaFeaturesSql,
   )
 }

@@ -137,6 +137,37 @@ object TextOps {
        |    / len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')), 6) AS chars_per_token
        |FROM documents""".stripMargin
 
+  /** Overlapping token-window chunking — the unit-of-training-sample
+    * splitter (chunk of `chunkTokens` tokens every `stride`). Pure
+    * narrow transformation: tokens bound once, starts exploded, slices
+    * taken per row; at corpus scale this streams with no shuffle. */
+  def docChunks(spark: SparkSession, dir: String, chunkTokens: Int = 50,
+      stride: Int = 25): DataFrame =
+    graft.Tables.fanOut(graft.Tables.documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1),
+          greatest(size(col("toks")) - lit(chunkTokens - 1), lit(1)),
+          lit(stride))).as("s"))
+      .select(
+        col("doc_id"),
+        ((col("s") - 1) / lit(stride)).cast("int").as("chunk_id"),
+        concat_ws(" ", slice(col("toks"), col("s"), lit(chunkTokens))).as("chunk_text"),
+        least(size(col("toks")) - col("s") + 1, lit(chunkTokens)).cast("int")
+          .as("n_tokens"))
+
+  def docChunksSql(chunkTokens: Int = 50, stride: Int = 25): String =
+    s"""WITH tk AS (SELECT doc_id, ${tokensSql} AS toks FROM documents),
+       |st AS (SELECT doc_id, toks,
+       |         unnest(generate_series(1, greatest(len(toks) - ${chunkTokens - 1}, 1),
+       |                ${stride})) AS s
+       |       FROM tk)
+       |SELECT doc_id,
+       |  CAST((s - 1) // ${stride} AS INT) AS chunk_id,
+       |  array_to_string(toks[s : s + ${chunkTokens - 1}], ' ') AS chunk_text,
+       |  CAST(least(len(toks) - s + 1, ${chunkTokens}) AS INT) AS n_tokens
+       |FROM st""".stripMargin
+
   /** Winnowed fingerprint summary per document (custom codegen'd Catalyst
     * expression — [[graft.functions.WinnowedFingerprint]]). Not
     * SQL-expressible in the oracle (engine-specific rolling hash);

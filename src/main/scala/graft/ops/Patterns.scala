@@ -117,17 +117,55 @@ object Patterns {
 
   // ---- batch-mode wiring over testdata (state = whole-history agg) ----
 
+  /** ONE pass over the fact join at the finest grain every consumer
+    * needs — (customer, merchant, category, gender) with count, exact
+    * amount sum, exact discount sum — from which all three state tables
+    * AND the importance weights roll up. The standalone oracle queries
+    * (agg_merchant_count etc.) keep their canonical single-purpose
+    * shapes; the pattern pipeline uses this rollup so a 100 TB fact
+    * table is scanned once, not four times. All rollup arithmetic is
+    * exact (integer counts + DECIMAL sums), so results are bit-identical
+    * to the direct aggregations. */
+  def finestAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(
+        o("o_custkey").as("customer"),
+        li("l_suppkey").as("merchant"),
+        li("l_returnflag").as("category"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(li("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .as("amt_sum"),
+        sum(li("l_discount").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .as("disc_sum"))
+      .withColumn("gender",
+        when(col("customer") % 2 === 0, lit("M")).otherwise(lit("F")))
+  }
+
   def merchantSummary(spark: SparkSession, dir: String): DataFrame =
-    RelOps.aggMerchantCount(spark, dir)
+    finestAgg(spark, dir).groupBy(col("merchant").as("merchant_id"))
+      .agg(sum(col("cnt")).as("total_transactions"))
 
   def custMerchantSummary(spark: SparkSession, dir: String): DataFrame =
-    RelOps.aggCustMerchant(spark, dir)
+    finestAgg(spark, dir)
+      .groupBy(col("customer").as("customer_id"), col("merchant").as("merchant_id"))
+      .agg(sum(col("cnt")).as("transaction_count"),
+        round(sum(col("amt_sum")).cast("double"), 2).as("total_amount_sum"))
 
   def genderSummary(spark: SparkSession, dir: String): DataFrame =
-    RelOps.aggGenderPivot(spark, dir)
+    finestAgg(spark, dir).groupBy(col("merchant").as("merchant_id"))
+      .agg(
+        sum(when(col("gender") === "M", col("cnt")).otherwise(0L))
+          .as("male_transaction_count"),
+        sum(when(col("gender") === "F", col("cnt")).otherwise(0L))
+          .as("female_transaction_count"))
 
   def patId1Query(spark: SparkSession, dir: String): DataFrame = {
-    val imp = Tables.importance(spark, dir)
+    val fin = finestAgg(spark, dir)
+    val imp = fin.select(col("customer"), col("merchant"), col("category"),
+      round(col("disc_sum").cast("double") / col("cnt"), 6).as("weight"))
     val pct = imp.groupBy(col("merchant").as("merchant_key"), col("category").as("category_key"))
       .agg(round(expr(s"percentile(weight, ${DefaultConfig.detectionPercentile})"), 6)
         .as("p_weight"))

@@ -162,4 +162,13 @@ object JdbcUpsertStore {
     s.init()
     s
   }
+
+  /** In-memory Derby (no fsync per merge) — the right mode when state
+    * durability is delegated to checkpoint + replay rather than the
+    * store itself. */
+  def derbyMemory(name: String): JdbcUpsertStore = {
+    val s = new JdbcUpsertStore(s"jdbc:derby:memory:$name;create=true")
+    s.init()
+    s
+  }
 }

@@ -63,22 +63,31 @@ class MicroBatchRunner(
     try {
       val epoch = if (idempotent) Some(epochId) else None
 
-      val mDelta = batch.groupBy(col("merchant").as("merchant_id"))
-        .agg(count(lit(1)).as("total_transactions"))
-      val cmDelta = batch.groupBy(
+      // One finest-grain pass over the batch; the three state deltas
+      // roll up from it (the reference aggregates the batch three times
+      // — "Mechanism Y.py":142, 167, 187; the gender pivot becomes the
+      // conditional aggregation SURVEY.md §2.5 A3 recommends at scale;
+      // the pivot+P11-repair form itself is oracle-checked in
+      // RelOps.aggGenderPivot).
+      val fin = batch.groupBy(col("customer"), col("merchant"), col("gender"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("amount").cast(DecimalType(18, 2))).as("amt"))
+        .persist()
+      val mDelta = fin.groupBy(col("merchant").as("merchant_id"))
+        .agg(sum(col("cnt")).as("total_transactions"))
+      val cmDelta = fin.groupBy(
           col("customer").as("customer_id"), col("merchant").as("merchant_id"))
-        .agg(count(lit(1)).as("transaction_count"),
-          sum(col("amount").cast(DecimalType(18, 2))).as("total_amount_sum"))
-      // A3 pivot with explicit values + P11 schema repair
-      var gDelta = batch.groupBy(col("merchant").as("merchant_id"))
-        .pivot("gender", Seq("M", "F")).agg(count(lit(1)))
-      for (c <- Seq("M", "F") if !gDelta.columns.contains(c))
-        gDelta = gDelta.withColumn(c, lit(0L))
-      gDelta = gDelta.na.fill(0L, Seq("M", "F"))
-        .select(col("merchant_id"), col("M").as("male_transaction_count"),
-          col("F").as("female_transaction_count"))
+        .agg(sum(col("cnt")).as("transaction_count"),
+          sum(col("amt")).as("total_amount_sum"))
+      val gDelta = fin.groupBy(col("merchant").as("merchant_id"))
+        .agg(
+          sum(when(col("gender") === "M", col("cnt")).otherwise(0L))
+            .as("male_transaction_count"),
+          sum(when(col("gender") === "F", col("cnt")).otherwise(0L))
+            .as("female_transaction_count"))
 
       store.applyDeltas(mDelta, cmDelta, gDelta, epoch)
+      fin.unpersist()
 
       // J1 enrichment + J2 low-weight with percentile-miss fallback
       val enriched = batch.join(importance
