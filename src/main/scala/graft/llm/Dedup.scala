@@ -48,6 +48,9 @@ object Dedup {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(shinglesFromTokens(col("toks"))).as("shingle"))
       .distinct()
+      .persist() // read by both sides of the inverted-index self-join +
+                 // the size aggregate; tiny relative to the tokenization
+                 // it saves (CacheManager dedupes by plan)
 
   /** Exact dedup (hash-groupBy): md5 over the raw text; keeper = min id.
     * At scale: one shuffle on the 128-bit hash — never on the text
@@ -147,6 +150,8 @@ object Dedup {
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         array_sort(array_distinct(shinglesFromTokens(col("toks")))).as("shset"))
+      .persist() // consumed 3× by dedupMinhash (signature explode + both
+                 // verify joins)
 
   /** MinHash-LSH near-dedup: LSH candidates, then exact Jaccard verify by
     * joining each candidate pair to the two per-doc shingle arrays and
@@ -189,6 +194,8 @@ object Dedup {
       when(col(s"b_$j") >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
     agg.select(col("doc_id"), sig.as("simhash"))
+      .persist() // both sides of the banded self-join read it; without
+                 // this the 64-aggregate signature pass runs twice
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, via banded

@@ -142,6 +142,12 @@ object Patterns {
           .as("disc_sum"))
       .withColumn("gender",
         when(col("customer") % 2 === 0, lit("M")).otherwise(lit("F")))
+      .persist() // materialized ONCE per session+sfDir (CacheManager
+                 // dedupes identical plans); every rollup, the importance
+                 // weights, and the percentile thresholds read it instead
+                 // of re-running the fact join+agg — without this, Spark
+                 // recomputes the 586k-group aggregation per consumer
+                 // (no cross-plan exchange reuse), measured 10× slower
   }
 
   def merchantSummary(spark: SparkSession, dir: String): DataFrame =

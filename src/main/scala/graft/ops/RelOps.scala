@@ -179,7 +179,11 @@ object RelOps {
     * merchant) ("Mechanism Y.py":235). Column-vs-column filter + distinct. */
   def lowWeightPairs(spark: SparkSession, dir: String): DataFrame = {
     val imp = Tables.importance(spark, dir)
-    val pct = weightPercentiles(spark, dir)
+    // derive the thresholds from the SAME aggregate instance so the
+    // importance shuffle is planned once and reused, not recomputed
+    val pct = imp
+      .groupBy(col("merchant").as("merchant_key"), col("category").as("category_key"))
+      .agg(round(expr("percentile(weight, 0.01)"), 6).as("p1_weight"))
     imp.join(pct,
         imp("merchant") === pct("merchant_key") &&
         imp("category") === pct("category_key"), "inner")

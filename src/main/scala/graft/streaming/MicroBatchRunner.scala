@@ -149,6 +149,7 @@ class MicroBatchRunner(
       .format("csv")
       .schema(txStreamSchema)
       .option("header", "true")
+      .option("escape", "\"") // feeder writes RFC4180 doubled quotes
       .option("maxFilesPerTrigger", 1)
       .load(inputDir)
       .writeStream

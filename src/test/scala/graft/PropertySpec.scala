@@ -1,0 +1,85 @@
+package graft
+
+import graft.ingest.ChunkFeeder
+import graft.state.JdbcUpsertStore
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based checks (SURVEY.md §5.4) driven by ScalaCheck
+  * generators with fixed seeds (scalatest's forAll bridge isn't in the
+  * offline cache, so generators are sampled explicitly — same coverage,
+  * deterministic replay). */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("chunk feeder CSV escaping round-trips nasty strings") {
+    import spark.implicits._
+    val nastyVal = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.const("a,b"), Gen.const("say \"hi\""), Gen.const("line1\nline2"),
+      Gen.const("trailing,"), Gen.const(",,\"\","))
+    for (seed <- 1L to 8L) {
+      val vals = sample(Gen.listOfN(30, nastyVal), seed)
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "payload")
+      ChunkFeeder.feed(df, dir, chunkSize = 7)
+      val back = spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", "\"") // RFC4180 doubled quotes, not backslash
+        .schema("id LONG, payload STRING")
+        .csv(dir)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+        .toMap
+      val want = vals.zipWithIndex.map { case (v, i) => i.toLong -> v }.toMap
+      assert(back == want, s"seed $seed")
+    }
+  }
+
+  test("additive merge is invariant under batch partitioning and order") {
+    import spark.implicits._
+    val rowGen = for {
+      m <- Gen.choose(0, 4); n <- Gen.choose(1L, 5L)
+    } yield (s"m$m", n)
+    val emptyCms = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("customer_id", StringType),
+        StructField("merchant_id", StringType),
+        StructField("transaction_count", LongType),
+        StructField("total_amount_sum", DecimalType(18, 2)))))
+    val emptyG = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("merchant_id", StringType),
+        StructField("male_transaction_count", LongType),
+        StructField("female_transaction_count", LongType))))
+    for (seed <- 1L to 5L) {
+      val data = sample(Gen.listOfN(60, rowGen), seed)
+      val nBatches = sample(Gen.choose(2, 4), seed + 100)
+      val store = JdbcUpsertStore.derbyMemory(s"prop$seed-${System.nanoTime()}")
+      try {
+        val df = data.zipWithIndex
+          .map { case ((m, n), i) => (i, m, n) }.toDF("i", "merchant_id", "w")
+        val parts = (0 until nBatches).map(b =>
+          df.filter(pmod(col("i"), lit(nBatches)) === b))
+        for (p <- new scala.util.Random(seed).shuffle(parts.toList)) {
+          val d = p.groupBy("merchant_id")
+            .agg(sum(col("w")).as("total_transactions"))
+          store.applyDeltas(d, emptyCms, emptyG)
+        }
+        val got = store.merchantSummary(spark)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val want = data.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        assert(got == want, s"seed $seed")
+      } finally store.close()
+    }
+  }
+}
