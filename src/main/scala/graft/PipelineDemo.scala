@@ -47,8 +47,13 @@ object PipelineDemo {
     val nChunks = ChunkFeeder.feed(tx, s"$base/in", chunkSize, rateMs)
     println(s"[mechanism-x] fed $nChunks chunk files ($nRows rows)")
 
-    val runner = new MicroBatchRunner(spark, store,
-      Tables.importance(spark, sfDir), s"$base/out")
+    // static dim via the reference's CSV path (S2): export once, read
+    // back with the explicit schema, cache inside the runner
+    Tables.importance(spark, sfDir).coalesce(1)
+      .write.option("header", "true").csv(s"$base/importance_csv")
+    val importanceDim = Tables.importanceFromCsv(spark, s"$base/importance_csv")
+
+    val runner = new MicroBatchRunner(spark, store, importanceDim, s"$base/out")
     val q = runner.start(s"$base/in", s"$base/cp", triggerInterval = "1 second")
     q.processAllAvailable()
     q.stop()

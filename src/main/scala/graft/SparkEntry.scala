@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_simhash"     -> (Dedup.dedupSimhash(_, _)),
     // LLM-pipeline: similarity search
     "similarity_topk"   -> (Vectors.simTopK(_, _)),
+    "similarity_topk_ivf" -> (Vectors.simTopKIvf(_, _)),
     "emb_neardup"       -> (Vectors.embNearDupPairs(_, _)),
     "emb_neardup_lsh"   -> (Vectors.embNearDupLsh(_, _)),
     // LLM-pipeline: text analysis

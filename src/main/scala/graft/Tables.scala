@@ -108,6 +108,20 @@ object Tables {
           count(lit(1)), 6).as("weight"))
   }
 
+  /** S2 — static CSV read with an explicit schema and header, the
+    * reference's CustomerImportance load shape ("Mechanism Y.py":68):
+    * no schema inference job, types declared up front. */
+  def importanceFromCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .format("csv")
+      .option("header", "true")
+      .schema(StructType(Seq(
+        StructField("customer", LongType),
+        StructField("merchant", LongType),
+        StructField("category", StringType),
+        StructField("weight", DoubleType))))
+      .load(path)
+
   val importanceSql: String =
     """SELECT o_custkey AS customer, l_suppkey AS merchant,
       |       l_returnflag AS category,

@@ -100,6 +100,52 @@ object Vectors {
        |       * sqrt(CAST(list_dot_product(b.embedding, b.embedding) AS DOUBLE))), 6)
        |  >= ${threshold}""".stripMargin
 
+  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    * partitions the corpus into cells; a query probes only its nProbe
+    * nearest cells and brute-forces within them. The 100 TB shape:
+    * centroids are a broadcast dim, the corpus is scanned once at index
+    * build, and each query touches ~nProbe/k of the data. Approximate —
+    * recall vs [[simTopK]] is asserted in LlmOpsSpec. */
+  def simTopKIvf(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
+      "embedding", "nrm")
+      .withColumn("v", array_to_vector(col("embedding")))
+      .persist()
+    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("v").setPredictionCol("cell")
+    val assigned = km.fit(emb).transform(emb)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("nrm").as("qnrm"), col("cell").as("qcell"))
+    // probe selection: rank cells by cosine between the query and the
+    // cell's mean vector (a broadcast-sized dim), keep the top nProbe
+    val cellMeans = assigned.groupBy(col("cell").as("pcell"))
+      .agg(array((0 until 64).map(i =>
+        avg(element_at(col("embedding"), i + 1))): _*).as("centroid"))
+    val centDot = aggregate(zip_with(col("qvec"), col("centroid"),
+      (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
+    val probes = q.join(broadcast(cellMeans), lit(true))
+      .withColumn("csim", centDot)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("pcell"))))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("qnrm"), col("pcell"))
+    val joined = assigned.join(broadcast(probes),
+        col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(
+        dotF32(col("qvec"), col("embedding")) / (col("qnrm") * col("nrm")), 6))
+    joined
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos").as("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for plane j, dim i
     * (splitmix64-flavored integer mix → (−0.5, 0.5] float). */
   private def planeComponent(j: Int, i: Int): Double = {

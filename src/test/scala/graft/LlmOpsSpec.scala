@@ -96,6 +96,16 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF top-k recalls most brute-force neighbors") {
+    val brute = Vectors.simTopK(spark, sf, nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Vectors.simTopKIvf(spark, sf, nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf.nonEmpty)
+    // probing 4 of 16 cells: most true neighbors should fall in probed cells
+    assert((brute intersect ivf).size.toDouble / brute.size >= 0.4)
+  }
+
   test("media features checksum matches a plain-Scala fold over the bytes") {
     val texts = Tables.documents(spark, sf).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
