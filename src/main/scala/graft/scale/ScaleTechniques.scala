@@ -1,0 +1,37 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The shuffle-management techniques a 100 TB deployment leans on,
+  * packaged as utilities so they're testable here and liftable into any
+  * pipeline: bucketed tables for shuffle-free co-located joins, and key
+  * salting for skewed aggregations. (AQE's skew-join handling covers the
+  * join case at runtime; salting remains the tool for skewed
+  * AGGREGATIONS, where AQE can't split a hot key.)
+  */
+object ScaleTechniques {
+
+  /** Write both sides bucketed (+sorted) on the join key: subsequent
+    * joins between the tables read co-located buckets and plan with NO
+    * shuffle exchange on either side. BucketingSpec asserts the plan. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int = 8): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Skew-safe two-phase aggregation: spread each group over `salts`
+    * sub-groups (partial agg per (key, salt)), then combine. The hot key
+    * that would pin one reducer is split across `salts` tasks; results
+    * are identical because count/sum compose associatively. */
+  def saltedCountSum(df: DataFrame, key: Column, value: Column,
+      salts: Int = 16): DataFrame =
+    df.select(key.as("k"), value.as("v"))
+      .withColumn("salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(col("k"), col("salt"))
+      .agg(count(lit(1)).as("pc"), sum(col("v")).as("ps"))
+      .groupBy(col("k"))
+      .agg(sum(col("pc")).as("cnt"), sum(col("ps")).as("sum_v"))
+}
