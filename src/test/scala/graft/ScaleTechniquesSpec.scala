@@ -7,7 +7,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class ScaleTechniquesSpec extends AnyFunSuite {
   import SparkTestSession.{sf, spark}
 
+  private def dropTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // the in-memory catalog forgets tables between JVMs but the
+    // warehouse dir persists; clear the leftover location too
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    if (loc.exists())
+      scala.reflect.io.Directory(loc).deleteRecursively()
+  }
+
   test("bucketed tables join without a shuffle exchange") {
+    dropTable("li_bucketed")
+    dropTable("o_bucketed")
     ScaleTechniques.writeBucketed(
       Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice"),
       "li_bucketed", "l_orderkey")
