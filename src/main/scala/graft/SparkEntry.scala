@@ -36,6 +36,7 @@ object SparkEntry {
     "q3_shipping"       -> (RelOps.q3Shipping(_, _)),
     // §2.7 extension: windows; §2.8 event-time windowed agg (batch shape)
     "window_topn"       -> (RelOps.windowTopN(_, _)),
+    "topk_amounts"      -> (graft.functions.TopKAggregator.topAmounts(_, _)),
     "events_window"     -> (RelOps.eventsWindow(_, _)),
     "count_distinct_users" -> (RelOps.countDistinctUsers(_, _)),
     // §2.11 the three pattern queries + §2.6 union fold
@@ -77,6 +78,7 @@ object SparkEntry {
     "low_weight_pairs"  -> RelOps.lowWeightPairsSql,
     "q3_shipping"       -> RelOps.q3ShippingSql,
     "window_topn"       -> RelOps.windowTopNSql,
+    "topk_amounts"      -> graft.functions.TopKAggregator.topAmountsSql,
     "events_window"     -> RelOps.eventsWindowSql,
     "count_distinct_users" -> RelOps.countDistinctUsersSql,
     "patid1"            -> Patterns.patId1QuerySql,
