@@ -114,9 +114,14 @@ object Vectors {
       "embedding", "nrm")
       .withColumn("v", array_to_vector(col("embedding")))
       .persist()
+    // random init + a coalesced fit input keep the iterative fit to a
+    // handful of jobs — kmeans|| costs ~3× the barrier rounds, and on a
+    // shared host every extra tiny barrier job amplifies scheduling
+    // stalls; coarse-quantizer quality is insensitive to init here
     val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("v").setPredictionCol("cell")
-    val assigned = km.fit(emb).transform(emb)
+    val assigned = km.fit(emb.select(col("v")).coalesce(4)).transform(emb)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
