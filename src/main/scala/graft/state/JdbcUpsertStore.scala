@@ -11,11 +11,12 @@ import org.apache.spark.sql.functions._
   * one set-based additive upsert statement on the driver's plain JDBC
   * connection, (S4) read state back with spark.read.jdbc.
   *
-  * Runs on embedded Derby (ships with Spark — no extra dependency);
-  * Derby speaks `MERGE INTO`, the ANSI form of Postgres's
-  * `INSERT … ON CONFLICT DO UPDATE` (sql/postgres_tables.sql DDL shapes
-  * preserved: VARCHAR keys, BIGINT counts, DECIMAL(18,2) sums,
-  * TIMESTAMP last_updated). Swapping the URL/driver retargets Postgres.
+  * Runs on embedded Derby (ships with Spark — no extra dependency) with
+  * ANSI `MERGE INTO`; a `jdbc:postgresql:` URL selects the reference's
+  * own `INSERT … ON CONFLICT DO UPDATE` statement shape instead
+  * ([[UpsertDialect]] — PG14 has no MERGE). DDL shapes per
+  * sql/postgres_tables.sql: VARCHAR keys, BIGINT counts, DECIMAL(18,2)
+  * sums, TIMESTAMP last_updated.
   *
   * Scale notes vs the reference (SURVEY.md §4 anti-patterns, fixed here):
   *   - reads accept a key predicate (pruned read) instead of full-table;
@@ -26,6 +27,8 @@ class JdbcUpsertStore(url: String, driverClass: String =
     "org.apache.derby.jdbc.EmbeddedDriver") extends StateStore {
 
   Class.forName(driverClass)
+
+  private val dialect = UpsertDialect.forUrl(url)
 
   private def props: Properties = {
     val p = new Properties()
