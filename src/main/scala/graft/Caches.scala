@@ -1,0 +1,37 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.DataFrame
+
+/** Session-wide registry for the handful of deliberately shared cached
+  * DataFrames (Patterns.finestAgg, Dedup.shingleArrays/
+  * simhashSignatures, the IVF index input). Two jobs:
+  *
+  *   1. Memoize: each shared frame is built and `.persist()`ed exactly
+  *      once per (key) — repeated query invocations get the same
+  *      instance instead of re-calling persist() on an identical plan
+  *      (the source of the "Asked to cache already cached data" warning
+  *      stream) while keeping the cross-query plan reuse that makes the
+  *      pattern/dedup queries fast (Spark does NOT reuse identical
+  *      aggregation subplans across queries on its own).
+  *   2. Release: [[release]] unpersists everything registered, giving
+  *      benchmarks/long sessions an explicit end-of-work cleanup instead
+  *      of pinning executor memory until session death.
+  */
+object Caches {
+
+  private val memoMap = new ConcurrentHashMap[String, DataFrame]()
+
+  /** The memoized, persisted frame for `key`, building (and persisting)
+    * it on first use. Keys should include every input the plan depends
+    * on (e.g. the sf dir). */
+  def memo(key: String)(build: => DataFrame): DataFrame =
+    memoMap.computeIfAbsent(key, _ => build.persist())
+
+  /** Unpersist and forget every registered frame. */
+  def release(): Unit = {
+    memoMap.values.forEach(df =>
+      try df.unpersist() catch { case _: Throwable => () })
+    memoMap.clear()
+  }
+}

@@ -20,7 +20,8 @@ object ChunkFeeder {
 
   private def csvEscape(v: Any): String = v match {
     case null => ""
-    case s: String if s.contains(",") || s.contains("\"") || s.contains("\n") =>
+    case s: String if s.contains(",") || s.contains("\"") ||
+        s.contains("\n") || s.contains("\r") =>
       "\"" + s.replace("\"", "\"\"") + "\""
     case other => other.toString
   }
@@ -35,7 +36,15 @@ object ChunkFeeder {
     var part = 0
     val buf = new scala.collection.mutable.ArrayBuffer[String](chunkSize)
     def flush(): Unit = if (buf.nonEmpty) {
-      val name = f"${namePrefix}_part$part%05d.csv"
+      // reference name scheme (mechanism_x.py:80-82):
+      // <prefix>_<YYYYMMDD_HHMMSS>_<uuid8>_part<n>.csv — the ts+uuid make
+      // two feeds into one directory unique, so the stream's seen-file
+      // checkpoint log never confuses a refeed with an already-consumed
+      // chunk
+      val ts = java.time.LocalDateTime.now()
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
+      val uuid8 = java.util.UUID.randomUUID().toString.split("-")(0)
+      val name = f"${namePrefix}_${ts}_${uuid8}_part$part%05d.csv"
       val body = (header +: buf).mkString("", "\n", "\n")
       // write-then-rename so the file-stream source never lists a
       // half-written file

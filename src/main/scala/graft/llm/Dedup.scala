@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus deduplication operators over the `documents` table — the core
@@ -9,7 +10,8 @@ import org.apache.spark.sql.functions._
   * bucketed-first (never all-pairs) so they survive a 100 TB corpus:
   *
   *   - exact:      hash-groupBy on md5(text)            (one shuffle)
-  *   - n-gram set: exact Jaccard via inverted-index join (shuffle on shingle)
+  *   - n-gram set: exact Jaccard via PREFIX-FILTERED inverted-index join
+  *                 (posting lists bounded — stop-shingles never join)
   *   - MinHash:    LSH banding → bucket join → exact verify of candidates
   *   - SimHash:    64-bit signature → banded Hamming join (pigeonhole-exact)
   *
@@ -40,18 +42,6 @@ object Dedup {
       |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
       |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
 
-  /** Exploded distinct (doc_id, shingle) relation — the inverted-index
-    * input shared by the exact-Jaccard and MinHash paths. Tokens are
-    * bound in their own projection first (see [[shinglesFromTokens]]). */
-  def shingleSets(spark: SparkSession, dir: String): DataFrame =
-    Tables.fanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"))).as("shingle"))
-      .distinct()
-      .persist() // read by both sides of the inverted-index self-join +
-                 // the size aggregate; tiny relative to the tokenization
-                 // it saves (CacheManager dedupes by plan)
-
   /** Exact dedup (hash-groupBy): md5 over the raw text; keeper = min id.
     * At scale: one shuffle on the 128-bit hash — never on the text
     * itself — and the groups are tiny, so no skew concern. */
@@ -66,30 +56,64 @@ object Dedup {
       |  CAST(count(*) AS BIGINT) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
-  /** Exact n-gram-set Jaccard similarity join via inverted index
-    * (Vernica et al., SIGMOD 2010 shape): explode shingles, self-join on
-    * the shingle (co-partitioned shuffle — quadratic only within one
-    * shingle's posting list, never across the corpus), count
-    * intersections, compute |A∩B| / (|A|+|B|−|A∩B|).
+  /** Prefix relation for the prefix-filtered Jaccard join: each doc's
+    * first `n − ceil(t·n) + 1` distinct shingles under the global
+    * (document-frequency ASC, shingle ASC) total order.
     *
-    * Scale levers (beyond this oracle-checked form): drop shingles whose
-    * document frequency exceeds a cap before the self-join (stop-shingle
-    * pruning) and prefix filtering — both shrink posting lists without
-    * changing the ≥-threshold result when the cap is chosen from the
-    * threshold. */
+    * Losslessness (prefix-filtering principle — Chaudhuri et al. ICDE
+    * 2006, Bayardo et al. WWW 2007): if J(A,B) ≥ t then
+    * |A∩B| ≥ t·|A∪B| ≥ t·|A|, so the overlap O ≥ ceil(t·|A|); the
+    * globally-smallest common shingle has at least O−1 common shingles
+    * above it in A, hence sits within A's first |A|−O+1 ≤
+    * |A|−ceil(t·|A|)+1 positions — and symmetrically for B. So every
+    * qualifying pair shares a shingle inside BOTH prefixes and the
+    * candidate join over prefixes misses nothing.
+    *
+    * This is also the stop-shingle fix: high-DF shingles sort LAST, so a
+    * corpus-wide hot shingle falls outside every nontrivial prefix and
+    * its quadratic posting list never enters the self-join (the
+    * scale-killer in the naive inverted-index form). */
+  private[graft] def prefixPostings(sets: DataFrame, threshold: Double): DataFrame = {
+    val sh = sets.select(col("doc_id"), size(col("shset")).as("n"),
+      explode(col("shset")).as("shingle"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("docfreq"))
+    // the 1e-9 slack keeps fp error in t·n from ever SHORTENING the
+    // prefix (a longer prefix is merely extra work; a shorter one is
+    // lossy — e.g. 0.6*5 evaluates to 3.0000000000000004)
+    sh.join(dfreq, Seq("shingle"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("docfreq"), col("shingle"))))
+      .filter(col("rk") <=
+        col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("shingle"))
+  }
+
+  /** Exact n-gram-set Jaccard similarity join, prefix-filtered: generate
+    * candidate pairs from the PREFIX inverted index only (posting lists
+    * bounded — see [[prefixPostings]]), then verify each candidate
+    * exactly against the full per-doc shingle arrays with
+    * array_intersect. Same results as the naive inverted-index join
+    * (LlmOpsSpec pins equality; the DuckDB oracle computes the naive
+    * form), but the one quadratic-on-skew shuffle key is gone: a 100 TB
+    * corpus with a stop-shingle no longer melts one reducer. */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.6): DataFrame = {
-    val sh = shingleSets(spark, dir)
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("ida"), col("shingle"))
-    val b = sh.select(col("doc_id").as("idb"), col("shingle"))
-    val inter = a.join(b, Seq("shingle")).filter(col("ida") < col("idb"))
-      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("i"))
-    inter
-      .join(sz.select(col("doc_id").as("ida"), col("n").as("na")), Seq("ida"))
-      .join(sz.select(col("doc_id").as("idb"), col("n").as("nb")), Seq("idb"))
-      .withColumn("jaccard",
-        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      threshold: Double = 0.6): DataFrame =
+    ngramJaccardFromSets(shingleArrays(spark, dir), threshold)
+
+  /** The prefix-filtered join over an explicit (doc_id, shset) relation —
+    * the testable core of [[ngramJaccardPairs]]. */
+  def ngramJaccardFromSets(sets: DataFrame, threshold: Double): DataFrame = {
+    val pre = prefixPostings(sets, threshold)
+    val cand = pre.select(col("doc_id").as("ida"), col("shingle"))
+      .join(pre.select(col("doc_id").as("idb"), col("shingle")), Seq("shingle"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb")).distinct()
+    cand
+      .join(sets.select(col("doc_id").as("ida"), col("shset").as("sa")), Seq("ida"))
+      .join(sets.select(col("doc_id").as("idb"), col("shset").as("sb")), Seq("idb"))
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard", col("i").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("ida"), col("idb"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -146,12 +170,14 @@ object Dedup {
     * candidate verification joins against this instead of re-running the
     * inverted-index self-join. */
   def shingleArrays(spark: SparkSession, dir: String): DataFrame =
-    Tables.fanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        array_sort(array_distinct(shinglesFromTokens(col("toks")))).as("shset"))
-      .persist() // consumed 3× by dedupMinhash (signature explode + both
-                 // verify joins)
+    graft.Caches.memo(s"shingleArrays:$dir") {
+      // consumed 3× by dedupMinhash (signature explode + both verify
+      // joins) and by the prefix-filtered exact join
+      Tables.fanOut(Tables.documents(spark, dir))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          array_sort(array_distinct(shinglesFromTokens(col("toks")))).as("shset"))
+    }
 
   /** MinHash-LSH near-dedup: LSH candidates, then exact Jaccard verify by
     * joining each candidate pair to the two per-doc shingle arrays and
@@ -180,23 +206,24 @@ object Dedup {
     * 64 bits; bit j of the signature is the sign of Σ_tokens (±1 per bit).
     * Expressed as 64 conditional-sum aggregates + a bit-assembly fold —
     * all codegen'd, one shuffle on doc_id. */
-  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.fanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-      .distinct()
-      .withColumn("h", xxhash64(col("token")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b_$j")
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s"simhashSignatures:$dir") {
+      // both sides of the banded self-join read it; without the cache
+      // the 64-aggregate signature pass runs twice
+      val tok = Tables.fanOut(Tables.documents(spark, dir))
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .distinct()
+        .withColumn("h", xxhash64(col("token")))
+      val bitSums = (0 until 64).map { j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+          .as(s"b_$j")
+      }
+      val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      val sig = (0 until 64).map { j =>
+        when(col(s"b_$j") >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+      agg.select(col("doc_id"), sig.as("simhash"))
     }
-    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { j =>
-      when(col(s"b_$j") >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    agg.select(col("doc_id"), sig.as("simhash"))
-      .persist() // both sides of the banded self-join read it; without
-                 // this the 64-aggregate signature pass runs twice
-  }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, via banded
     * joins: split the 64-bit signature into (maxDist+1) bands — by

@@ -110,10 +110,13 @@ object Vectors {
       k: Int = 5, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val emb = withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
-      "embedding", "nrm")
-      .withColumn("v", array_to_vector(col("embedding")))
-      .persist()
+    val emb = graft.Caches.memo(s"ivfEmb:$dir") {
+      // served to the iterative KMeans fit AND the probe scan; released
+      // via Caches.release()
+      withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
+        "embedding", "nrm")
+        .withColumn("v", array_to_vector(col("embedding")))
+    }
     // random init + a coalesced fit input keep the iterative fit to a
     // handful of jobs — kmeans|| costs ~3× the barrier rounds, and on a
     // shared host every extra tiny barrier job amplifies scheduling
@@ -121,20 +124,26 @@ object Vectors {
     val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
       .setInitMode("random")
       .setFeaturesCol("v").setPredictionCol("cell")
-    val assigned = km.fit(emb.select(col("v")).coalesce(4)).transform(emb)
+    val model = km.fit(emb.select(col("v")).coalesce(4))
+    val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("nrm").as("qnrm"), col("cell").as("qcell"))
-    // probe selection: rank cells by cosine between the query and the
-    // cell's mean vector (a broadcast-sized dim), keep the top nProbe
-    val cellMeans = assigned.groupBy(col("cell").as("pcell"))
-      .agg(array((0 until 64).map(i =>
-        avg(element_at(col("embedding"), i + 1))): _*).as("centroid"))
+    // probe selection: rank cells by NORMALIZED cosine between the query
+    // and the cell centroid. Centroids come straight from the fitted
+    // model (driver-side, broadcast as literals) — no second aggregation
+    // over the corpus — and the dimension is whatever the data carries.
+    import spark.implicits._
+    val cellMeans = broadcast(model.clusterCenters.toSeq.zipWithIndex.map {
+      case (c, i) =>
+        val arr = c.toArray
+        (i, arr, math.max(math.sqrt(arr.map(x => x * x).sum), 1e-12))
+    }.toDF("pcell", "centroid", "cnrm"))
     val centDot = aggregate(zip_with(col("qvec"), col("centroid"),
       (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
-    val probes = q.join(broadcast(cellMeans), lit(true))
-      .withColumn("csim", centDot)
+    val probes = q.join(cellMeans, lit(true))
+      .withColumn("csim", centDot / (col("qnrm") * col("cnrm")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("pcell"))))
       .filter(col("rk") <= nProbe)

@@ -126,29 +126,29 @@ object Patterns {
     * table is scanned once, not four times. All rollup arithmetic is
     * exact (integer counts + DECIMAL sums), so results are bit-identical
     * to the direct aggregations. */
-  def finestAgg(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val o  = Tables.orders(spark, dir)
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .groupBy(
-        o("o_custkey").as("customer"),
-        li("l_suppkey").as("merchant"),
-        li("l_returnflag").as("category"))
-      .agg(
-        count(lit(1)).as("cnt"),
-        sum(li("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-          .as("amt_sum"),
-        sum(li("l_discount").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-          .as("disc_sum"))
-      .withColumn("gender",
-        when(col("customer") % 2 === 0, lit("M")).otherwise(lit("F")))
-      .persist() // materialized ONCE per session+sfDir (CacheManager
-                 // dedupes identical plans); every rollup, the importance
-                 // weights, and the percentile thresholds read it instead
-                 // of re-running the fact join+agg — without this, Spark
-                 // recomputes the 586k-group aggregation per consumer
-                 // (no cross-plan exchange reuse), measured 10× slower
-  }
+  def finestAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s"finestAgg:$dir") {
+      // persisted ONCE per sfDir (via Caches.memo); every rollup, the
+      // importance weights, and the percentile thresholds read it
+      // instead of re-running the fact join+agg — without the cache,
+      // Spark recomputes the 586k-group aggregation per consumer (no
+      // cross-plan exchange reuse), measured 10× slower
+      val li = Tables.lineitem(spark, dir)
+      val o  = Tables.orders(spark, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(
+          o("o_custkey").as("customer"),
+          li("l_suppkey").as("merchant"),
+          li("l_returnflag").as("category"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(li("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .as("amt_sum"),
+          sum(li("l_discount").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .as("disc_sum"))
+        .withColumn("gender",
+          when(col("customer") % 2 === 0, lit("M")).otherwise(lit("F")))
+    }
 
   def merchantSummary(spark: SparkSession, dir: String): DataFrame =
     finestAgg(spark, dir).groupBy(col("merchant").as("merchant_id"))

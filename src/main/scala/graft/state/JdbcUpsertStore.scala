@@ -77,30 +77,28 @@ class JdbcUpsertStore(url: String, driverClass: String =
     }
   }
 
-  /** Idempotence fence: record (table, epoch); false if already applied. */
+  /** Idempotence fence: record (table, epoch) via the dialect's
+    * conditional insert; false if already applied. Runs on the SAME
+    * connection/transaction as the merge — see [[upsert]]. */
   private def fence(c: Connection, table: String, epoch: Option[Long]): Boolean =
     epoch match {
       case None => true
       case Some(e) =>
-        try { exec(c, s"INSERT INTO applied_epochs VALUES ('$table', $e)"); true }
-        catch { case _: java.sql.SQLIntegrityConstraintViolationException => false }
+        val st = c.createStatement()
+        try st.executeUpdate(dialect.fenceSql(table, e)) == 1
+        finally st.close()
     }
 
-  private def mergeSql(target: String, temp: String, keys: Seq[String],
-      adds: Seq[String]): String = {
-    // Spark's JDBC writer creates the temp table with QUOTED (lowercase)
-    // identifiers; unquoted refs would resolve against Derby's uppercase
-    // canon and miss — so every s.<col> is quoted.
-    def q(c: String) = "\"" + c + "\""
-    val on = keys.map(k => s"t.$k = s.${q(k)}").mkString(" AND ")
-    val sets = (adds.map(a => s"t.$a = t.$a + s.${q(a)}") :+
-      s"t.last_updated = s.${q("last_updated")}").mkString(", ")
-    val cols = (keys ++ adds :+ "last_updated").mkString(", ")
-    val vals = (keys ++ adds :+ "last_updated").map(x => s"s.${q(x)}").mkString(", ")
-    s"""MERGE INTO $target t USING $temp s ON ($on)
-       |WHEN MATCHED THEN UPDATE SET $sets
-       |WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)""".stripMargin
-  }
+  /** The merge statement this store will execute — dialect-selected from
+    * the URL (Derby/ANSI → MERGE INTO; jdbc:postgresql: → the reference's
+    * INSERT … ON CONFLICT DO UPDATE). Exposed for golden-string tests
+    * since Postgres itself isn't available in CI. */
+  private[graft] def upsertSql(target: String, temp: String,
+      keys: Seq[String], adds: Seq[String]): String =
+    dialect.mergeSql(target, temp, keys, adds)
+
+  private[graft] def fenceStatement(table: String, epoch: Long): String =
+    dialect.fenceSql(table, epoch)
 
   private def upsert(delta: DataFrame, target: String, temp: String,
       keys: Seq[String], adds: Seq[String], epoch: Option[Long]): Unit = {
@@ -113,9 +111,21 @@ class JdbcUpsertStore(url: String, driverClass: String =
       .option("createTableColumnTypes",
         keys.map(k => s"$k VARCHAR(255)").mkString(", "))
       .jdbc(url, temp, props)
-    // K3: one set-based additive merge on the driver connection.
+    // K3: fence + one set-based additive merge, committed ATOMICALLY.
+    // Two autocommitted statements would lose the delta forever if the
+    // process died between them (epoch fenced out, merge never applied);
+    // one transaction makes a crash replayable.
     withConn { c =>
-      if (fence(c, target, epoch)) exec(c, mergeSql(target, temp, keys, adds))
+      c.setAutoCommit(false)
+      try {
+        if (fence(c, target, epoch))
+          exec(c, dialect.mergeSql(target, temp, keys, adds))
+        c.commit()
+      } catch {
+        case e: Throwable =>
+          try c.rollback() catch { case _: java.sql.SQLException => () }
+          throw e
+      }
     }
   }
 
@@ -144,14 +154,31 @@ class JdbcUpsertStore(url: String, driverClass: String =
 
   /** Pruned state read — the key predicate is pushed into the JDBC scan
     * (shows up as a WHERE on the remote side), so per-batch state IO is
-    * O(batch keys), not O(state). */
-  override def merchantSummaryFor(spark: SparkSession,
-      merchantIds: Seq[String]): DataFrame = {
-    val in = merchantIds.map(id => s"'${id.replace("'", "''")}'").mkString(",")
-    val pred = if (in.isEmpty) "1=0" else s"merchant_id IN ($in)"
-    spark.read.jdbc(url, "merchant_summary", Array(pred), props)
-      .drop("last_updated")
+    * O(batch keys), not O(state). Long IN-lists are split into ~1000-key
+    * groups, one scan partition each, so a 10k-key batch neither builds
+    * a megabyte statement nor serializes through one connection. */
+  private def prunedRead(spark: SparkSession, table: String,
+      keyCol: String, ids: Seq[String]): DataFrame = {
+    val preds: Array[String] =
+      if (ids.isEmpty) Array("1=0")
+      else ids.distinct.grouped(1000).map { g =>
+        val in = g.map(id => s"'${id.replace("'", "''")}'").mkString(",")
+        s"$keyCol IN ($in)"
+      }.toArray
+    spark.read.jdbc(url, table, preds, props).drop("last_updated")
   }
+
+  override def merchantSummaryFor(spark: SparkSession,
+      merchantIds: Seq[String]): DataFrame =
+    prunedRead(spark, "merchant_summary", "merchant_id", merchantIds)
+
+  override def custMerchantSummaryFor(spark: SparkSession,
+      merchantIds: Seq[String]): DataFrame =
+    prunedRead(spark, "customer_merchant_summary", "merchant_id", merchantIds)
+
+  override def genderSummaryFor(spark: SparkSession,
+      merchantIds: Seq[String]): DataFrame =
+    prunedRead(spark, "merchant_gender_summary", "merchant_id", merchantIds)
 
   override def close(): Unit =
     try DriverManager.getConnection(s"$url;shutdown=true").close()

@@ -48,5 +48,17 @@ trait StateStore {
     merchantSummary(spark).filter(
       org.apache.spark.sql.functions.col("merchant_id").isin(merchantIds: _*))
 
+  /** Keyed/pruned read of customer_merchant_summary by merchant id —
+    * PatId1/2 in scale mode only need state for merchants the batch
+    * touched. */
+  def custMerchantSummaryFor(spark: SparkSession, merchantIds: Seq[String]): DataFrame =
+    custMerchantSummary(spark).filter(
+      org.apache.spark.sql.functions.col("merchant_id").isin(merchantIds: _*))
+
+  /** Keyed/pruned read of merchant_gender_summary by merchant id. */
+  def genderSummaryFor(spark: SparkSession, merchantIds: Seq[String]): DataFrame =
+    genderSummary(spark).filter(
+      org.apache.spark.sql.functions.col("merchant_id").isin(merchantIds: _*))
+
   def close(): Unit = ()
 }

@@ -20,6 +20,15 @@ sealed trait UpsertDialect {
     * insert. */
   def mergeSql(target: String, temp: String, keys: Seq[String],
       adds: Seq[String]): String
+
+  /** Idempotence-fence insert for (table, epoch): update count is 1 if
+    * the epoch was newly recorded, 0 if already applied. Expressed as a
+    * conditional insert (not insert-then-catch) so it can run inside the
+    * same transaction as the merge without aborting it — PostgreSQL
+    * aborts the whole transaction on any statement error, so the
+    * exception-based fence would poison the merge. */
+  def fenceSql(table: String, epoch: Long): String
+
   protected final def q(c: String): String = "\"" + c + "\""
 }
 
@@ -38,6 +47,14 @@ object UpsertDialect {
          |WHEN MATCHED THEN UPDATE SET $sets
          |WHEN NOT MATCHED THEN INSERT ($cols) VALUES ($vals)""".stripMargin
     }
+
+    override def fenceSql(table: String, epoch: Long): String =
+      // Derby has no ON CONFLICT; NOT EXISTS over the one-row dummy table
+      // gives the same "insert if absent, count tells" contract.
+      s"""INSERT INTO applied_epochs (table_name, epoch_id)
+         |SELECT '$table', $epoch FROM SYSIBM.SYSDUMMY1
+         |WHERE NOT EXISTS (SELECT 1 FROM applied_epochs
+         |  WHERE table_name = '$table' AND epoch_id = $epoch)""".stripMargin
   }
 
   /** PostgreSQL `INSERT … ON CONFLICT DO UPDATE` — the reference's
@@ -49,12 +66,21 @@ object UpsertDialect {
       val cols = (keys ++ adds :+ "last_updated").mkString(", ")
       val sel = (keys ++ adds :+ "last_updated").map(q).mkString(", ")
       val conflict = keys.mkString(", ")
-      val sets = (adds.map(a => s"$a = $target.$a + EXCLUDED.$a") :+
+      // COALESCE on both sides per the reference's statement
+      // ("Mechanism Y.py":178) — harmless under the NOT NULL DDL, kept
+      // for exact statement-shape parity.
+      val sets = (adds.map(a =>
+        s"$a = COALESCE($target.$a, 0) + COALESCE(EXCLUDED.$a, 0)") :+
         "last_updated = EXCLUDED.last_updated").mkString(", ")
       s"""INSERT INTO $target ($cols)
          |SELECT $sel FROM $temp
          |ON CONFLICT ($conflict) DO UPDATE SET $sets""".stripMargin
     }
+
+    override def fenceSql(table: String, epoch: Long): String =
+      s"""INSERT INTO applied_epochs (table_name, epoch_id)
+         |VALUES ('$table', $epoch)
+         |ON CONFLICT (table_name, epoch_id) DO NOTHING""".stripMargin
   }
 
   /** Dialect by JDBC URL: postgresql → ON CONFLICT, anything else →

@@ -26,8 +26,14 @@ import scala.jdk.CollectionConverters._
   * Kept reference semantics: PatId2/3 re-emit all qualifying state every
   * batch; detections are collected to the driver (bounded by state size,
   * a reference parity choice — SURVEY.md §2.11). Fixed vs the reference:
-  * state reads can be keyed ([[StateStore.merchantSummaryFor]]) and
-  * upserts can be epoch-fenced (idempotent = true).
+  * upserts can be epoch-fenced (idempotent = true), and `scaleMode`
+  * switches the three per-batch state reads from full-table to keyed
+  * ([[StateStore.merchantSummaryFor]] etc., pruned to the merchants the
+  * batch touched) — per-batch state IO becomes O(batch keys) instead of
+  * the reference's O(state) re-read (SURVEY.md §4). In scale mode the
+  * PatId2/3 re-emit is keyed to the batch's merchants too: for touched
+  * merchants the detections are identical to parity mode; untouched
+  * merchants simply aren't re-announced every batch.
   */
 class MicroBatchRunner(
     spark: SparkSession,
@@ -38,7 +44,8 @@ class MicroBatchRunner(
     clock: () => Patterns.Clock = () => MicroBatchRunner.wallClock(),
     detectionBatchSize: Int = 50,
     idempotent: Boolean = false,
-    fallbackWeight: Double = 2.0) {
+    fallbackWeight: Double = 2.0,
+    scaleMode: Boolean = false) {
 
   import MicroBatchRunner._
 
@@ -52,13 +59,25 @@ class MicroBatchRunner(
     .cache()
 
   private val buffer = ArrayBuffer[Row]()
-  private var flushSeq = 0
+  private var currentEpoch = -1L
+
+  /** S5 — the reference's state-read fallback ("Mechanism Y.py":214-218):
+    * a transient store failure yields an empty, correctly-schema'd frame
+    * (the reference's includes last_updated; ours reads drop it) so the
+    * batch completes with whatever state IS readable instead of killing
+    * the streaming query. */
+  private def stateOrEmpty(schema: StructType)(read: => DataFrame): DataFrame =
+    try read catch {
+      case scala.util.control.NonFatal(_) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
 
   /** The per-batch pipeline; public so batch-mode tests drive it without
     * a streaming query (SURVEY.md §7 step 3: process_batch as a pure-ish
     * function of (batch, state)). */
   def processBatch(batch: DataFrame, epochId: Long): Unit = {
     if (batch.isEmpty) return                         // empty-batch guard
+    currentEpoch = epochId
     batch.persist()
     try {
       val epoch = if (idempotent) Some(epochId) else None
@@ -107,12 +126,28 @@ class MicroBatchRunner(
         .select(col("customer"), col("merchant"))
         .distinct()
 
+      // State reads: scale mode prunes every read to the merchants this
+      // batch touched (a bounded driver-side key list — ≤ batch rows);
+      // parity mode keeps the reference's full re-read. Both survive a
+      // transient store failure via the S5 empty-frame fallback.
+      val (ms, cms, gs) =
+        if (scaleMode) {
+          val mids = batch.select(col("merchant")).distinct()
+            .collect().map(_.getString(0)).toSeq
+          (stateOrEmpty(merchantStateSchema)(store.merchantSummaryFor(spark, mids)),
+            stateOrEmpty(custMerchantStateSchema)(store.custMerchantSummaryFor(spark, mids)),
+            stateOrEmpty(genderStateSchema)(store.genderSummaryFor(spark, mids)))
+        } else {
+          (stateOrEmpty(merchantStateSchema)(store.merchantSummary(spark)),
+            stateOrEmpty(custMerchantStateSchema)(store.custMerchantSummary(spark)),
+            stateOrEmpty(genderStateSchema)(store.genderSummary(spark)))
+        }
+
       val tick = clock()
       val detections = Patterns.unionDetections(Seq(
-        Patterns.patId1(store.merchantSummary(spark),
-          store.custMerchantSummary(spark), lowWeight, cfg, tick),
-        Patterns.patId2(store.custMerchantSummary(spark), cfg, tick),
-        Patterns.patId3(store.genderSummary(spark), cfg, tick)))
+        Patterns.patId1(ms, cms, lowWeight, cfg, tick),
+        Patterns.patId2(cms, cfg, tick),
+        Patterns.patId3(gs, cfg, tick)))
 
       buffer ++= detections.collect()
       while (buffer.length >= detectionBatchSize) {
@@ -132,11 +167,16 @@ class MicroBatchRunner(
       flush(chunk)
     }
 
+  /** Restart-safe flush: dirs are named `detections_batch_<epoch>_<uuid8>`
+    * like the reference ("Mechanism Y.py":274) and written errorifexists —
+    * a restarted run can never clobber a prior run's detections (a
+    * sequence-numbered overwrite would restart at 0 and silently replace
+    * them). */
   private def flush(rows: Seq[Row]): Unit = {
     val df = spark.createDataFrame(rows.asJava, detectionSchema)
-    df.coalesce(1).write.mode("overwrite").option("header", "true")
-      .csv(s"$outDir/detections_batch_$flushSeq")
-    flushSeq += 1
+    val uuid8 = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    df.coalesce(1).write.option("header", "true")
+      .csv(s"$outDir/detections_batch_${currentEpoch}_$uuid8")
   }
 
   /** S3 + K5: file-stream source (1 file per trigger ⇒ ≤ chunk-size rows
@@ -162,16 +202,39 @@ class MicroBatchRunner(
 
 object MicroBatchRunner {
 
-  /** Streaming transaction schema (the reference's explicit
-    * transaction_schema, "Mechanism Y.py":35-41, trimmed to the columns
-    * the pipeline consumes). */
+  /** Streaming transaction schema — the reference's full 10-column
+    * transaction_schema in its column order ("Mechanism Y.py":35-41), so
+    * the engine reads the reference's chunk CSVs unmodified. Only
+    * divergence: amount is DoubleType where the reference declares
+    * FloatType — a widening that parses the same CSVs and keeps the sums
+    * exact. */
   val txStreamSchema: StructType = StructType(Seq(
     StructField("step", IntegerType),
     StructField("customer", StringType),
+    StructField("age", StringType),
+    StructField("gender", StringType),
+    StructField("zipcodeOri", StringType),
     StructField("merchant", StringType),
+    StructField("zipMerchant", StringType),
     StructField("category", StringType),
     StructField("amount", DoubleType),
-    StructField("gender", StringType)))
+    StructField("fraud", IntegerType)))
+
+  /** Schemas for the S5 empty-frame fallback (the reference's
+    * schema_merchant_summary etc., "Mechanism Y.py":47-58, minus the
+    * last_updated column our reads drop). */
+  val merchantStateSchema: StructType = StructType(Seq(
+    StructField("merchant_id", StringType),
+    StructField("total_transactions", LongType)))
+  val custMerchantStateSchema: StructType = StructType(Seq(
+    StructField("customer_id", StringType),
+    StructField("merchant_id", StringType),
+    StructField("transaction_count", LongType),
+    StructField("total_amount_sum", DecimalType(18, 2))))
+  val genderStateSchema: StructType = StructType(Seq(
+    StructField("merchant_id", StringType),
+    StructField("male_transaction_count", LongType),
+    StructField("female_transaction_count", LongType)))
 
   val detectionSchema: StructType = StructType(Seq(
     StructField("YStartTime", StringType),

@@ -11,6 +11,53 @@ import org.scalatest.funsuite.AnyFunSuite
 class LlmOpsSpec extends AnyFunSuite {
   import SparkTestSession.{sf, spark}
 
+  test("prefix-filtered jaccard join equals the naive inverted-index join") {
+    val sets = Dedup.shingleArrays(spark, sf)
+    val sh = sets.select(col("doc_id"), explode(col("shset")).as("shingle"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val naive = sh.select(col("doc_id").as("ida"), col("shingle"))
+      .join(sh.select(col("doc_id").as("idb"), col("shingle")), Seq("shingle"))
+      .filter(col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("ida"), col("n").as("na")), Seq("ida"))
+      .join(sz.select(col("doc_id").as("idb"), col("n").as("nb")), Seq("idb"))
+      .withColumn("j", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("j") >= 0.6)
+      .select(col("ida"), col("idb"), round(col("j"), 6).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Dedup.ngramJaccardPairs(spark, sf, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(naive.nonEmpty)
+    assert(got == naive) // prefix filtering is lossless at the threshold
+  }
+
+  test("a corpus-wide hot shingle never enters the prefix postings") {
+    import spark.implicits._
+    // 200 docs, each: 6 unique shingles + one shingle shared by ALL docs.
+    // The naive inverted index would put all 200 docs in one posting list
+    // (19,900 candidate pairs from a single hot key); the prefix filter
+    // must exclude the hot shingle entirely (highest docfreq ⇒ sorts
+    // last, outside every prefix).
+    val hot = "zzz hot shingle"
+    val docs = (0 until 200).map { i =>
+      (i.toLong, ((0 until 6).map(j => f"w$i%03d_$j") :+ hot).sorted.toArray)
+    }
+    val sets = docs.toDF("doc_id", "shset")
+    val pre = Dedup.prefixPostings(sets, 0.6)
+    assert(pre.filter(col("shingle") === hot).count() == 0)
+    // every remaining posting list is a single doc (unique shingles), so
+    // the candidate join is empty — quadratic blowup structurally gone
+    val maxPosting = pre.groupBy(col("shingle")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxPosting == 1L)
+    assert(Dedup.ngramJaccardFromSets(sets, 0.6).isEmpty)
+    // and a genuinely duplicated doc is still found through the prefix
+    val withDup = docs :+ (999L, docs.head._2)
+    val got = Dedup.ngramJaccardFromSets(withDup.toDF("doc_id", "shset"), 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((0L, 999L, 1.0)))
+  }
+
   test("minhash-LSH recalls every pair the exact ngram join finds at j>=0.9") {
     val exact = Dedup.ngramJaccardPairs(spark, sf, threshold = 0.9)
       .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -24,6 +24,7 @@ class PropertySpec extends AnyFunSuite {
     val nastyVal = Gen.oneOf(
       Gen.alphaNumStr.map(_.take(8)),
       Gen.const("a,b"), Gen.const("say \"hi\""), Gen.const("line1\nline2"),
+      Gen.const("cr\rmid"), Gen.const("crlf\r\nend"),
       Gen.const("trailing,"), Gen.const(",,\"\","))
     for (seed <- 1L to 8L) {
       val vals = sample(Gen.listOfN(30, nastyVal), seed)

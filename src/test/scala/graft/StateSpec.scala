@@ -84,6 +84,65 @@ class StateSpec extends AnyFunSuite {
       val got = store.merchantSummaryFor(spark, keys)
       assert(got.count() == keys.size)
       assert(got.select("merchant_id").collect().map(_.getString(0)).toSet == keys.toSet)
+      // the two other pruned reads: every returned row is for a requested
+      // merchant, and every requested merchant with state shows up
+      val gotCm = store.custMerchantSummaryFor(spark, keys)
+      assert(gotCm.select("merchant_id").distinct().collect()
+        .map(_.getString(0)).toSet == keys.toSet)
+      val gotG = store.genderSummaryFor(spark, keys)
+      assert(gotG.select("merchant_id").collect()
+        .map(_.getString(0)).toSet == keys.toSet)
+      // empty key list → empty frame, not a full scan
+      assert(store.merchantSummaryFor(spark, Nil).isEmpty)
+    } finally store.close()
+  }
+
+  test("dialect golden strings: postgresql URL → ON CONFLICT, Derby → MERGE INTO") {
+    // a jdbc:postgresql: store must emit the reference's upsert form —
+    // PG14 has no MERGE ("Mechanism Y.py":152-160); constructing the
+    // store does not connect, so the SQL shape is testable without PG
+    val pg = new JdbcUpsertStore("jdbc:postgresql://host/db")
+    val pgSql = pg.upsertSql("customer_merchant_summary", "temp_cms_updates",
+      Seq("customer_id", "merchant_id"), Seq("transaction_count", "total_amount_sum"))
+    assert(pgSql.contains("ON CONFLICT (customer_id, merchant_id) DO UPDATE"))
+    assert(pgSql.contains(
+      "total_amount_sum = COALESCE(customer_merchant_summary.total_amount_sum, 0) " +
+        "+ COALESCE(EXCLUDED.total_amount_sum, 0)"))
+    assert(!pgSql.contains("MERGE INTO"))
+    assert(pg.fenceStatement("merchant_summary", 7L)
+      .contains("ON CONFLICT (table_name, epoch_id) DO NOTHING"))
+
+    val derby = freshStore("dialect")
+    try {
+      val dSql = derby.upsertSql("merchant_summary", "temp_mts_updates",
+        Seq("merchant_id"), Seq("total_transactions"))
+      assert(dSql.contains("MERGE INTO merchant_summary"))
+      assert(dSql.contains("t.total_transactions = t.total_transactions + s.\"total_transactions\""))
+      assert(!dSql.contains("ON CONFLICT"))
+      assert(derby.fenceStatement("merchant_summary", 7L).contains("WHERE NOT EXISTS"))
+    } finally derby.close()
+  }
+
+  test("fence + merge are one transaction: a failed merge leaves the epoch replayable") {
+    val dir = s"target/derby-test-atomic-${System.nanoTime()}"
+    val store = JdbcUpsertStore.derby(dir)
+    def raw(sql: String): Unit = {
+      val c = java.sql.DriverManager.getConnection(s"jdbc:derby:$dir")
+      try { val st = c.createStatement(); try st.executeUpdate(sql) finally st.close() }
+      finally c.close()
+    }
+    try {
+      val (m, cm, g) = deltas(txWithBucket(3).filter(col("b") === 0))
+      // break the merge target AFTER init: the fence insert will succeed,
+      // then the merge throws — with two autocommitted statements the
+      // epoch would now be permanently fenced out and the delta lost
+      raw("RENAME TABLE merchant_summary TO merchant_summary_bak")
+      intercept[Exception] { store.applyDeltas(m, cm, g, Some(5L)) }
+      raw("RENAME TABLE merchant_summary_bak TO merchant_summary")
+      // replaying the SAME epoch must apply (fence was rolled back)
+      store.applyDeltas(m, cm, g, Some(5L))
+      val gotM = store.merchantSummary(spark)
+      assert(gotM.exceptAll(m).isEmpty && m.exceptAll(gotM).isEmpty)
     } finally store.close()
   }
 }

@@ -5,6 +5,7 @@ import graft.ingest.ChunkFeeder
 import graft.ops.Patterns
 import graft.state.JdbcUpsertStore
 import graft.streaming.MicroBatchRunner
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -16,14 +17,29 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession.{sf, spark}
 
+  /** Transactions in the reference's full 10-column CSV shape
+    * ("Mechanism Y.py":35-41): the testdata view supplies
+    * customer/merchant/category/amount/gender; age/zipcodes/fraud are
+    * constant filler like the BankSim dataset's mostly-constant columns. */
+  private def refTx(): DataFrame =
+    Tables.transactions(spark, sf).select(
+      lit(0).as("step"),
+      col("customer").cast("string").as("customer"),
+      lit("3").as("age"),
+      col("gender"),
+      lit("28007").as("zipcodeOri"),
+      col("merchant").cast("string").as("merchant"),
+      lit("28007").as("zipMerchant"),
+      col("category"),
+      col("amount").cast("double").as("amount"),
+      lit(0).as("fraud"))
+
   test("chunked stream end-to-end: state parity + detection file contract") {
     val base = Files.createTempDirectory("graft-stream").toString
     val inDir = s"$base/in"; val outDir = s"$base/out"; val cp = s"$base/cp"
     val store = JdbcUpsertStore.derby(s"$base/derby")
     try {
-      val tx = Tables.transactions(spark, sf)
-        .withColumn("step", lit(0))
-        .select("step", "customer", "merchant", "category", "amount", "gender")
+      val tx = refTx()
       val nChunks = ChunkFeeder.feed(tx, inDir, chunkSize = 2000)
       assert(nChunks == math.ceil(tx.count() / 2000.0).toInt)
 
@@ -43,6 +59,8 @@ class StreamingSpec extends AnyFunSuite {
       // detection files: header + 6 string columns, 50 rows per full file
       val dirs = new java.io.File(outDir).listFiles().filter(_.isDirectory)
       assert(dirs.nonEmpty)
+      // restart-safe naming: detections_batch_<epoch>_<uuid8>
+      assert(dirs.forall(_.getName.matches("detections_batch_\\d+_[0-9a-f]{8}")))
       val all = spark.read.option("header", "true").csv(dirs.map(_.toString): _*)
       assert(all.columns.toSeq == MicroBatchRunner.detectionSchema.fieldNames.toSeq)
       val sizes = dirs.map(d => spark.read.option("header", "true")
@@ -53,34 +71,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally store.close()
   }
 
-  test("checkpoint restart resumes without reprocessing consumed files") {
+  test("checkpoint restart (new runner) resumes without reprocessing or clobbering") {
     val base = Files.createTempDirectory("graft-restart").toString
     val inDir = s"$base/in"; val outDir = s"$base/out"; val cp = s"$base/cp"
     val store = JdbcUpsertStore.derby(s"$base/derby")
     try {
-      val tx = Tables.transactions(spark, sf)
-        .withColumn("step", lit(0))
-        .select("step", "customer", "merchant", "category", "amount", "gender")
-        .cache()
+      val tx = refTx().cache()
       val half = tx.limit((tx.count() / 2).toInt)
       ChunkFeeder.feed(half, inDir, chunkSize = 1000)
-      val runner = new MicroBatchRunner(spark, store, Tables.importance(spark, sf),
+      val runner1 = new MicroBatchRunner(spark, store, Tables.importance(spark, sf),
         outDir, clock = () => Patterns.FixedClock)
-      val q1 = runner.start(inDir, cp, triggerInterval = "1 second")
+      val q1 = runner1.start(inDir, cp, triggerInterval = "1 second")
       q1.processAllAvailable(); q1.stop()
+      runner1.flushRemainder()
       val afterFirst = store.merchantSummary(spark)
         .agg(sum(col("total_transactions"))).collect()(0).getLong(0)
       assert(afterFirst == half.count())
+      val preDirs = new java.io.File(outDir).listFiles().filter(_.isDirectory)
+        .map(d => d.getName ->
+          spark.read.option("header", "true").csv(d.toString).count()).toMap
+      assert(preDirs.nonEmpty) // the first run flushed detections
 
-      // second feed under new names; the restarted query must process
-      // exactly these files — the first run's files are in the
-      // checkpoint's seen-file log and must not be replayed
-      ChunkFeeder.feed(tx, inDir, chunkSize = 1000, namePrefix = "refeed_chunk")
-      val q2 = runner.start(inDir, cp, triggerInterval = "1 second")
+      // second feed into the SAME directory — the ts+uuid8 chunk names
+      // are unique, so no custom prefix is needed for the checkpoint's
+      // seen-file log to treat these as new files. A brand-new runner
+      // simulates a process restart (fresh flush state).
+      ChunkFeeder.feed(tx, inDir, chunkSize = 1000)
+      val runner2 = new MicroBatchRunner(spark, store, Tables.importance(spark, sf),
+        outDir, clock = () => Patterns.FixedClock)
+      val q2 = runner2.start(inDir, cp, triggerInterval = "1 second")
       q2.processAllAvailable(); q2.stop()
+      runner2.flushRemainder()
       val afterSecond = store.merchantSummary(spark)
         .agg(sum(col("total_transactions"))).collect()(0).getLong(0)
       assert(afterSecond == afterFirst + tx.count())
+
+      // pre-restart detection files survive the restarted run untouched
+      val postDirs = new java.io.File(outDir).listFiles().filter(_.isDirectory)
+        .map(d => d.getName ->
+          spark.read.option("header", "true").csv(d.toString).count()).toMap
+      for ((name, n) <- preDirs)
+        assert(postDirs.get(name).contains(n), s"pre-restart $name clobbered")
+      assert(postDirs.size > preDirs.size) // and the restarted run added its own
     } finally store.close()
   }
 
@@ -96,5 +128,52 @@ class StreamingSpec extends AnyFunSuite {
       runner.processBatch(empty, 0L)
       assert(store.merchantSummary(spark).isEmpty)
     } finally store.close()
+  }
+
+  test("S5: a state-read failure falls back to empty frames; the batch survives") {
+    val base = Files.createTempDirectory("graft-s5").toString
+    val store = JdbcUpsertStore.derby(s"$base/derby")
+    // reads fail (simulating a transient DB blip at read time); writes work
+    val blipped = new graft.state.StateStore {
+      override def applyDeltas(m: DataFrame, cm: DataFrame, g: DataFrame,
+          epochId: Option[Long]): Unit = store.applyDeltas(m, cm, g, epochId)
+      override def merchantSummary(s: SparkSession): DataFrame =
+        throw new RuntimeException("db down")
+      override def custMerchantSummary(s: SparkSession): DataFrame =
+        throw new RuntimeException("db down")
+      override def genderSummary(s: SparkSession): DataFrame =
+        throw new RuntimeException("db down")
+    }
+    try {
+      val runner = new MicroBatchRunner(spark, blipped, Tables.importance(spark, sf),
+        s"$base/out", clock = () => Patterns.FixedClock)
+      runner.processBatch(refTx().limit(500), 0L) // must not throw
+      // the batch's state writes still landed
+      assert(store.merchantSummary(spark).count() > 0)
+    } finally store.close()
+  }
+
+  test("scale mode: keyed state reads yield the same detections when the batch touches all merchants") {
+    val base = Files.createTempDirectory("graft-scale").toString
+    val batch = refTx().cache()
+    def run(scale: Boolean): Set[Seq[String]] = {
+      val tag = if (scale) "scale" else "parity"
+      val store = JdbcUpsertStore.derby(s"$base/derby-$tag")
+      try {
+        val outDir = s"$base/out-$tag"
+        val runner = new MicroBatchRunner(spark, store, Tables.importance(spark, sf),
+          outDir, clock = () => Patterns.FixedClock, scaleMode = scale)
+        runner.processBatch(batch, 0L)
+        runner.flushRemainder()
+        val dirs = new java.io.File(outDir).listFiles().filter(_.isDirectory)
+        if (dirs.isEmpty) Set.empty
+        else spark.read.option("header", "true").csv(dirs.map(_.toString): _*)
+          .collect().map(_.toSeq.map(v => Option(v).fold("")(_.toString))).toSet
+      } finally store.close()
+    }
+    val parity = run(scale = false)
+    val scaled = run(scale = true)
+    assert(parity.nonEmpty)
+    assert(scaled == parity)
   }
 }
