@@ -1,7 +1,7 @@
 package graft
 
-import graft.llm.{Dedup, Multimodal, TextOps, Vectors}
-import graft.ops.{Patterns, RelOps}
+import graft.llm.{Dedup, Multimodal, Sampling, TextOps, Vectors}
+import graft.ops.{Patterns, RelOps, TemporalOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -36,6 +36,13 @@ object SparkEntry {
     "q3_shipping"       -> (RelOps.q3Shipping(_, _)),
     // §2.7 extension: windows; §2.8 event-time windowed agg (batch shape)
     "window_topn"       -> (RelOps.windowTopN(_, _)),
+    "rollup_sales"      -> (RelOps.rollupSales(_, _)),
+    "anti_join"         -> (RelOps.antiJoinQuiet(_, _)),
+    "semi_join"         -> (RelOps.semiJoinBig(_, _)),
+    // temporal joins / segmentation (no reference or Spark built-in)
+    "asof_join"         -> (TemporalOps.asofViewBeforePurchase(_, _)),
+    "range_join"        -> (TemporalOps.rangeJoinClicks(_, _)),
+    "sessionize"        -> (TemporalOps.sessionize(_, _)),
     "topk_amounts"      -> (graft.functions.TopKAggregator.topAmounts(_, _)),
     "events_window"     -> (RelOps.eventsWindow(_, _)),
     "count_distinct_users" -> (RelOps.countDistinctUsers(_, _)),
@@ -62,6 +69,8 @@ object SparkEntry {
     "fingerprint"       -> (TextOps.fingerprints(_, _)),
     // LLM-pipeline: multimodal plumbing
     "media_features"    -> (Multimodal.mediaFeaturesQuery(_, _)),
+    // LLM-pipeline: reproducible sampling
+    "sample_hash"       -> (Sampling.sampleHash(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -78,6 +87,12 @@ object SparkEntry {
     "low_weight_pairs"  -> RelOps.lowWeightPairsSql,
     "q3_shipping"       -> RelOps.q3ShippingSql,
     "window_topn"       -> RelOps.windowTopNSql,
+    "rollup_sales"      -> RelOps.rollupSalesSql,
+    "anti_join"         -> RelOps.antiJoinQuietSql,
+    "semi_join"         -> RelOps.semiJoinBigSql,
+    "asof_join"         -> TemporalOps.asofViewBeforePurchaseSql,
+    "range_join"        -> TemporalOps.rangeJoinClicksSql,
+    "sessionize"        -> TemporalOps.sessionizeSql,
     "topk_amounts"      -> graft.functions.TopKAggregator.topAmountsSql,
     "events_window"     -> RelOps.eventsWindowSql,
     "count_distinct_users" -> RelOps.countDistinctUsersSql,
@@ -97,5 +112,6 @@ object SparkEntry {
     "token_count"       -> TextOps.tokenCountSql,
     "doc_chunks"        -> TextOps.docChunksSql(),
     "media_features"    -> Multimodal.mediaFeaturesSql,
+    "sample_hash"       -> Sampling.sampleHashSql,
   )
 }

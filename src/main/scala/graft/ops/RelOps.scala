@@ -332,4 +332,56 @@ object RelOps {
       |  CAST(count(*) AS BIGINT) AS n_events,
       |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Multi-level aggregation via ROLLUP: per (returnflag, linestatus),
+    * per returnflag, and grand total in one pass. Catalyst plans this as
+    * a single Expand + hash agg — one shuffle covers all three levels,
+    * versus three separate scans+shuffles for the naive union of
+    * groupings; quantities are integer-valued doubles so the sums are
+    * exact in both engines. */
+  def rollupSales(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  val rollupSalesSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Anti join: customers with no order above the threshold. Plans as a
+    * LeftAnti hash join with the filtered orders side reduced before the
+    * shuffle; at scale the filter runs in the scan and only surviving
+    * orderkeys move. */
+  def antiJoinQuiet(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 300000).select(col("o_custkey"))
+    val c = Tables.customer(spark, dir)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val antiJoinQuietSql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin
+
+  /** Semi join: customers with at least one order above the threshold —
+    * the complement of [[antiJoinQuiet]] (the spec asserts the two
+    * partition the customer table). LeftSemi stops probing a key after
+    * the first match; no row multiplication however many orders match. */
+  def semiJoinBig(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 300000).select(col("o_custkey"))
+    val c = Tables.customer(spark, dir)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+  }
+
+  val semiJoinBigSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin
 }

@@ -1,0 +1,177 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join/segmentation operators the reference engine lacks and
+  * Spark has no built-in operator for, each composed from existing
+  * Catalyst operators (the brief's preference (a)) so the optimizer keeps
+  * full visibility: as-of join, bounded range join, and gap-based
+  * sessionization. Every query here has a DuckDB oracle in
+  * [[graft.SparkEntry.oracleSql]].
+  *
+  * Scale notes up front, since these are the shapes that go quadratic
+  * when written naively:
+  *   - [[asofJoin]] is the union+window formulation: ONE shuffle on the
+  *     join keys, a sort within each partition, zero row multiplication.
+  *     The naive formulation (theta-join on `build.t <= probe.t` + keep
+  *     latest) explodes to O(|probe|·|build|) pairs per key before
+  *     pruning; this one never materializes a pair at all.
+  *   - [[rangeJoinClicks]] is an equi+band join: the equi key drives a
+  *     hash shuffle and the band predicate filters inside the sorted
+  *     partition — no BroadcastNestedLoopJoin. A keyless band join would
+  *     instead bucket time into band-width bins and equi-join on the bin
+  *     (each probe checks its own and adjacent bins), same technique as
+  *     [[graft.llm.Dedup]]'s banded joins.
+  *   - [[sessionize]] is two window passes over one shuffle on user_id
+  *     (lag → break flags → running sum), then a hash agg on
+  *     (user, session) that reuses the same partitioning.
+  */
+object TemporalOps {
+
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** As-of join (pandas `merge_asof` / Flink temporal-join semantics,
+    * backward direction): for every probe row, attach the single latest
+    * build row with the same `keys` and `build.timeCol <= probe.timeCol`.
+    *
+    * Formulation: union the two sides (probe columns ∪ build columns,
+    * nulls elsewhere), sort each key partition by (time, side, tiebreak)
+    * with build rows ordered BEFORE probe rows at equal time (`<=`
+    * semantics), and carry the latest build row forward with
+    * `last(struct(...), ignoreNulls)` over an unbounded-preceding row
+    * frame. The struct keeps all attached columns from the SAME build
+    * row (independent per-column `last` calls could mix rows when build
+    * columns contain nulls). `tiebreak` makes the choice among build
+    * rows with identical (key, time) deterministic: the greatest wins.
+    *
+    * Probe rows with no prior build row keep null attached columns
+    * (left-join semantics).
+    */
+  def asofJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      probeTime: String, buildTime: String, tiebreak: String,
+      attach: Seq[String]): DataFrame = {
+    val probeCols = probe.columns.toSeq
+    val b = build.select(
+      (keys.map(col) :+ col(buildTime).as("__t")) ++
+        attach.map(c => col(c).as(s"__b_$c")): _*)
+      .withColumn("__is_probe", lit(0))
+    val p = probe.withColumn("__t", col(probeTime)).withColumn("__is_probe", lit(1))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__is_probe").asc,
+        col(s"__b_$tiebreak").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lastBuild = last(
+      when(col("__is_probe") === 0, struct(attach.map(c => col(s"__b_$c").as(c)): _*)),
+      ignoreNulls = true).over(w)
+    p.unionByName(b, allowMissingColumns = true)
+      .withColumn("__last", lastBuild)
+      .filter(col("__is_probe") === 1)
+      .select(probeCols.map(col) ++
+        attach.map(c => col(s"__last.$c").as(s"asof_$c")): _*)
+  }
+
+  /** Registered query: each purchase event picks up the same user's
+    * latest view event at or before the purchase time. */
+  def asofViewBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    asofJoin(purchases, views, Seq("user_id"), "ts", "ts", "event_id",
+        Seq("event_id", "ts"))
+      .select(
+        col("purchase_id"), col("user_id"),
+        date_format(col("ts"), tsFmt).as("purchase_ts"),
+        col("asof_event_id").as("view_id"),
+        date_format(col("asof_ts"), tsFmt).as("view_ts"))
+  }
+
+  val asofViewBeforePurchaseSql: String =
+    """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+      |j AS (
+      |  SELECT p.purchase_id, p.user_id, p.ts AS pts, v.event_id AS vid, v.ts AS vts,
+      |    row_number() OVER (PARTITION BY p.purchase_id
+      |      ORDER BY v.ts DESC NULLS LAST, v.event_id DESC NULLS LAST) AS rn
+      |  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts)
+      |SELECT purchase_id, user_id,
+      |  strftime(pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  vid AS view_id,
+      |  strftime(vts, '%Y-%m-%d %H:%M:%S') AS view_ts
+      |FROM j WHERE rn = 1""".stripMargin
+
+  /** Bounded range join: clicks within ±5 minutes of each purchase by the
+    * same user, counted per purchase. Left join so click-less purchases
+    * report 0. */
+  def rangeJoinClicks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    p.join(c,
+        c("c_user") === p("p_user") &&
+        c("c_ts") >= p("p_ts") - expr("INTERVAL '5' MINUTE") &&
+        c("c_ts") <= p("p_ts") + expr("INTERVAL '5' MINUTE"),
+        "left_outer")
+      .groupBy(col("purchase_id"), col("p_user").as("user_id"))
+      .agg(count(col("c_id")).as("n_clicks"))
+  }
+
+  val rangeJoinClicksSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |  CAST(count(c.event_id) AS BIGINT) AS n_clicks
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+      |  ON c.user_id = p.user_id
+      |  AND c.ts >= p.ts - INTERVAL 5 MINUTE
+      |  AND c.ts <= p.ts + INTERVAL 5 MINUTE
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Gap-based sessionization (batch form of the streaming sessionizer in
+    * [[graft.streaming.EventStreams]]): a session breaks when a user is
+    * idle longer than `gap`. Comparisons run on exact epoch microseconds
+    * so both engines agree at the boundary. */
+  def sessionize(spark: SparkSession, dir: String, gapSeconds: Long = 1800): DataFrame = {
+    val perUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(perUser))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("brk")).over(perUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), tsFmt).as("session_start"),
+        date_format(max(col("ts")), tsFmt).as("session_end"),
+        RelOps.moneySum(col("value")).as("sum_value"))
+  }
+
+  val sessionizeSql: String =
+    """WITH l AS (
+      |  SELECT user_id, ts, value,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+      |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM l)
+      |SELECT user_id, session_seq,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+      |FROM g GROUP BY 1, 2""".stripMargin
+}

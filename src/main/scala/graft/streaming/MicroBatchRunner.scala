@@ -33,7 +33,11 @@ import scala.jdk.CollectionConverters._
   * the reference's O(state) re-read (SURVEY.md §4). In scale mode the
   * PatId2/3 re-emit is keyed to the batch's merchants too: for touched
   * merchants the detections are identical to parity mode; untouched
-  * merchants simply aren't re-announced every batch.
+  * merchants simply aren't re-announced every batch. Scale mode also
+  * replaces the driver-side detection buffer with a distributed sink
+  * ([[flushDistributed]]): detections write straight from executors, so
+  * neither state size nor detection volume ever funnels through the
+  * driver.
   */
 class MicroBatchRunner(
     spark: SparkSession,
@@ -149,13 +153,37 @@ class MicroBatchRunner(
         Patterns.patId2(cms, cfg, tick),
         Patterns.patId3(gs, cfg, tick)))
 
-      buffer ++= detections.collect()
-      while (buffer.length >= detectionBatchSize) {
-        val chunk = buffer.take(detectionBatchSize).toList
-        buffer.remove(0, detectionBatchSize)
-        flush(chunk)
+      if (scaleMode) flushDistributed(detections, epochId)
+      else {
+        buffer ++= detections.collect()
+        while (buffer.length >= detectionBatchSize) {
+          val chunk = buffer.take(detectionBatchSize).toList
+          buffer.remove(0, detectionBatchSize)
+          flush(chunk)
+        }
       }
     } finally batch.unpersist()
+  }
+
+  /** Scale-mode detection sink: executors write the epoch's detections
+    * directly — the rows never visit the driver (parity mode's
+    * `collect()` buffer is bounded by state size, which at 100 TB is
+    * exactly the thing that grows). One dir per epoch, restart-safe
+    * naming like [[flush]], partition count sized so files hold
+    * ~detectionBatchSize rows (the reference's 50-row contract becomes
+    * approximate: round-robin fills partitions evenly; exact 50-row
+    * chunking across batches is inherently a driver-serial operation). */
+  private def flushDistributed(detections: DataFrame, epochId: Long): Unit = {
+    detections.persist()
+    try {
+      val n = detections.count()
+      if (n > 0) {
+        val files = ((n + detectionBatchSize - 1) / detectionBatchSize).toInt
+        val uuid8 = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+        detections.repartition(files).write.option("header", "true")
+          .csv(s"$outDir/detections_batch_${epochId}_$uuid8")
+      }
+    } finally detections.unpersist()
   }
 
   /** Trailing flush of a final partial file ("Mechanism Y.py" leaves the

@@ -176,4 +176,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(parity.nonEmpty)
     assert(scaled == parity)
   }
+
+  test("scale mode: detections write distributed (no driver buffer), files sized to the batch contract") {
+    val base = Files.createTempDirectory("graft-scale-sink").toString
+    val store = JdbcUpsertStore.derby(s"$base/derby")
+    try {
+      val outDir = s"$base/out"
+      val runner = new MicroBatchRunner(spark, store, Tables.importance(spark, sf),
+        outDir, clock = () => Patterns.FixedClock, scaleMode = true)
+      runner.processBatch(refTx(), 7L)
+      val dirs = new java.io.File(outDir).listFiles().filter(_.isDirectory)
+      assert(dirs.length == 1 && dirs.head.getName.startsWith("detections_batch_7_"))
+      val parts = dirs.head.listFiles().filter(_.getName.endsWith(".csv"))
+      assert(parts.nonEmpty)
+      val counts = parts.map { f =>
+        spark.read.option("header", "true").csv(f.toString).count()
+      }
+      // round-robin repartition over ceil(n/50) files: each within a
+      // couple rows of the 50-row contract, none wildly over
+      assert(counts.forall(_ <= 52), s"part sizes: ${counts.toSeq}")
+      // and the remainder path has nothing buffered driver-side
+      runner.flushRemainder()
+      assert(new java.io.File(outDir).listFiles().count(_.isDirectory) == 1)
+    } finally store.close()
+  }
 }
