@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   * Mechanism Y streams them through the micro-batch detector with an
   * embedded-Derby state store and writes 50-row detection CSVs.
   *
-  *   sbt "runMain graft.PipelineDemo [sfDir] [chunkSize] [rate-ms]"
+  *   sbt "runMain graft.PipelineDemo [sfDir] [chunkSize] [rate-ms] [scale]"
+  *
+  * Fourth arg `scale` switches the runner to scale mode (keyed state
+  * reads + distributed detection sink) for an apples-to-apples
+  * throughput comparison with reference-parity mode.
   *
   * Prints per-batch progress, final state-table sizes, detection file
   * inventory, and end-to-end throughput.
@@ -24,6 +28,7 @@ object PipelineDemo {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val chunkSize = if (args.length > 1) args(1).toInt else 10000
     val rateMs = if (args.length > 2) args(2).toLong else 0L
+    val scaleMode = args.length > 3 && args(3) == "scale"
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -38,9 +43,19 @@ object PipelineDemo {
     println(s"[pipeline] working dir: $base")
     val store = JdbcUpsertStore.derbyMemory("pipeline-demo")
 
-    val tx = Tables.transactions(spark, sfDir)
-      .withColumn("step", lit(0))
-      .select("step", "customer", "merchant", "category", "amount", "gender")
+    // the reference's full 10-column CSV shape (txStreamSchema order);
+    // constant filler mirrors BankSim's mostly-constant columns
+    val tx = Tables.transactions(spark, sfDir).select(
+      lit(0).as("step"),
+      col("customer").cast("string").as("customer"),
+      lit("3").as("age"),
+      col("gender"),
+      lit("28007").as("zipcodeOri"),
+      col("merchant").cast("string").as("merchant"),
+      lit("28007").as("zipMerchant"),
+      col("category"),
+      col("amount").cast("double").as("amount"),
+      lit(0).as("fraud"))
     val nRows = tx.count()
 
     val t0 = System.nanoTime()
@@ -53,7 +68,9 @@ object PipelineDemo {
       .write.option("header", "true").csv(s"$base/importance_csv")
     val importanceDim = Tables.importanceFromCsv(spark, s"$base/importance_csv")
 
-    val runner = new MicroBatchRunner(spark, store, importanceDim, s"$base/out")
+    val runner = new MicroBatchRunner(spark, store, importanceDim, s"$base/out",
+      scaleMode = scaleMode)
+    println(s"[mechanism-y] mode: ${if (scaleMode) "scale" else "reference-parity"}")
     val q = runner.start(s"$base/in", s"$base/cp", triggerInterval = "1 second")
     q.processAllAvailable()
     q.stop()

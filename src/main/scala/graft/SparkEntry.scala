@@ -41,6 +41,7 @@ object SparkEntry {
     "semi_join"         -> (RelOps.semiJoinBig(_, _)),
     // temporal joins / segmentation (no reference or Spark built-in)
     "asof_join"         -> (TemporalOps.asofViewBeforePurchase(_, _)),
+    "asof_join_native"  -> (TemporalOps.asofViewBeforePurchaseNative(_, _)),
     "range_join"        -> (TemporalOps.rangeJoinClicks(_, _)),
     "sessionize"        -> (TemporalOps.sessionize(_, _)),
     "topk_amounts"      -> (graft.functions.TopKAggregator.topAmounts(_, _)),
@@ -91,6 +92,7 @@ object SparkEntry {
     "anti_join"         -> RelOps.antiJoinQuietSql,
     "semi_join"         -> RelOps.semiJoinBigSql,
     "asof_join"         -> TemporalOps.asofViewBeforePurchaseSql,
+    "asof_join_native"  -> TemporalOps.asofViewBeforePurchaseSql,
     "range_join"        -> TemporalOps.rangeJoinClicksSql,
     "sessionize"        -> TemporalOps.sessionizeSql,
     "topk_amounts"      -> graft.functions.TopKAggregator.topAmountsSql,

@@ -90,6 +90,26 @@ object TemporalOps {
         date_format(col("asof_ts"), tsFmt).as("view_ts"))
   }
 
+  /** The same query through the native operator
+    * ([[graft.plans.AsofJoinPlan]]): custom LogicalPlan → Strategy →
+    * sort-merge AsofJoinExec. Shares [[asofViewBeforePurchaseSql]] as its
+    * oracle, so the whole-operator extension is hash-checked against
+    * DuckDB like every composed query. */
+  def asofViewBeforePurchaseNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    graft.plans.AsofJoinPlan.asof(purchases, views, Seq("user_id"), "ts", "ts",
+        "event_id", Seq("event_id", "ts"))
+      .select(
+        col("purchase_id"), col("user_id"),
+        date_format(col("ts"), tsFmt).as("purchase_ts"),
+        col("asof_event_id").as("view_id"),
+        date_format(col("asof_ts"), tsFmt).as("view_ts"))
+  }
+
   val asofViewBeforePurchaseSql: String =
     """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
       |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
