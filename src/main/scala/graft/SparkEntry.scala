@@ -37,6 +37,7 @@ object SparkEntry {
     // §2.7 extension: windows; §2.8 event-time windowed agg (batch shape)
     "window_topn"       -> (RelOps.windowTopN(_, _)),
     "rollup_sales"      -> (RelOps.rollupSales(_, _)),
+    "json_props"        -> (RelOps.jsonProps(_, _)),
     "anti_join"         -> (RelOps.antiJoinQuiet(_, _)),
     "semi_join"         -> (RelOps.semiJoinBig(_, _)),
     // temporal joins / segmentation (no reference or Spark built-in)
@@ -67,11 +68,14 @@ object SparkEntry {
     "lang_id"           -> (TextOps.langId(_, _)),
     "token_count"       -> (TextOps.tokenCount(_, _)),
     "doc_chunks"        -> (TextOps.docChunks(_, _)),
+    "tfidf_topterms"    -> (TextOps.tfidfTopTerms(_, _)),
+    "pack_bins"         -> (TextOps.packBins(_, _)),
     "fingerprint"       -> (TextOps.fingerprints(_, _)),
     // LLM-pipeline: multimodal plumbing
     "media_features"    -> (Multimodal.mediaFeaturesQuery(_, _)),
     // LLM-pipeline: reproducible sampling
     "sample_hash"       -> (Sampling.sampleHash(_, _)),
+    "sample_stratified" -> (Sampling.sampleStratified(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -89,6 +93,7 @@ object SparkEntry {
     "q3_shipping"       -> RelOps.q3ShippingSql,
     "window_topn"       -> RelOps.windowTopNSql,
     "rollup_sales"      -> RelOps.rollupSalesSql,
+    "json_props"        -> RelOps.jsonPropsSql,
     "anti_join"         -> RelOps.antiJoinQuietSql,
     "semi_join"         -> RelOps.semiJoinBigSql,
     "asof_join"         -> TemporalOps.asofViewBeforePurchaseSql,
@@ -113,7 +118,10 @@ object SparkEntry {
     "lang_id"           -> TextOps.langIdSql,
     "token_count"       -> TextOps.tokenCountSql,
     "doc_chunks"        -> TextOps.docChunksSql(),
+    "tfidf_topterms"    -> TextOps.tfidfTopTermsSql(),
+    "pack_bins"         -> TextOps.packBinsSql(),
     "media_features"    -> Multimodal.mediaFeaturesSql,
     "sample_hash"       -> Sampling.sampleHashSql,
+    "sample_stratified" -> Sampling.sampleStratifiedSql,
   )
 }

@@ -37,4 +37,24 @@ object Sampling {
       |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
       |FROM documents
       |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')""".stripMargin
+
+  /** Stratified deterministic sampling: per-stratum rates over the same
+    * md5 bucket space — here the dominant language is downsampled to
+    * 1/16 while the rest keep 4/16, the language-rebalancing move every
+    * multilingual corpus build makes. Still a pure scan+filter; rates
+    * change by widening/narrowing a stratum's accepted nibble set
+    * without invalidating previously drawn rows. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val nib = substring(md5(col("doc_id").cast("string")), 1, 1)
+    Tables.documents(spark, dir)
+      .filter(
+        (col("lang") === "en" && nib === "0") ||
+        (col("lang") =!= "en" && nib.isin("0", "1", "2", "3")))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  val sampleStratifiedSql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0')
+      |   OR (lang <> 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3'))""".stripMargin
 }

@@ -168,6 +168,75 @@ object TextOps {
        |  CAST(least(len(toks) - s + 1, ${chunkTokens}) AS INT) AS n_tokens
        |FROM st""".stripMargin
 
+  /** Sequence packing: assign documents to fixed token-budget bins (the
+    * training-batch packing step) by prefix-sum over a deterministic
+    * order — bin = (tokens before me) div budget, the standard
+    * streaming-pack approximation of bin packing. Packing is per
+    * `source` shard: a corpus-global prefix sum would serialize into
+    * one partition, while per-shard packing keeps the window shuffle
+    * keyed and parallel (shards are independent training streams
+    * anyway). Integer division keeps both engines bit-identical. */
+  def packBins(spark: SparkSession, dir: String, binTokens: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div ${binTokens}L").as("bin_id"))
+  }
+
+  def packBinsSql(binTokens: Int = 512): String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |             CAST(len(${tokensSql}) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM t)
+       |SELECT doc_id, source, n_tokens,
+       |  CAST((cum - n_tokens) // $binTokens AS BIGINT) AS bin_id
+       |FROM c""".stripMargin
+
+  /** Per-document top-k terms by rarity-weighted frequency (the tf-idf
+    * shape with score = tf/df — an exact rational, so ranking and the
+    * rounded score are bit-identical across engines; ln-based idf would
+    * hinge on libm ulps). One explode pass: document frequency derives
+    * from the (doc, term) aggregate rather than a second scan.
+    *
+    * Scale: explode → one shuffle to (doc_id, term) counts; df is a
+    * term-level rollup of that aggregate (vocabulary ≪ corpus, so the
+    * join back is broadcast-able); the final top-k window shuffles on
+    * doc_id. No corpus-sized intermediate is ever materialized twice. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf").cast("double") / col("df"), 6).as("score"))
+  }
+
+  def tfidfTopTermsSql(k: Int = 5): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(${tokensSql}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |j AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |        row_number() OVER (PARTITION BY tf.doc_id
+       |          ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term) AS rn
+       |      FROM tf JOIN df ON tf.term = df.term)
+       |SELECT doc_id, term, tf, df, round(CAST(tf AS DOUBLE) / df, 6) AS score
+       |FROM j WHERE rn <= $k""".stripMargin
+
   /** Winnowed fingerprint summary per document (custom codegen'd Catalyst
     * expression — [[graft.functions.WinnowedFingerprint]]). Not
     * SQL-expressible in the oracle (engine-specific rolling hash);

@@ -333,6 +333,32 @@ object RelOps {
       |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Semi-structured extraction: parse the events table's JSON `props`
+    * column with a declared schema (`from_json` — typed, codegen-
+    * friendly, malformed rows become null instead of failing) and
+    * aggregate the extracted field. At scale this is the
+    * schema-on-read pattern: the JSON stays a string in storage and
+    * only the projected field is materialized per row. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", from_json(col("props"),
+        new StructType().add("k", LongType)).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        round(sum(col("k")).cast("double") / count(col("k")), 6).as("avg_k"))
+
+  val jsonPropsSql: String =
+    """SELECT event_type,
+      |  CAST(count(k) AS BIGINT) AS n_with_k,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY 1""".stripMargin
+
   /** Multi-level aggregation via ROLLUP: per (returnflag, linestatus),
     * per returnflag, and grand total in one pass. Catalyst plans this as
     * a single Expand + hash agg — one shuffle covers all three levels,

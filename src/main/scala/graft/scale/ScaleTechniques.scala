@@ -22,6 +22,16 @@ object ScaleTechniques {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Hive-style partitioned layout: one directory per value of
+    * `partitionCol`. A filter on the partition column then prunes whole
+    * directories at PLANNING time (`PartitionFilters` in the scan, zero
+    * IO for pruned partitions) — at 100 TB this is the difference
+    * between scanning a day and scanning a decade. Pair with a
+    * low-cardinality column (date, source, event_type); high-cardinality
+    * keys belong in bucketing instead (small-files explosion otherwise). */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
   /** Skew-safe two-phase aggregation: spread each group over `salts`
     * sub-groups (partial agg per (key, salt)), then combine. The hot key
     * that would pin one reducer is split across `salts` tasks; results

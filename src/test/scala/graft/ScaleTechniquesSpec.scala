@@ -39,6 +39,22 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(joined.count() == plain.count())
   }
 
+  test("partitioned layout prunes directories at planning time") {
+    val base = java.nio.file.Files.createTempDirectory("graft-part").toString
+    ScaleTechniques.writePartitioned(
+      Tables.events(spark, sf).select("event_id", "user_id", "event_type"),
+      s"$base/events_by_type", "event_type")
+    val pruned = spark.read.parquet(s"$base/events_by_type")
+      .filter(col("event_type") === "purchase")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("purchase"),
+      s"expected a partition filter in:\n$plan")
+    // the pruned read sees exactly the partition's rows
+    val want = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(pruned.count() == want)
+  }
+
   test("salted aggregation equals plain aggregation") {
     val got = ScaleTechniques.saltedCountSum(
         Tables.lineitem(spark, sf), col("l_suppkey"), col("l_quantity"))

@@ -103,6 +103,40 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert((anti | semi) == all)
   }
 
+  test("json_props parses with schema; malformed rows null out instead of failing") {
+    val got = RelOps.jsonProps(spark, sf)
+    val brute = Tables.events(spark, sf)
+      .select(col("event_type"), regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("ks"))
+      .filter(col("ks") =!= "")
+      .groupBy("event_type").agg(sum(col("ks").cast("long")).as("sum_k"))
+      .as[(String, Long)].collect().toMap
+    val gotMap = got.select("event_type", "sum_k").as[(String, Long)].collect().toMap
+    assert(gotMap == brute && gotMap.nonEmpty)
+    // malformed JSON yields null, not an exception
+    val bad = Seq(("a", "{not json"), ("b", "{\"k\": 3}")).toDF("event_type", "props")
+      .withColumn("k", from_json(col("props"),
+        new org.apache.spark.sql.types.StructType()
+          .add("k", org.apache.spark.sql.types.LongType)).getField("k"))
+    assert(bad.filter(col("k").isNull).count() == 1)
+  }
+
+  test("tfidf top terms: bounded per doc, score law, df consistency, ordered") {
+    val out = graft.llm.TextOps.tfidfTopTerms(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.values.forall(_.length <= 5))
+    // score is round(tf/df, 6) exactly (HALF_UP like Spark's round)
+    assert(out.forall { r =>
+      val expected = BigDecimal(r.getAs[Long]("tf").toDouble / r.getAs[Long]("df"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      r.getAs[Double]("score") == expected
+    })
+    // a term's df is a corpus-level constant
+    val dfs = out.groupBy(_.getAs[String]("term")).view
+      .mapValues(_.map(_.getAs[Long]("df")).toSet)
+    assert(dfs.values.forall(_.size == 1))
+  }
+
   test("hash sample is deterministic, a subset, and bucket-consistent") {
     val a = Sampling.sampleHash(spark, sf)
     val ids1 = a.select("doc_id").as[Long].collect().sorted.toSeq
@@ -111,5 +145,35 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(a.filter(!substring(col("bucket"), 1, 1).isin("0", "1")).isEmpty)
     val total = Tables.documents(spark, sf).count()
     assert(ids1.length < total)
+  }
+
+  test("pack_bins: bins respect the budget law and cover every doc once") {
+    val out = graft.llm.TextOps.packBins(spark, sf, binTokens = 512).collect()
+    assert(out.length == Tables.documents(spark, sf).count())
+    // within each source, bin_id is non-decreasing in doc order and equals
+    // prefix-tokens div budget
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("bin_id") == cum / 512)
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
+  test("stratified sample downsamples the dominant stratum, stays deterministic") {
+    val s = Sampling.sampleStratified(spark, sf)
+    val rates = s.groupBy("lang").count()
+      .join(Tables.documents(spark, sf).groupBy("lang").agg(count(lit(1)).as("tot")), "lang")
+      .select(col("lang"), (col("count").cast("double") / col("tot")).as("rate"))
+      .as[(String, Double)].collect().toMap
+    assert(rates.nonEmpty)
+    // en targets 1/16, others 4/16; generous tolerance for small strata
+    assert(rates.get("en").forall(_ < 0.18))
+    assert(rates.filter(_._1 != "en").values.forall(r => r > 0.05 && r < 0.55))
+    // subset of the unstratified bucket space: every sampled en doc is in nibble 0
+    val again = Sampling.sampleStratified(spark, sf).collect().toSet
+    assert(s.collect().toSet == again)
   }
 }
