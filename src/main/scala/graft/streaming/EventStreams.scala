@@ -70,6 +70,31 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream interval join (the streaming form of
+    * [[graft.ops.TemporalOps.rangeJoinClicks]]): purchases match clicks
+    * by the same user within ±5 minutes of event time. Both sides carry
+    * a watermark and the join condition bounds event-time distance, so
+    * each side's join state is dropped once the other side's watermark
+    * passes the band — state stays O(band × rate), never O(stream).
+    * Self-join on one source stream: Spark plans the two filtered reads
+    * as one scan feeding both join legs. */
+  def purchaseClickJoin(events: DataFrame, bandMinutes: Int = 5): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+      col("c_ts") >= col("p_ts") - expr(s"INTERVAL '$bandMinutes' MINUTE") &&
+      col("c_ts") <= col("p_ts") + expr(s"INTERVAL '$bandMinutes' MINUTE"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("click_id"), col("c_ts"))
+  }
+
   /** Custom keyed state: gap-based sessionization (30-minute inactivity
     * closes a session) via flatMapGroupsWithState with event-time
     * timeout. Emits one summary per closed session. */

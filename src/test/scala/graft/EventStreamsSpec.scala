@@ -47,6 +47,35 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("stream-stream interval join matches batch truth up to the watermark tail") {
+    val stream = EventStreams.eventsStream(spark, sf)
+    runToMemory(EventStreams.purchaseClickJoin(stream), "ssj", "append")
+    val got = spark.table("ssj")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val joined = p.join(c,
+      col("c_user") === col("p_user") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL '5' MINUTE") &&
+      col("c_ts") <= col("p_ts") + expr("INTERVAL '5' MINUTE"))
+    val want = joined.select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // everything emitted must be batch-true
+    assert(got.nonEmpty && got.subsetOf(want))
+    // and everything strictly older than the watermark horizon MUST emit
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0).getTime
+    val horizon = new java.sql.Timestamp(maxTs - 20 * 60 * 1000L)
+    val mustHave = joined
+      .filter(col("p_ts") < lit(horizon) && col("c_ts") < lit(horizon))
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mustHave.subsetOf(got))
+  }
+
   test("sessionization closes sessions on the inactivity gap") {
     val stream = EventStreams.eventsStream(spark, sf)
     runToMemory(EventStreams.sessionize(stream).toDF(), "sessions", "append")
