@@ -83,4 +83,35 @@ class PropertySpec extends AnyFunSuite {
       } finally store.close()
     }
   }
+
+  test("asof join: native == composed == brute force on random keyed timelines") {
+    import graft.ops.TemporalOps
+    import graft.plans.AsofJoinPlan
+    import spark.implicits._
+    // small key space + coarse times force heavy key collisions and
+    // equal-timestamp ties, the corners that break asof merges
+    val rowGen = for {
+      k <- Gen.choose(0L, 4L)
+      t <- Gen.choose(0L, 20L)
+      id <- Gen.choose(0L, 999999L)
+    } yield (k, t, id)
+    for (seed <- 1L to 6L) {
+      val probe = sample(Gen.listOfN(40, rowGen), seed).distinct
+      val build = sample(Gen.listOfN(40, rowGen), seed + 50).distinct
+      val pdf = probe.toDF("k", "t", "pid")
+      val bdf = build.toDF("k", "t", "bid")
+      val brute = probe.map { case (k, t, pid) =>
+        val cand = build.filter(b => b._1 == k && b._2 <= t)
+        val best = if (cand.isEmpty) None
+          else Some(cand.maxBy(b => (b._2, b._3))._3) // latest time, max id tie
+        (pid, best)
+      }.toMap
+      val native = AsofJoinPlan.asof(pdf, bdf, Seq("k"), "t", "t", "bid", Seq("bid"))
+        .select("pid", "asof_bid").as[(Long, Option[Long])].collect().toMap
+      val composed = TemporalOps.asofJoin(pdf, bdf, Seq("k"), "t", "t", "bid", Seq("bid"))
+        .select("pid", "asof_bid").as[(Long, Option[Long])].collect().toMap
+      assert(native == brute, s"native != brute, seed $seed")
+      assert(composed == brute, s"composed != brute, seed $seed")
+    }
+  }
 }
