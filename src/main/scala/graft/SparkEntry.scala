@@ -38,6 +38,7 @@ object SparkEntry {
     "window_topn"       -> (RelOps.windowTopN(_, _)),
     "rollup_sales"      -> (RelOps.rollupSales(_, _)),
     "json_props"        -> (RelOps.jsonProps(_, _)),
+    "cube_sales"        -> (RelOps.cubeSales(_, _)),
     "anti_join"         -> (RelOps.antiJoinQuiet(_, _)),
     "semi_join"         -> (RelOps.semiJoinBig(_, _)),
     // temporal joins / segmentation (no reference or Spark built-in)
@@ -94,6 +95,7 @@ object SparkEntry {
     "window_topn"       -> RelOps.windowTopNSql,
     "rollup_sales"      -> RelOps.rollupSalesSql,
     "json_props"        -> RelOps.jsonPropsSql,
+    "cube_sales"        -> RelOps.cubeSalesSql,
     "anti_join"         -> RelOps.antiJoinQuietSql,
     "semi_join"         -> RelOps.semiJoinBigSql,
     "asof_join"         -> TemporalOps.asofViewBeforePurchaseSql,

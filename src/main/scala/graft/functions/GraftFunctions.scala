@@ -57,5 +57,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       (exprs: Seq[Expression]) => FloatDot(exprs.head, exprs(1))))
+    // whole-operator tier: plan AsofJoin logical nodes natively in any
+    // session built with this extension (the imperative path is
+    // AsofJoinPlan.install / implicit in AsofJoinPlan.asof)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinPlan.AsofJoinStrategy)
   }
 }

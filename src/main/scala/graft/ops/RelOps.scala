@@ -377,6 +377,22 @@ object RelOps {
       |  round(sum(l_quantity), 2) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** CUBE sibling of [[rollupSales]]: all four grouping combinations
+    * (leaf / per-flag / per-status / grand) in the same single
+    * Expand+shuffle pass — the full multi-dim aggregation family next
+    * to ROLLUP's hierarchy. */
+  def cubeSales(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
+
+  val cubeSalesSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   /** Anti join: customers with no order above the threshold. Plans as a
     * LeftAnti hash join with the filtered orders side reduced before the
     * shuffle; at scale the filter runs in the scan and only surviving

@@ -16,4 +16,13 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The planner strategies a SparkSessionExtensions instance would
+    * inject (`buildPlannerStrategies` is private[sql]); lets tests
+    * verify config-driven injection without a fresh SparkContext —
+    * `spark.sql.extensions` is a static conf, unappliable to a reused
+    * context in-JVM. */
+  def plannerStrategies(ext: SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
 }

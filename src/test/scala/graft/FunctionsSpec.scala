@@ -28,6 +28,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(d == 9.0)
   }
 
+  test("GraftExtensions injects the asof planner strategy (config-driven path)") {
+    // spark.sql.extensions is a static conf — unappliable to a reused
+    // SparkContext in-JVM — so verify the injection product directly
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    val injected = org.apache.spark.sql.GraftBridge.plannerStrategies(ext, spark)
+    assert(injected.contains(graft.plans.AsofJoinPlan.AsofJoinStrategy))
+  }
+
   test("approx_count_distinct tracks exact within 5%") {
     val joined = RelOps.countDistinctUsers(spark, sf)
       .join(Tables.events(spark, sf).groupBy(col("event_type"))

@@ -95,6 +95,19 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(perFlag == total && leaves == total)
   }
 
+  test("cube emits all four grouping levels consistently") {
+    val rows = RelOps.cubeSales(spark, sf).collect()
+    val total = Tables.lineitem(spark, sf).count()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1 && grand.head.getAs[Long]("n_items") == total)
+    // every marginal (flag-only, status-only) and the leaves each cover the table
+    for ((nullFirst, nullSecond) <- Seq((false, true), (true, false), (false, false))) {
+      val level = rows.filter(r =>
+        r.isNullAt(0) == nullFirst && r.isNullAt(1) == nullSecond)
+      assert(level.map(_.getAs[Long]("n_items")).sum == total)
+    }
+  }
+
   test("anti and semi joins partition the customer table") {
     val anti = RelOps.antiJoinQuiet(spark, sf).select("c_custkey").as[Long].collect().toSet
     val semi = RelOps.semiJoinBig(spark, sf).select("c_custkey").as[Long].collect().toSet
