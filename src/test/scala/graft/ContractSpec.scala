@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the driver contract so it can't drift: every registered query
+  * either has a DuckDB oracle or is one of the explicitly-listed
+  * approximate operators whose truth is established against brute force
+  * in ScalaTest (the driver records those as rows-only checks). */
+class ContractSpec extends AnyFunSuite {
+
+  private val specGatedOnly = Set(
+    "dedup_minhash",      // LlmOpsSpec: recall vs exact Jaccard
+    "dedup_simhash",      // LlmOpsSpec: == brute-force Hamming
+    "emb_neardup_lsh",    // LlmOpsSpec: subset + recall bound vs exact
+    "similarity_topk_ivf",// LlmOpsSpec: recall vs brute force
+    "fingerprint")        // LlmOpsSpec: == plain-Scala winnowing
+
+  test("every oracle entry has a query") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracles without queries: $dangling")
+  }
+
+  test("every query is oracle-checked unless it is a documented approximate op") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == specGatedOnly,
+      s"unexpected oracle-less queries: ${missing -- specGatedOnly}; " +
+        s"stale exemptions: ${specGatedOnly -- missing}")
+  }
+
+  test("the flagship entry returns rows") {
+    assert(SparkEntry.entry(SparkTestSession.spark).count() > 0)
+  }
+}
