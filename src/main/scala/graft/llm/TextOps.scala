@@ -212,10 +212,15 @@ object TextOps {
     * doc_id. No corpus-sized intermediate is ever materialized twice. */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = Tables.fanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // persisted via Caches: the df rollup below re-derives from tf, and
+    // Spark does not reuse identical aggregation subplans — without the
+    // cache the corpus would be exploded and aggregated twice
+    val tf = graft.Caches.memo(s"tfidf_tf:$dir") {
+      Tables.fanOut(Tables.documents(spark, dir))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+    }
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))
