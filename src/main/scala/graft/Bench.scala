@@ -26,10 +26,18 @@ object Bench {
     // swings identical plans 3-6x, so a single pass is noise; the min of
     // two is the honest per-query number. Failures are recorded as
     // errors, never as a fast fake success.
+    //
+    // Timing materializes the FULL output via queryExecution.toRdd (every
+    // output column computed by the executed plan), not df.count():
+    // counting lets ColumnPruning drop computed projections, which
+    // under-measures projection-heavy queries.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          Right((System.nanoTime() - t0) / 1e9)
+        }
         catch { case e: Throwable => Left(e.getClass.getSimpleName) }
       }
       name -> (once() match {

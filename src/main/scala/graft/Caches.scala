@@ -1,32 +1,38 @@
 package graft
 
 import java.util.concurrent.ConcurrentHashMap
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-wide registry for the handful of deliberately shared cached
   * DataFrames (Patterns.finestAgg, Dedup.shingleArrays/
   * simhashSignatures, the IVF index input). Two jobs:
   *
   *   1. Memoize: each shared frame is built and `.persist()`ed exactly
-  *      once per (key) — repeated query invocations get the same
-  *      instance instead of re-calling persist() on an identical plan
-  *      (the source of the "Asked to cache already cached data" warning
-  *      stream) while keeping the cross-query plan reuse that makes the
-  *      pattern/dedup queries fast (Spark does NOT reuse identical
-  *      aggregation subplans across queries on its own).
+  *      once per (session, key) — repeated query invocations get the
+  *      same instance instead of re-calling persist() on an identical
+  *      plan (the source of the "Asked to cache already cached data"
+  *      warning stream) while keeping the cross-query plan reuse that
+  *      makes the pattern/dedup queries fast (Spark does NOT reuse
+  *      identical aggregation subplans across queries on its own).
   *   2. Release: [[release]] unpersists everything registered, giving
   *      benchmarks/long sessions an explicit end-of-work cleanup instead
   *      of pinning executor memory until session death.
+  *
+  * Keys are scoped by the SparkSession instance: a DataFrame is bound
+  * to the session that built it, so in a JVM that stops one session and
+  * builds another (sequential test suites, notebook restarts) the new
+  * session re-builds its own frame instead of being served a plan bound
+  * to the dead session.
   */
 object Caches {
 
-  private val memoMap = new ConcurrentHashMap[String, DataFrame]()
+  private val memoMap = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  /** The memoized, persisted frame for `key`, building (and persisting)
-    * it on first use. Keys should include every input the plan depends
-    * on (e.g. the sf dir). */
-  def memo(key: String)(build: => DataFrame): DataFrame =
-    memoMap.computeIfAbsent(key, _ => build.persist())
+  /** The memoized, persisted frame for `key` in `spark`'s session,
+    * building (and persisting) it on first use. Keys should include
+    * every input the plan depends on (e.g. the sf dir). */
+  def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    memoMap.computeIfAbsent((spark, key), _ => build.persist())
 
   /** Unpersist and forget every registered frame. */
   def release(): Unit = {

@@ -4,7 +4,7 @@ import java.nio.file.Files
 import graft.ingest.ChunkFeeder
 import graft.ops.Patterns
 import graft.state.JdbcUpsertStore
-import graft.streaming.MicroBatchRunner
+import graft.streaming.{MicroBatchRunner, NativeStatePipeline}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   * Mechanism Y streams them through the micro-batch detector with an
   * embedded-Derby state store and writes 50-row detection CSVs.
   *
-  *   sbt "runMain graft.PipelineDemo [sfDir] [chunkSize] [rate-ms] [scale]"
+  *   sbt "runMain graft.PipelineDemo [sfDir] [chunkSize] [rate-ms] [scale|native]"
   *
-  * Fourth arg `scale` switches the runner to scale mode (keyed state
-  * reads + distributed detection sink) for an apples-to-apples
-  * throughput comparison with reference-parity mode.
+  * Fourth arg: `scale` switches the runner to scale mode (keyed state
+  * reads + distributed detection sink); `native` replaces the external
+  * store entirely with [[NativeStatePipeline]] (state in Spark's own
+  * checkpointed state store via flatMapGroupsWithState) — the three
+  * modes give an apples-to-apples throughput ladder.
   *
   * Prints per-batch progress, final state-table sizes, detection file
   * inventory, and end-to-end throughput.
@@ -28,7 +30,9 @@ object PipelineDemo {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val chunkSize = if (args.length > 1) args(1).toInt else 10000
     val rateMs = if (args.length > 2) args(2).toLong else 0L
-    val scaleMode = args.length > 3 && args(3) == "scale"
+    val mode = if (args.length > 3) args(3) else "parity"
+    val scaleMode = mode == "scale"
+    val nativeMode = mode == "native"
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -41,7 +45,8 @@ object PipelineDemo {
 
     val base = Files.createTempDirectory("graft-pipeline").toString
     println(s"[pipeline] working dir: $base")
-    val store = JdbcUpsertStore.derbyMemory("pipeline-demo")
+    val store = if (nativeMode) null
+      else JdbcUpsertStore.derbyMemory("pipeline-demo")
 
     // the reference's full 10-column CSV shape (txStreamSchema order);
     // constant filler mirrors BankSim's mostly-constant columns
@@ -68,21 +73,35 @@ object PipelineDemo {
       .write.option("header", "true").csv(s"$base/importance_csv")
     val importanceDim = Tables.importanceFromCsv(spark, s"$base/importance_csv")
 
-    val runner = new MicroBatchRunner(spark, store, importanceDim, s"$base/out",
-      scaleMode = scaleMode)
-    println(s"[mechanism-y] mode: ${if (scaleMode) "scale" else "reference-parity"}")
-    val q = runner.start(s"$base/in", s"$base/cp", triggerInterval = "1 second")
-    q.processAllAvailable()
-    q.stop()
-    runner.flushRemainder()
-    val secs = (System.nanoTime() - t0) / 1e9
+    println(s"[mechanism-y] mode: $mode")
+    val secs = if (nativeMode) {
+      val pipeline = new NativeStatePipeline(spark, importanceDim,
+        s"$base/out", s"$base/state")
+      val q = pipeline.start(s"$base/in", s"$base/cp", triggerInterval = "1 second")
+      q.processAllAvailable()
+      q.stop()
+      (System.nanoTime() - t0) / 1e9
+    } else {
+      val runner = new MicroBatchRunner(spark, store, importanceDim, s"$base/out",
+        scaleMode = scaleMode)
+      val q = runner.start(s"$base/in", s"$base/cp", triggerInterval = "1 second")
+      q.processAllAvailable()
+      q.stop()
+      runner.flushRemainder()
+      (System.nanoTime() - t0) / 1e9
+    }
 
     println(f"[mechanism-y] processed $nRows rows in $secs%.1f s " +
       f"(${nRows / secs}%.0f rows/s end-to-end incl. feed + state round-trips)")
-    for ((name, df) <- Seq(
+    val stateTables = if (nativeMode) Seq(
+        "merchant_summary" -> NativeStatePipeline.merchantSummary(spark, s"$base/state"),
+        "customer_merchant_summary" -> NativeStatePipeline.custMerchantSummary(spark, s"$base/state"),
+        "merchant_gender_summary" -> NativeStatePipeline.genderSummary(spark, s"$base/state"))
+      else Seq(
         "merchant_summary" -> store.merchantSummary(spark),
         "customer_merchant_summary" -> store.custMerchantSummary(spark),
-        "merchant_gender_summary" -> store.genderSummary(spark)))
+        "merchant_gender_summary" -> store.genderSummary(spark))
+    for ((name, df) <- stateTables)
       println(s"[state] $name: ${df.count()} rows")
     val outDirs = Option(new java.io.File(s"$base/out").listFiles()).getOrElse(Array())
       .filter(_.isDirectory)
@@ -90,7 +109,7 @@ object PipelineDemo {
       else spark.read.option("header", "true")
         .csv(outDirs.map(_.toString): _*).count()
     println(s"[detections] ${outDirs.length} files, $detections rows")
-    store.close()
+    if (store != null) store.close()
     spark.stop()
   }
 }

@@ -18,6 +18,13 @@ import org.apache.spark.sql.DataFrame
   */
 object ChunkFeeder {
 
+  /** IST (Asia/Kolkata) wall-clock chunk-name timestamp — the zone the
+    * reference's feeder runs in (mechanism_x.py:48 `datetime.now()` on
+    * an IST host), so names sort identically to the reference's. */
+  private[graft] def chunkTimestamp(): String =
+    java.time.ZonedDateTime.now(java.time.ZoneId.of("Asia/Kolkata"))
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
+
   private def csvEscape(v: Any): String = v match {
     case null => ""
     case s: String if s.contains(",") || s.contains("\"") ||
@@ -40,9 +47,9 @@ object ChunkFeeder {
       // <prefix>_<YYYYMMDD_HHMMSS>_<uuid8>_part<n>.csv — the ts+uuid make
       // two feeds into one directory unique, so the stream's seen-file
       // checkpoint log never confuses a refeed with an already-consumed
-      // chunk
-      val ts = java.time.LocalDateTime.now()
-        .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
+      // chunk. The timestamp is IST wall-clock (mechanism_x.py:48 uses
+      // the reference's Asia/Kolkata runtime zone).
+      val ts = chunkTimestamp()
       val uuid8 = java.util.UUID.randomUUID().toString.split("-")(0)
       val name = f"${namePrefix}_${ts}_${uuid8}_part$part%05d.csv"
       val body = (header +: buf).mkString("", "\n", "\n")
@@ -62,5 +69,61 @@ object ChunkFeeder {
     }
     flush()
     part
+  }
+
+  /** Distributed sibling of [[feed]] (SURVEY.md §2.1 S1's scale
+    * mapping): the same ceil(n/chunkSize) chunk files with the same
+    * `<prefix>_<ts>_<uuid8>_part<n>.csv` naming contract, but written BY
+    * EXECUTORS — no driver iterator anywhere. Shape:
+    *
+    *   zipWithIndex (no shuffle) → chunk id = rowIdx / chunkSize →
+    *   ONE shuffle routing each chunk to its own reducer →
+    *   each reducer sorts its ≤chunkSize rows back into table order and
+    *   writes its file via the Hadoop FileSystem API (so `file:`,
+    *   `hdfs:` and `s3a:` output dirs all work), write-then-rename like
+    *   the driver feeder so the file-stream source never lists a
+    *   half-written file.
+    *
+    * Memory per reducer is bounded by chunkSize rows (the reference's
+    * 10k), so a 100 TB feed fans out to n/10k fully parallel writers
+    * with nothing funnelling through the driver. */
+  def feedDistributed(df: DataFrame, outDir: String, chunkSize: Int = 10000,
+      namePrefix: String = "transactions_chunk"): Int = {
+    val header = df.columns.mkString(",")
+    val withIdx = df.rdd.zipWithIndex()
+    val nChunks = {
+      val n = df.count()
+      math.max(1, math.ceil(n.toDouble / chunkSize).toInt)
+    }
+    val keyed = withIdx.map { case (row, idx) =>
+      ((idx / chunkSize).toInt, (idx, row)) }
+    val parted = keyed.partitionBy(new org.apache.spark.Partitioner {
+      override def numPartitions: Int = nChunks
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    })
+    parted.foreachPartition { it =>
+      // shuffle arrival order is nondeterministic; the in-memory sort
+      // (bounded by chunkSize rows) restores table order within the file
+      val rows = it.toArray.sortBy(_._2._1)
+      if (rows.nonEmpty) {
+        val chunkId = rows.head._1
+        val body = (header +: rows.toSeq.map { case (_, (_, row)) =>
+          (0 until row.length).map(i => csvEscape(row.get(i))).mkString(",")
+        }).mkString("", "\n", "\n")
+        val uuid8 = java.util.UUID.randomUUID().toString.split("-")(0)
+        val name = f"${namePrefix}_${chunkTimestamp()}_${uuid8}_part$chunkId%05d.csv"
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val dir = new org.apache.hadoop.fs.Path(outDir)
+        val fs = dir.getFileSystem(conf)
+        fs.setWriteChecksum(false) // no .crc sidecars in the watched dir
+        fs.mkdirs(dir)
+        val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(body.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, name))
+      }
+    }
+    nChunks
   }
 }

@@ -170,7 +170,7 @@ object Dedup {
     * candidate verification joins against this instead of re-running the
     * inverted-index self-join. */
   def shingleArrays(spark: SparkSession, dir: String): DataFrame =
-    graft.Caches.memo(s"shingleArrays:$dir") {
+    graft.Caches.memo(spark, s"shingleArrays:$dir") {
       // consumed 3× by dedupMinhash (signature explode + both verify
       // joins) and by the prefix-filtered exact join
       Tables.fanOut(Tables.documents(spark, dir))
@@ -207,7 +207,7 @@ object Dedup {
     * Expressed as 64 conditional-sum aggregates + a bit-assembly fold —
     * all codegen'd, one shuffle on doc_id. */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    graft.Caches.memo(s"simhashSignatures:$dir") {
+    graft.Caches.memo(spark, s"simhashSignatures:$dir") {
       // both sides of the banded self-join read it; without the cache
       // the 64-aggregate signature pass runs twice
       val tok = Tables.fanOut(Tables.documents(spark, dir))

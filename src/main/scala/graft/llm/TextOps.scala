@@ -215,7 +215,7 @@ object TextOps {
     // persisted via Caches: the df rollup below re-derives from tf, and
     // Spark does not reuse identical aggregation subplans — without the
     // cache the corpus would be exploded and aggregated twice
-    val tf = graft.Caches.memo(s"tfidf_tf:$dir") {
+    val tf = graft.Caches.memo(spark, s"tfidf_tf:$dir") {
       Tables.fanOut(Tables.documents(spark, dir))
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))

@@ -110,7 +110,7 @@ object Vectors {
       k: Int = 5, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val emb = graft.Caches.memo(s"ivfEmb:$dir") {
+    val emb = graft.Caches.memo(spark, s"ivfEmb:$dir") {
       // served to the iterative KMeans fit AND the probe scan; released
       // via Caches.release()
       withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
@@ -184,16 +184,24 @@ object Vectors {
     emb.withColumn("bucket", bits.reduce((a, b) => a.bitwiseOR(b)))
   }
 
-  /** LSH-bucketed near-dup: exact cosine verify within SRP buckets,
-    * banded 4×4 bits for recall (P(band match) = (1−θ/π)⁴ per band;
-    * ≈0.95 overall for cosine ≥ 0.9 pairs, lower for mid-similarity —
-    * this is the approximate scale path; recall is asserted against
-    * [[embNearDupPairs]] in LlmOpsSpec). */
+  /** LSH-bucketed near-dup: exact cosine verify within SRP buckets.
+    * `nBands` is the recall/cost knob over the same `nBits` signature:
+    * a pair collides if ANY band matches, so P(candidate) =
+    * 1 − (1 − (1−θ/π)^(nBits/nBands))^nBands. The default 4 bands of 4
+    * bits gives ≈0.95 recall for true near-dups (cosine ≥ 0.9) cheaply;
+    * 8 bands of 2 bits pushes mid-similarity (cosine ≈ 0.4–0.7) recall
+    * to ≈0.98 at the price of more candidate pairs to verify — recall
+    * at both settings is asserted against [[embNearDupPairs]] in
+    * LlmOpsSpec. Either way the per-pair work only happens inside
+    * shared buckets; never all-pairs. */
   def embNearDupLsh(spark: SparkSession, dir: String,
-      threshold: Double = 0.45): DataFrame = {
-    val emb = srpBuckets(Tables.fanOut(Tables.embeddings(spark, dir)))
-    val bands = (0 until 4).map { i =>
-      (i, shiftrightunsigned(col("bucket"), 4 * i).bitwiseAND(0xF))
+      threshold: Double = 0.45, nBits: Int = 16, nBands: Int = 4): DataFrame = {
+    require(nBits % nBands == 0, s"nBits=$nBits not divisible by nBands=$nBands")
+    val bandWidth = nBits / nBands
+    val mask = (1L << bandWidth) - 1L
+    val emb = srpBuckets(Tables.fanOut(Tables.embeddings(spark, dir)), nBits)
+    val bands = (0 until nBands).map { i =>
+      (i, shiftrightunsigned(col("bucket"), bandWidth * i).bitwiseAND(mask))
     }
     val banded = emb.select(col("vec_id"), col("embedding"),
         explode(array(bands.map { case (i, c) =>

@@ -127,7 +127,7 @@ object Patterns {
     * exact (integer counts + DECIMAL sums), so results are bit-identical
     * to the direct aggregations. */
   def finestAgg(spark: SparkSession, dir: String): DataFrame =
-    graft.Caches.memo(s"finestAgg:$dir") {
+    graft.Caches.memo(spark, s"finestAgg:$dir") {
       // persisted ONCE per sfDir (via Caches.memo); every rollup, the
       // importance weights, and the percentile thresholds read it
       // instead of re-running the fact join+agg — without the cache,

@@ -102,8 +102,8 @@ object AsofJoinPlan {
         val resultProj = UnsafeProjection.create(
           (lOut ++ attachAttrs).map(_.dataType).toArray)
         val keyOrd = keyOrdering(keyTypes)
-        val timeOrd = PhysicalDataType.ordering(timeType)
-          .asInstanceOf[Ordering[Any]]
+        val timeOrd = nullFirst(
+          PhysicalDataType.ordering(timeType).asInstanceOf[Ordering[Any]])
         val nullRow = new GenericInternalRow(numAttach)
         val joined = new JoinedRow
 
@@ -149,11 +149,27 @@ object AsofJoinPlan {
       }
     }
 
+    /** Null-safe wrapper: nulls order FIRST and equal to each other —
+      * the same semantics the composed union+window form gets for free
+      * (window partitionBy groups null keys together; ascending sort
+      * defaults to NullsFirst, so a null build time reads as −∞ and a
+      * null-time probe sees only null-time build rows). Matches
+      * [[requiredChildOrdering]]'s Ascending/NullsFirst sort, so the
+      * merge frontier and the physical sort always agree. */
+    private def nullFirst(ord: Ordering[Any]): Ordering[Any] =
+      new Ordering[Any] {
+        override def compare(a: Any, b: Any): Int =
+          if (a == null && b == null) 0
+          else if (a == null) -1
+          else if (b == null) 1
+          else ord.compare(a, b)
+      }
+
     private def keyOrdering(
         types: Seq[org.apache.spark.sql.types.DataType]): Ordering[InternalRow] =
       new Ordering[InternalRow] {
-        private val ords = types.map(t =>
-          PhysicalDataType.ordering(t).asInstanceOf[Ordering[Any]]).toArray
+        private val ords = types.map(t => nullFirst(
+          PhysicalDataType.ordering(t).asInstanceOf[Ordering[Any]])).toArray
         private val ts = types.toArray
         override def compare(a: InternalRow, b: InternalRow): Int = {
           var i = 0

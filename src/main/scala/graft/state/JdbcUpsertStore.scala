@@ -100,14 +100,37 @@ class JdbcUpsertStore(url: String, driverClass: String =
   private[graft] def fenceStatement(table: String, epoch: Long): String =
     dialect.fenceSql(table, epoch)
 
+  /** Coerce a delta to the target tables' declared column types
+    * (postgres_tables.sql: DECIMAL(18,2) sums) BEFORE the temp-table
+    * write. Without this, a delta that arrives as a wider decimal —
+    * e.g. sum(sum(DECIMAL(18,2))) = DECIMAL(38,2) from a two-level
+    * rollup — hits Spark's DerbyDialect cap, which maps precision>31 to
+    * DECIMAL(31, max(scale-(precision-31), 0)) = DECIMAL(31,0) and
+    * silently TRUNCATES the cents in the temp table (caught by
+    * NativeStateSpec parity against the in-operator state backend). */
+  private def coerce(delta: DataFrame): DataFrame =
+    delta.schema.fields.foldLeft(delta) { (df, f) =>
+      f.dataType match {
+        case d: org.apache.spark.sql.types.DecimalType if d.precision > 18 =>
+          df.withColumn(f.name,
+            col(f.name).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        case _ => df
+      }
+    }
+
   private def upsert(delta: DataFrame, target: String, temp: String,
       keys: Seq[String], adds: Seq[String], epoch: Option[Long]): Unit = {
     if (delta.isEmpty) return
     // K2: batch delta → temp table (executors write over JDBC).
     // Key columns must be VARCHAR, not Derby's default CLOB mapping for
     // StringType — CLOB can't join against the VARCHAR PKs in MERGE.
-    delta.withColumn("last_updated", current_timestamp())
+    // batchsize 10k (default 1000) amortizes the per-statement round
+    // trip; truncate-on-overwrite reuses the table instead of paying a
+    // DROP/CREATE DDL round per micro-batch.
+    coerce(delta).withColumn("last_updated", current_timestamp())
       .write.mode("overwrite")
+      .option("truncate", "true")
+      .option("batchsize", "10000")
       .option("createTableColumnTypes",
         keys.map(k => s"$k VARCHAR(255)").mkString(", "))
       .jdbc(url, temp, props)
@@ -129,17 +152,33 @@ class JdbcUpsertStore(url: String, driverClass: String =
     }
   }
 
+  /** The three upserts touch disjoint (target, temp) table pairs on
+    * separate connections, so they run CONCURRENTLY — the serial form
+    * made the state round-trip the pipeline's throughput ceiling (three
+    * temp-writes + merges back-to-back per micro-batch). Failure
+    * semantics stay clean because the fence is per (table, epoch): if
+    * one table's merge fails mid-batch, the others commit, and a replay
+    * of the same epoch applies only the failed table (the committed ones
+    * fence themselves out). */
   override def applyDeltas(merchantDelta: DataFrame,
       custMerchantDelta: DataFrame, genderDelta: DataFrame,
       epochId: Option[Long] = None): Unit = {
-    upsert(merchantDelta, "merchant_summary", "temp_mts_updates",
-      Seq("merchant_id"), Seq("total_transactions"), epochId)
-    upsert(custMerchantDelta, "customer_merchant_summary", "temp_cms_updates",
-      Seq("customer_id", "merchant_id"),
-      Seq("transaction_count", "total_amount_sum"), epochId)
-    upsert(genderDelta, "merchant_gender_summary", "temp_mgs_updates",
-      Seq("merchant_id"),
-      Seq("male_transaction_count", "female_transaction_count"), epochId)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = JdbcUpsertStore.upsertEc
+    val fs = Seq(
+      Future(upsert(merchantDelta, "merchant_summary", "temp_mts_updates",
+        Seq("merchant_id"), Seq("total_transactions"), epochId)),
+      Future(upsert(custMerchantDelta, "customer_merchant_summary", "temp_cms_updates",
+        Seq("customer_id", "merchant_id"),
+        Seq("transaction_count", "total_amount_sum"), epochId)),
+      Future(upsert(genderDelta, "merchant_gender_summary", "temp_mgs_updates",
+        Seq("merchant_id"),
+        Seq("male_transaction_count", "female_transaction_count"), epochId)))
+    // await ALL before propagating the first failure: no upsert is left
+    // racing a caller that believes the batch is finished
+    val results = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    results.collectFirst { case scala.util.Failure(e) => throw e }
   }
 
   private def read(spark: SparkSession, table: String): DataFrame =
@@ -154,14 +193,15 @@ class JdbcUpsertStore(url: String, driverClass: String =
 
   /** Pruned state read — the key predicate is pushed into the JDBC scan
     * (shows up as a WHERE on the remote side), so per-batch state IO is
-    * O(batch keys), not O(state). Long IN-lists are split into ~1000-key
-    * groups, one scan partition each, so a 10k-key batch neither builds
-    * a megabyte statement nor serializes through one connection. */
+    * O(batch keys), not O(state). Long IN-lists are split into ~250-key
+    * groups, one scan partition each: a 1k-merchant batch reads over 4
+    * parallel connections instead of serializing through one, and a
+    * 10k-key batch never builds a megabyte statement. */
   private def prunedRead(spark: SparkSession, table: String,
       keyCol: String, ids: Seq[String]): DataFrame = {
     val preds: Array[String] =
       if (ids.isEmpty) Array("1=0")
-      else ids.distinct.grouped(1000).map { g =>
+      else ids.distinct.grouped(250).map { g =>
         val in = g.map(id => s"'${id.replace("'", "''")}'").mkString(",")
         s"$keyCol IN ($in)"
       }.toArray
@@ -186,6 +226,19 @@ class JdbcUpsertStore(url: String, driverClass: String =
 }
 
 object JdbcUpsertStore {
+
+  /** Shared 3-thread pool for the concurrent per-table upserts (daemon:
+    * never blocks JVM exit). Three is exact — there are three state
+    * tables; a wider pool would only contend on the Spark scheduler. */
+  private[state] lazy val upsertEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(3,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-state-upsert")
+          t.setDaemon(true)
+          t
+        }))
+
   /** Embedded Derby store under the given directory. */
   def derby(dir: String): JdbcUpsertStore = {
     val s = new JdbcUpsertStore(s"jdbc:derby:$dir;create=true")

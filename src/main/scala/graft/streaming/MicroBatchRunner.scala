@@ -147,21 +147,27 @@ class MicroBatchRunner(
             stateOrEmpty(genderStateSchema)(store.genderSummary(spark)))
         }
 
-      val tick = clock()
-      val detections = Patterns.unionDetections(Seq(
-        Patterns.patId1(ms, cms, lowWeight, cfg, tick),
-        Patterns.patId2(cms, cfg, tick),
-        Patterns.patId3(gs, cfg, tick)))
+      // cms feeds TWO patterns (PatId1 + PatId2) and ms/gs one each:
+      // persist the state reads so each JDBC scan runs once per batch,
+      // not once per consuming subtree of the detection union
+      Seq(ms, cms, gs).foreach(_.persist())
+      try {
+        val tick = clock()
+        val detections = Patterns.unionDetections(Seq(
+          Patterns.patId1(ms, cms, lowWeight, cfg, tick),
+          Patterns.patId2(cms, cfg, tick),
+          Patterns.patId3(gs, cfg, tick)))
 
-      if (scaleMode) flushDistributed(detections, epochId)
-      else {
-        buffer ++= detections.collect()
-        while (buffer.length >= detectionBatchSize) {
-          val chunk = buffer.take(detectionBatchSize).toList
-          buffer.remove(0, detectionBatchSize)
-          flush(chunk)
+        if (scaleMode) flushDistributed(detections, epochId)
+        else {
+          buffer ++= detections.collect()
+          while (buffer.length >= detectionBatchSize) {
+            val chunk = buffer.take(detectionBatchSize).toList
+            buffer.remove(0, detectionBatchSize)
+            flush(chunk)
+          }
         }
-      }
+      } finally Seq(ms, cms, gs).foreach(_.unpersist())
     } finally batch.unpersist()
   }
 

@@ -1,0 +1,262 @@
+package graft.streaming
+
+import graft.ops.Patterns
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{
+  GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/** The SURVEY.md §2.5 A7 "native option": the three running state tables
+  * ("Mechanism Y.py":136-218, postgres_tables.sql:3-25) kept in SPARK'S
+  * OWN checkpointed state store via `groupByKey.flatMapGroupsWithState`,
+  * instead of externalized over JDBC ([[graft.state.JdbcUpsertStore]]).
+  *
+  * Architecture note — why this is a pipeline mode, not a third
+  * [[graft.state.StateStore]] implementation: the trait models
+  * EXTERNALIZED state (per-batch write-deltas-then-read-back over a
+  * connection); the native backend's whole point is that the
+  * read-modify-write never leaves the stateful operator. One streaming
+  * query does everything:
+  *
+  *   file stream → groupByKey(merchant) → flatMapGroupsWithState
+  *     (cumulative total/male/female + per-customer (count, sum) per
+  *      merchant, additively updated per batch — exactly the three
+  *      tables' contents, keyed once by their shared merchant_id)
+  *   → foreachBatch over the operator's OUTPUT: the cumulative state
+  *     rows of the merchants this batch touched — the same frame
+  *     scale-mode's pruned JDBC read pays a DB round-trip for, now a
+  *     zero-IO side effect of updating state
+  *   → the three pattern queries + distributed detection sink
+  *     (same [[Patterns]] code paths as the JDBC-backed runner).
+  *
+  * 100 TB story: state lives partitioned by merchant across executors in
+  * the checkpointed state store (RocksDB-backed on a real cluster via
+  * `spark.sql.streaming.stateStore.providerClass`); per-batch state IO is
+  * the operator's local get/put, not three JDBC scans + three upserts.
+  * Checkpoint-restart restores state exactly (fMGWS state is versioned
+  * per epoch) — state updates are effectively-once; the detection sink
+  * stays at-least-once with restart-safe unique dir names, like the
+  * reference. The per-merchant customer map is the documented trade: the
+  * GroupState API (de)serializes one merchant's whole state per touched
+  * key per batch (fine while customers-per-merchant is bounded, as here
+  * and in BankSim); `transformWithState`'s MapState would give per-entry
+  * access for unbounded fan-out.
+  *
+  * State snapshot rows are also APPENDED to `stateDir` as parquet tagged
+  * with the epoch (a state change-log): [[NativeStatePipeline.merchantSummary]]
+  * etc. reconstruct the current tables as last-row-per-key — the audit
+  * read path the JDBC backend got from the DB itself.
+  */
+class NativeStatePipeline(
+    spark: SparkSession,
+    importanceDim: DataFrame,
+    outDir: String,
+    stateDir: String,
+    cfg: Patterns.Config = Patterns.DefaultConfig,
+    clock: () => Patterns.Clock = () => MicroBatchRunner.wallClock(),
+    detectionBatchSize: Int = 50,
+    fallbackWeight: Double = 2.0) {
+
+  import NativeStatePipeline._
+
+  // Same static setup as MicroBatchRunner: importance dim + percentile
+  // thresholds cached once ("Mechanism Y.py":68-89).
+  private val importance = importanceDim.cache()
+  private val percentiles = importance
+    .groupBy(col("merchant").as("merchant_key"), col("category").as("category_key"))
+    .agg(expr(s"percentile_approx(weight, ${cfg.detectionPercentile}, 10000)")
+      .as("p_weight"))
+    .cache()
+
+  /** Per-epoch detection pass over the stateful operator's output. */
+  private[graft] def processStateBatch(out: DataFrame, epochId: Long): Unit = {
+    if (out.isEmpty) return
+    out.persist()
+    try {
+      // audit/readout change-log: cumulative state rows for this epoch's
+      // touched merchants (the "b" batch-pair rows are per-batch only)
+      out.filter(col("rowType") =!= "b")
+        .withColumn("epoch", lit(epochId))
+        .write.mode("append").parquet(stateDir)
+
+      val ms = out.filter(col("rowType") === "m")
+        .select(col("merchant_id"), col("c1").as("total_transactions"))
+      val cms = out.filter(col("rowType") === "cm")
+        .select(col("customer_id"), col("merchant_id"),
+          col("c1").as("transaction_count"),
+          col("amt").cast(DecimalType(18, 2)).as("total_amount_sum"))
+      val gs = out.filter(col("rowType") === "g")
+        .select(col("merchant_id"),
+          col("c1").as("male_transaction_count"),
+          col("c2").as("female_transaction_count"))
+
+      // J1/J2 over the batch's distinct (customer, merchant, category)
+      // triples — weight comes from the importance dim, so the distinct
+      // triples carry everything lowWeight needs (same percentile-miss
+      // fallback as MicroBatchRunner)
+      val pairs = out.filter(col("rowType") === "b")
+        .select(col("customer_id").as("customer"),
+          col("merchant_id").as("merchant"), col("category"))
+      val enriched = pairs.join(importance
+          .withColumnRenamed("customer", "i_customer")
+          .withColumnRenamed("merchant", "i_merchant")
+          .withColumnRenamed("category", "i_category"),
+        pairs("customer") === col("i_customer") &&
+          pairs("merchant") === col("i_merchant") &&
+          pairs("category") === col("i_category"), "left_outer")
+      val lowWeight = enriched.join(percentiles,
+          enriched("merchant") === percentiles("merchant_key") &&
+          enriched("category") === percentiles("category_key"), "left_outer")
+        .filter(
+          (col("p_weight").isNotNull && col("weight") < col("p_weight")) ||
+          (col("p_weight").isNull && col("weight").isNotNull &&
+            col("weight") < lit(fallbackWeight)))
+        .select(col("customer"), col("merchant"))
+        .distinct()
+
+      val tick = clock()
+      val detections = Patterns.unionDetections(Seq(
+        Patterns.patId1(ms, cms, lowWeight, cfg, tick),
+        Patterns.patId2(cms, cfg, tick),
+        Patterns.patId3(gs, cfg, tick)))
+
+      // distributed detection sink, same contract as
+      // MicroBatchRunner.flushDistributed: executors write directly,
+      // restart-safe unique naming, files sized ~detectionBatchSize
+      detections.persist()
+      try {
+        val n = detections.count()
+        if (n > 0) {
+          val files = ((n + detectionBatchSize - 1) / detectionBatchSize).toInt
+          val uuid8 = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+          detections.repartition(files).write.option("header", "true")
+            .csv(s"$outDir/detections_batch_${epochId}_$uuid8")
+        }
+      } finally detections.unpersist()
+    } finally out.unpersist()
+  }
+
+  /** S3 + K5 with native state: one streaming query from the chunk
+    * directory through the stateful operator into the detection pass. */
+  def start(inputDir: String, checkpointDir: String,
+      triggerInterval: String = "30 seconds"): StreamingQuery = {
+    import spark.implicits._
+    val src = spark.readStream
+      .format("csv")
+      .schema(MicroBatchRunner.txStreamSchema)
+      .option("header", "true")
+      .option("escape", "\"")
+      .option("maxFilesPerTrigger", 1)
+      .load(inputDir)
+      .select(col("customer"), col("merchant"), col("gender"),
+        col("category"), col("amount"))
+      .as[Tx]
+    val out: Dataset[StateOut] = src
+      .groupByKey(_.merchant)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        updateMerchant)
+    out.writeStream
+      .foreachBatch((b: Dataset[StateOut], id: Long) =>
+        processStateBatch(b.toDF(), id))
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
+  }
+}
+
+object NativeStatePipeline {
+
+  /** Input projection of the 10-column stream: only what state + the
+    * pattern queries consume. */
+  case class Tx(customer: String, merchant: String, gender: String,
+      category: String, amount: Double)
+
+  /** Per-customer running (count, amount-sum) inside a merchant's state
+    * — customer_merchant_summary's row, keyed by the map. Amounts
+    * accumulate as BigDecimal at scale 2, matching the JDBC path's
+    * sum(cast(amount AS DECIMAL(18,2))) exactly (Spark's double→decimal
+    * cast is HALF_UP, as is the setScale here). */
+  case class CustAgg(cnt: Long, amt: BigDecimal)
+
+  /** One merchant's whole state: merchant_summary.total_transactions,
+    * merchant_gender_summary's two counts, and the per-customer map. */
+  case class MerchantState(total: Long, male: Long, female: Long,
+      perCustomer: Map[String, CustAgg])
+
+  /** Flattened operator output — a cumulative-state change-log row
+    * (`rowType` m/cm/g mirrors the three tables) or a per-batch distinct
+    * (customer, category) pair (`rowType` b) that feeds lowWeight. */
+  case class StateOut(rowType: String, merchant_id: String,
+      customer_id: String, category: String, c1: Long, c2: Long,
+      amt: BigDecimal)
+
+  private val two = BigDecimal(0).setScale(2)
+
+  /** The A7 additive update, now inside Spark's state store: fold the
+    * batch's rows for one merchant into its state, emit the merchant's
+    * FULL cumulative state (all customers — the same rows scale-mode's
+    * merchant-pruned JDBC read returns, so detections are identical)
+    * plus the batch's distinct (customer, category) pairs. */
+  private[graft] def updateMerchant(merchantId: String, rows: Iterator[Tx],
+      state: GroupState[MerchantState]): Iterator[StateOut] = {
+    val prev = state.getOption.getOrElse(MerchantState(0L, 0L, 0L, Map.empty))
+    var total = prev.total
+    var male = prev.male
+    var female = prev.female
+    val per = scala.collection.mutable.HashMap[String, CustAgg]()
+    per ++= prev.perCustomer
+    val batchPairs = scala.collection.mutable.LinkedHashSet[(String, String)]()
+    rows.foreach { r =>
+      total += 1L
+      if (r.gender == "M") male += 1L
+      else if (r.gender == "F") female += 1L
+      val amt2 = BigDecimal(r.amount).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      val cur = per.getOrElse(r.customer, CustAgg(0L, two))
+      per(r.customer) = CustAgg(cur.cnt + 1L, cur.amt + amt2)
+      batchPairs += ((r.customer, r.category))
+    }
+    state.update(MerchantState(total, male, female, per.toMap))
+    Iterator(
+      StateOut("m", merchantId, null, null, total, 0L, null),
+      StateOut("g", merchantId, null, null, male, female, null)) ++
+      per.iterator.map { case (c, a) =>
+        StateOut("cm", merchantId, c, null, a.cnt, 0L, a.amt) } ++
+      batchPairs.iterator.map { case (c, cat) =>
+        StateOut("b", merchantId, c, cat, 0L, 0L, null) }
+  }
+
+  // ---- readout: reconstruct the three tables from the change-log ----
+
+  private def lastPerKey(log: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("epoch").desc)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "epoch")
+  }
+
+  private def stateLog(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(stateDir)
+
+  /** merchant_summary reconstructed from the change-log (rows are
+    * cumulative, so the latest epoch's row per merchant IS the state). */
+  def merchantSummary(spark: SparkSession, stateDir: String): DataFrame =
+    lastPerKey(stateLog(spark, stateDir).filter(col("rowType") === "m"),
+        Seq("merchant_id"))
+      .select(col("merchant_id"), col("c1").as("total_transactions"))
+
+  def custMerchantSummary(spark: SparkSession, stateDir: String): DataFrame =
+    lastPerKey(stateLog(spark, stateDir).filter(col("rowType") === "cm"),
+        Seq("merchant_id", "customer_id"))
+      .select(col("customer_id"), col("merchant_id"),
+        col("c1").as("transaction_count"),
+        col("amt").cast(DecimalType(18, 2)).as("total_amount_sum"))
+
+  def genderSummary(spark: SparkSession, stateDir: String): DataFrame =
+    lastPerKey(stateLog(spark, stateDir).filter(col("rowType") === "g"),
+        Seq("merchant_id"))
+      .select(col("merchant_id"),
+        col("c1").as("male_transaction_count"),
+        col("c2").as("female_transaction_count"))
+}

@@ -55,6 +55,37 @@ class AsofJoinPlanSpec extends AnyFunSuite {
     assert(got("p3") == (None, None))
   }
 
+  test("native asof join is null-safe on keys and times and matches the composed form") {
+    // null keys group together (window-partitionBy semantics); a null
+    // build time reads as -inf; a null-time probe sees only null-time
+    // build rows — all inherited from the composed form's NullsFirst sort
+    val probe = Seq(
+      (Option(1L), Option(ts("2024-01-01 10:00:00")), "p1"),
+      (Option.empty[Long], Option(ts("2024-01-01 10:00:00")), "pnullk"),
+      (Option(1L), Option.empty[java.sql.Timestamp], "pnullt"),
+      (Option.empty[Long], Option.empty[java.sql.Timestamp], "pnullkt")
+    ).toDF("k", "t", "tag")
+    val build = Seq(
+      (Option(1L), Option(ts("2024-01-01 09:00:00")), Option(1L), "b1"),
+      (Option(1L), Option.empty[java.sql.Timestamp], Option(2L), "bnullt"),
+      (Option.empty[Long], Option(ts("2024-01-01 09:30:00")), Option(3L), "bnullk"),
+      (Option.empty[Long], Option.empty[java.sql.Timestamp], Option(4L), "bnullkt")
+    ).toDF("k", "t", "id", "payload")
+    val native = AsofJoinPlan.asof(probe, build, Seq("k"), "t", "t", "id",
+      Seq("id", "payload"))
+    val composed = TemporalOps.asofJoin(probe, build, Seq("k"), "t", "t", "id",
+      Seq("id", "payload"))
+    val n = native.collect().map(_.toSeq).toSet
+    val c = composed.collect().map(_.toSeq).toSet
+    assert(n == c)
+    val byTag = native.select("tag", "asof_id").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(byTag("p1") == Some(1L))      // latest real time beats the -inf null-time row
+    assert(byTag("pnullt") == Some(2L))  // null-time probe only sees null-time builds
+    assert(byTag("pnullk") == Some(3L))  // null keys join each other
+    assert(byTag("pnullkt") == Some(4L))
+  }
+
   test("native asof join plans AsofJoinExec with one clustered exchange per side and no window") {
     val (probe, build) = sides()
     val df = AsofJoinPlan.asof(probe, build, Seq("user_id"), "ts", "ts",

@@ -132,6 +132,21 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(lsh.size.toDouble / brute.size >= 0.2) // 4x4-bit bands; recall ~0.5 at mid-cosine, ~0.95 for true near-dups
   }
 
+  test("SRP-LSH recall knob: 8x2-bit bands recall >= 0.95 on mid-similarity pairs") {
+    // the mid-similarity band (cosine 0.4-0.75) is exactly where the
+    // default 4x4 banding loses recall; the knob must buy it back
+    val brute = Vectors.embNearDupPairs(spark, sf, threshold = 0.4)
+      .filter(col("cosine") <= 0.75)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain mid-similarity pairs")
+    val hi = Vectors.embNearDupLsh(spark, sf, threshold = 0.4, nBits = 16, nBands = 8)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hi.subsetOf(Vectors.embNearDupPairs(spark, sf, threshold = 0.4)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet))
+    val recalled = (brute intersect hi).size.toDouble / brute.size
+    assert(recalled >= 0.95, f"mid-similarity recall $recalled%.3f at 8x2 bands")
+  }
+
   test("topk ranks are dense 1..k per query and ordered by cosine") {
     val rows = Vectors.simTopK(spark, sf, nQueries = 5, k = 3).collect()
     val byQ = rows.groupBy(_.getLong(0))

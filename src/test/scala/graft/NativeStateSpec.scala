@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+import graft.ingest.ChunkFeeder
+import graft.ops.Patterns
+import graft.state.JdbcUpsertStore
+import graft.streaming.{MicroBatchRunner, NativeStatePipeline}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The A7 native state backend ([[NativeStatePipeline]]): the three
+  * state tables in Spark's own checkpointed state store must behave
+  * exactly like the JDBC-externalized backend — identical detections,
+  * identical reconstructed state — and survive a checkpoint restart. */
+class NativeStateSpec extends AnyFunSuite {
+  import SparkTestSession.{sf, spark}
+
+  private def refTx(): DataFrame =
+    Tables.transactions(spark, sf).select(
+      lit(0).as("step"),
+      col("customer").cast("string").as("customer"),
+      lit("3").as("age"),
+      col("gender"),
+      lit("28007").as("zipcodeOri"),
+      col("merchant").cast("string").as("merchant"),
+      lit("28007").as("zipMerchant"),
+      col("category"),
+      col("amount").cast("double").as("amount"),
+      lit(0).as("fraud"))
+
+  private def detections(dir: String): Set[Seq[String]] = {
+    val dirs = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
+      .filter(_.isDirectory)
+    if (dirs.isEmpty) Set.empty
+    else spark.read.option("header", "true").csv(dirs.map(_.toString): _*)
+      .collect().map(_.toSeq.map(v => Option(v).fold("")(_.toString))).toSet
+  }
+
+  private def sameRows(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("N batches through the native backend == the JDBC scale-mode backend (detections + state)") {
+    val base = Files.createTempDirectory("graft-native").toString
+    val tx = refTx().cache()
+    ChunkFeeder.feed(tx, s"$base/in", chunkSize = 2000)
+
+    val store = JdbcUpsertStore.derby(s"$base/derby")
+    try {
+      // JDBC scale mode over the chunk files
+      val runner = new MicroBatchRunner(spark, store, Tables.importance(spark, sf),
+        s"$base/out-jdbc", clock = () => Patterns.FixedClock, scaleMode = true)
+      val q1 = runner.start(s"$base/in", s"$base/cp-jdbc", "1 second")
+      q1.processAllAvailable(); q1.stop()
+
+      // native fMGWS pipeline over the SAME chunk files, own checkpoint
+      val native = new NativeStatePipeline(spark, Tables.importance(spark, sf),
+        s"$base/out-native", s"$base/state-native",
+        clock = () => Patterns.FixedClock)
+      val q2 = native.start(s"$base/in", s"$base/cp-native", "1 second")
+      q2.processAllAvailable(); q2.stop()
+
+      val jdbcDets = detections(s"$base/out-jdbc")
+      val nativeDets = detections(s"$base/out-native")
+      assert(jdbcDets.nonEmpty)
+      assert(nativeDets == jdbcDets)
+
+      // state parity, all three tables
+      assert(sameRows(
+        NativeStatePipeline.merchantSummary(spark, s"$base/state-native"),
+        store.merchantSummary(spark)))
+      val castAmt = (df: DataFrame) => df.withColumn("total_amount_sum",
+        col("total_amount_sum").cast(DecimalType(28, 2)))
+      assert(sameRows(
+        castAmt(NativeStatePipeline.custMerchantSummary(spark, s"$base/state-native")),
+        castAmt(store.custMerchantSummary(spark))))
+      assert(sameRows(
+        NativeStatePipeline.genderSummary(spark, s"$base/state-native"),
+        store.genderSummary(spark)))
+    } finally store.close()
+  }
+
+  test("checkpoint restart restores fMGWS state (no loss, no double count)") {
+    val base = Files.createTempDirectory("graft-native-restart").toString
+    val tx = refTx().cache()
+    val half = tx.limit((tx.count() / 2).toInt).cache()
+
+    ChunkFeeder.feed(half, s"$base/in", chunkSize = 1000)
+    val p1 = new NativeStatePipeline(spark, Tables.importance(spark, sf),
+      s"$base/out", s"$base/state", clock = () => Patterns.FixedClock)
+    val q1 = p1.start(s"$base/in", s"$base/cp", "1 second")
+    q1.processAllAvailable(); q1.stop()
+    val afterFirst = NativeStatePipeline.merchantSummary(spark, s"$base/state")
+      .agg(sum(col("total_transactions"))).collect()(0).getLong(0)
+    assert(afterFirst == half.count())
+
+    // a BRAND-NEW pipeline on the same checkpoint resumes the state
+    ChunkFeeder.feed(tx, s"$base/in", chunkSize = 1000)
+    val p2 = new NativeStatePipeline(spark, Tables.importance(spark, sf),
+      s"$base/out", s"$base/state", clock = () => Patterns.FixedClock)
+    val q2 = p2.start(s"$base/in", s"$base/cp", "1 second")
+    q2.processAllAvailable(); q2.stop()
+    val afterSecond = NativeStatePipeline.merchantSummary(spark, s"$base/state")
+      .agg(sum(col("total_transactions"))).collect()(0).getLong(0)
+    assert(afterSecond == afterFirst + tx.count())
+  }
+}

@@ -49,6 +49,27 @@ class StateSpec extends AnyFunSuite {
     } finally store.close()
   }
 
+  test("a wide-decimal delta keeps its cents (DerbyDialect precision>31 cap)") {
+    // sum(sum(DECIMAL(18,2))) = DECIMAL(38,2): without the store-side
+    // coercion to the DDL's DECIMAL(18,2), Spark's DerbyDialect maps the
+    // temp column to DECIMAL(31,0) and the cents vanish
+    val store = freshStore("widecents")
+    try {
+      import spark.implicits._
+      val wide = Seq(("c1", "m1", 2L, BigDecimal("123.45")))
+        .toDF("customer_id", "merchant_id", "transaction_count", "total_amount_sum")
+        .withColumn("total_amount_sum",
+          col("total_amount_sum").cast(DecimalType(38, 2)))
+      val (m, _, g) = deltas(txWithBucket(2).filter(col("b") === 0).limit(1))
+      store.applyDeltas(m, wide, g)
+      store.applyDeltas(m, wide, g) // accumulate once more: 246.90
+      val got = store.custMerchantSummary(spark)
+        .filter(col("customer_id") === "c1")
+        .select(col("total_amount_sum").cast("string")).collect()
+      assert(got.map(_.getString(0)).toSeq == Seq("246.90"))
+    } finally store.close()
+  }
+
   test("at-least-once default double-counts a replayed batch (reference parity)") {
     val store = freshStore("alo")
     try {

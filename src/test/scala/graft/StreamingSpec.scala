@@ -116,6 +116,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally store.close()
   }
 
+  test("distributed feeder: executor-written chunks stream to the same state as the driver feed") {
+    val base = Files.createTempDirectory("graft-dist-feed").toString
+    val inDir = s"$base/in"
+    val store = JdbcUpsertStore.derby(s"$base/derby")
+    try {
+      val tx = refTx().cache()
+      val nChunks = ChunkFeeder.feedDistributed(tx, inDir, chunkSize = 2000)
+      assert(nChunks == math.ceil(tx.count() / 2000.0).toInt)
+      val files = new java.io.File(inDir).listFiles().map(_.getName)
+      assert(files.length == nChunks)
+      // same naming contract as the driver feeder
+      assert(files.forall(_.matches(
+        "transactions_chunk_\\d{8}_\\d{6}_[0-9a-f]{8}_part\\d{5}\\.csv")))
+      // every chunk holds <= chunkSize rows (+1 header line)
+      assert(files.forall { f =>
+        scala.io.Source.fromFile(s"$inDir/$f").getLines().size <= 2001
+      })
+
+      val runner = new MicroBatchRunner(spark, store, Tables.importance(spark, sf),
+        s"$base/out", clock = () => Patterns.FixedClock)
+      val q = runner.start(inDir, s"$base/cp", triggerInterval = "1 second")
+      q.processAllAvailable(); q.stop()
+      runner.flushRemainder()
+
+      // exact state parity with a one-shot aggregation == what the
+      // driver-side feed produces (StreamingSpec's first test)
+      val want = tx.groupBy(col("merchant").cast("string").as("merchant_id"))
+        .agg(count(lit(1)).as("total_transactions"))
+      val got = store.merchantSummary(spark)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    } finally store.close()
+  }
+
+  test("chunk names follow the reference scheme with an IST timestamp") {
+    val base = Files.createTempDirectory("graft-names").toString
+    ChunkFeeder.feed(refTx().limit(10), s"$base/in", chunkSize = 1000)
+    val names = new java.io.File(s"$base/in").listFiles().map(_.getName)
+    assert(names.nonEmpty)
+    // <prefix>_<YYYYMMDD_HHMMSS>_<uuid8>_part<n>.csv (mechanism_x.py:80-82)
+    assert(names.forall(_.matches(
+      "transactions_chunk_\\d{8}_\\d{6}_[0-9a-f]{8}_part\\d{5}\\.csv")))
+    // the timestamp is IST wall-clock, not host-local
+    val parts = names.head.split("_")
+    val stamp = java.time.LocalDateTime.parse(s"${parts(2)}_${parts(3)}",
+      java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
+    val nowIst = java.time.ZonedDateTime
+      .now(java.time.ZoneId.of("Asia/Kolkata")).toLocalDateTime
+    assert(math.abs(java.time.Duration.between(stamp, nowIst).getSeconds) < 600)
+  }
+
   test("empty batch is a no-op (guard)") {
     val base = Files.createTempDirectory("graft-empty").toString
     val store = JdbcUpsertStore.derby(s"$base/derby")
