@@ -14,13 +14,14 @@ import org.apache.spark.sql.functions._
   * Mechanism Y streams them through the micro-batch detector with an
   * embedded-Derby state store and writes 50-row detection CSVs.
   *
-  *   sbt "runMain graft.PipelineDemo [sfDir] [chunkSize] [rate-ms] [scale|native]"
+  *   sbt "runMain graft.PipelineDemo [sfDir] [chunkSize] [rate-ms] [scale|native|tws]"
   *
   * Fourth arg: `scale` switches the runner to scale mode (keyed state
   * reads + distributed detection sink); `native` replaces the external
   * store entirely with [[NativeStatePipeline]] (state in Spark's own
-  * checkpointed state store via flatMapGroupsWithState) — the three
-  * modes give an apples-to-apples throughput ladder.
+  * checkpointed state store via flatMapGroupsWithState); `tws` is the
+  * same pipeline on the `transformWithState` API (per-entry MapState on
+  * RocksDB) — the modes give an apples-to-apples throughput ladder.
   *
   * Prints per-batch progress, final state-table sizes, detection file
   * inventory, and end-to-end throughput.
@@ -32,7 +33,7 @@ object PipelineDemo {
     val rateMs = if (args.length > 2) args(2).toLong else 0L
     val mode = if (args.length > 3) args(3) else "parity"
     val scaleMode = mode == "scale"
-    val nativeMode = mode == "native"
+    val nativeMode = mode == "native" || mode == "tws"
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -76,7 +77,9 @@ object PipelineDemo {
     println(s"[mechanism-y] mode: $mode")
     val secs = if (nativeMode) {
       val pipeline = new NativeStatePipeline(spark, importanceDim,
-        s"$base/out", s"$base/state")
+        s"$base/out", s"$base/state",
+        api = if (mode == "tws") NativeStatePipeline.TransformWithStateApi
+          else NativeStatePipeline.FlatMapGroups)
       val q = pipeline.start(s"$base/in", s"$base/cp", triggerInterval = "1 second")
       q.processAllAvailable()
       q.stop()

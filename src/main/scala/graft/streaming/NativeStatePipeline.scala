@@ -1,11 +1,12 @@
 package graft.streaming
 
 import graft.ops.Patterns
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{
-  GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+  GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor,
+  StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types.DecimalType
 
 /** The SURVEY.md §2.5 A7 "native option": the three running state tables
@@ -38,11 +39,12 @@ import org.apache.spark.sql.types.DecimalType
   * Checkpoint-restart restores state exactly (fMGWS state is versioned
   * per epoch) — state updates are effectively-once; the detection sink
   * stays at-least-once with restart-safe unique dir names, like the
-  * reference. The per-merchant customer map is the documented trade: the
-  * GroupState API (de)serializes one merchant's whole state per touched
-  * key per batch (fine while customers-per-merchant is bounded, as here
-  * and in BankSim); `transformWithState`'s MapState would give per-entry
-  * access for unbounded fan-out.
+  * reference. Two state APIs behind one pipeline ([[NativeStatePipeline.StateApi]]):
+  * [[NativeStatePipeline.FlatMapGroups]] (GroupState — one blob per
+  * merchant, fine while customers-per-merchant is bounded, as here and
+  * in BankSim) and [[NativeStatePipeline.TransformWithStateApi]]
+  * (Spark 4 `transformWithState` — ValueState totals + per-entry
+  * MapState customers on RocksDB, the shape for unbounded fan-out).
   *
   * State snapshot rows are also APPENDED to `stateDir` as parquet tagged
   * with the epoch (a state change-log): [[NativeStatePipeline.merchantSummary]]
@@ -57,7 +59,8 @@ class NativeStatePipeline(
     cfg: Patterns.Config = Patterns.DefaultConfig,
     clock: () => Patterns.Clock = () => MicroBatchRunner.wallClock(),
     detectionBatchSize: Int = 50,
-    fallbackWeight: Double = 2.0) {
+    fallbackWeight: Double = 2.0,
+    api: NativeStatePipeline.StateApi = NativeStatePipeline.FlatMapGroups) {
 
   import NativeStatePipeline._
 
@@ -153,10 +156,20 @@ class NativeStatePipeline(
       .select(col("customer"), col("merchant"), col("gender"),
         col("category"), col("amount"))
       .as[Tx]
-    val out: Dataset[StateOut] = src
-      .groupByKey(_.merchant)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        updateMerchant)
+    val out: Dataset[StateOut] = api match {
+      case FlatMapGroups =>
+        src.groupByKey(_.merchant)
+          .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+            updateMerchant)
+      case TransformWithStateApi =>
+        // transformWithState requires the RocksDB provider (per-entry
+        // MapState access is the whole point); picked up at query start
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        src.groupByKey(_.merchant)
+          .transformWithState(new MerchantProcessor(),
+            TimeMode.None(), OutputMode.Update())
+    }
     out.writeStream
       .foreachBatch((b: Dataset[StateOut], id: Long) =>
         processStateBatch(b.toDF(), id))
@@ -168,6 +181,20 @@ class NativeStatePipeline(
 }
 
 object NativeStatePipeline {
+
+  /** Which arbitrary-state API keeps the per-merchant state. */
+  sealed trait StateApi
+  /** `flatMapGroupsWithState`: one blob per merchant — the whole
+    * customer map (de)serializes per touched key per batch. Fine while
+    * customers-per-merchant is bounded. */
+  case object FlatMapGroups extends StateApi
+  /** `transformWithState` (Spark 4): ValueState for the three totals +
+    * MapState for the per-customer rows — RocksDB stores each customer
+    * as its OWN state entry, so a batch pays get/put only for the
+    * customers it touches and the full-map emission streams a RocksDB
+    * cursor instead of deserializing one giant blob. The 100 TB shape
+    * for unbounded customers-per-merchant fan-out. */
+  case object TransformWithStateApi extends StateApi
 
   /** Input projection of the 10-column stream: only what state + the
     * pattern queries consume. */
@@ -226,6 +253,70 @@ object NativeStatePipeline {
         StateOut("cm", merchantId, c, null, a.cnt, 0L, a.amt) } ++
       batchPairs.iterator.map { case (c, cat) =>
         StateOut("b", merchantId, c, cat, 0L, 0L, null) }
+  }
+
+  /** Merchant totals row for the TWS ValueState. */
+  case class Totals(total: Long, male: Long, female: Long)
+
+  /** Per-customer running (count, amount-in-cents) for the TWS MapState
+    * — cents as Long keeps the accumulation exact (same HALF_UP per-row
+    * rounding as [[CustAgg]]) and gives RocksDB a fixed-width value. */
+  case class CustCents(cnt: Long, cents: Long)
+
+  /** The A7 additive update on the `transformWithState` API: same
+    * contract as [[updateMerchant]] (emit the merchant's FULL cumulative
+    * state + the batch's distinct (customer, category) pairs), but the
+    * per-customer map lives as per-entry MapState rows — the batch only
+    * get/puts the customers it touches, and the full-map emission is a
+    * state-store cursor, not a one-blob deserialize. */
+  class MerchantProcessor extends StatefulProcessor[String, Tx, StateOut] {
+    @transient private var totals: ValueState[Totals] = _
+    @transient private var perCustomer: MapState[String, CustCents] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      totals = getHandle.getValueState[Totals]("totals",
+        Encoders.product[Totals], TTLConfig.NONE)
+      perCustomer = getHandle.getMapState[String, CustCents]("perCustomer",
+        Encoders.STRING, Encoders.product[CustCents], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(merchantId: String, rows: Iterator[Tx],
+        timerValues: TimerValues): Iterator[StateOut] = {
+      val prev = if (totals.exists()) totals.get() else Totals(0L, 0L, 0L)
+      var total = prev.total
+      var male = prev.male
+      var female = prev.female
+      // batch-local delta per touched customer: ONE MapState get/put per
+      // touched customer, not per row
+      val touched = scala.collection.mutable.HashMap[String, CustCents]()
+      val batchPairs = scala.collection.mutable.LinkedHashSet[(String, String)]()
+      rows.foreach { r =>
+        total += 1L
+        if (r.gender == "M") male += 1L
+        else if (r.gender == "F") female += 1L
+        // unscaled value of the scale-2 decimal IS the cents count
+        val cents = BigDecimal(r.amount)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .bigDecimal.unscaledValue().longValueExact()
+        val cur = touched.getOrElse(r.customer, CustCents(0L, 0L))
+        touched(r.customer) = CustCents(cur.cnt + 1L, cur.cents + cents)
+        batchPairs += ((r.customer, r.category))
+      }
+      totals.update(Totals(total, male, female))
+      touched.foreach { case (c, d) =>
+        val cur = if (perCustomer.containsKey(c)) perCustomer.getValue(c)
+          else CustCents(0L, 0L)
+        perCustomer.updateValue(c, CustCents(cur.cnt + d.cnt, cur.cents + d.cents))
+      }
+      Iterator(
+        StateOut("m", merchantId, null, null, total, 0L, null),
+        StateOut("g", merchantId, null, null, male, female, null)) ++
+        perCustomer.iterator().map { case (c, a) =>
+          StateOut("cm", merchantId, c, null, a.cnt, 0L,
+            BigDecimal(BigInt(a.cents), 2)) } ++
+        batchPairs.iterator.map { case (c, cat) =>
+          StateOut("b", merchantId, c, cat, 0L, 0L, null) }
+    }
   }
 
   // ---- readout: reconstruct the three tables from the change-log ----

@@ -81,6 +81,35 @@ class NativeStateSpec extends AnyFunSuite {
     } finally store.close()
   }
 
+  test("transformWithState backend (MapState per customer) == flatMapGroupsWithState backend") {
+    val base = Files.createTempDirectory("graft-tws").toString
+    val tx = refTx().cache()
+    ChunkFeeder.feed(tx, s"$base/in", chunkSize = 2000)
+
+    val fmgws = new NativeStatePipeline(spark, Tables.importance(spark, sf),
+      s"$base/out-fmgws", s"$base/state-fmgws", clock = () => Patterns.FixedClock)
+    val q1 = fmgws.start(s"$base/in", s"$base/cp-fmgws", "1 second")
+    q1.processAllAvailable(); q1.stop()
+
+    val tws = new NativeStatePipeline(spark, Tables.importance(spark, sf),
+      s"$base/out-tws", s"$base/state-tws", clock = () => Patterns.FixedClock,
+      api = NativeStatePipeline.TransformWithStateApi)
+    val q2 = tws.start(s"$base/in", s"$base/cp-tws", "1 second")
+    q2.processAllAvailable(); q2.stop()
+
+    assert(detections(s"$base/out-fmgws").nonEmpty)
+    assert(detections(s"$base/out-tws") == detections(s"$base/out-fmgws"))
+    assert(sameRows(
+      NativeStatePipeline.merchantSummary(spark, s"$base/state-tws"),
+      NativeStatePipeline.merchantSummary(spark, s"$base/state-fmgws")))
+    assert(sameRows(
+      NativeStatePipeline.custMerchantSummary(spark, s"$base/state-tws"),
+      NativeStatePipeline.custMerchantSummary(spark, s"$base/state-fmgws")))
+    assert(sameRows(
+      NativeStatePipeline.genderSummary(spark, s"$base/state-tws"),
+      NativeStatePipeline.genderSummary(spark, s"$base/state-fmgws")))
+  }
+
   test("checkpoint restart restores fMGWS state (no loss, no double count)") {
     val base = Files.createTempDirectory("graft-native-restart").toString
     val tx = refTx().cache()
