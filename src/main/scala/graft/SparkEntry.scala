@@ -59,6 +59,7 @@ object SparkEntry {
     "dedup_ngram"       -> (Dedup.ngramJaccardPairs(_, _)),
     "dedup_minhash"     -> (Dedup.dedupMinhash(_, _)),
     "dedup_simhash"     -> (Dedup.dedupSimhash(_, _)),
+    "dedup_clusters"    -> (Dedup.dedupClusters(_, _)),
     // LLM-pipeline: similarity search
     "similarity_topk"   -> (Vectors.simTopK(_, _)),
     "similarity_topk_ivf" -> (Vectors.simTopKIvf(_, _)),
@@ -71,6 +72,8 @@ object SparkEntry {
     "doc_chunks"        -> (TextOps.docChunks(_, _)),
     "tfidf_topterms"    -> (TextOps.tfidfTopTerms(_, _)),
     "pack_bins"         -> (TextOps.packBins(_, _)),
+    "bigram_topk"       -> (TextOps.bigramTopK(_, _)),
+    "repetition_stats"  -> (TextOps.repetitionStats(_, _)),
     "fingerprint"       -> (TextOps.fingerprints(_, _)),
     // LLM-pipeline: multimodal plumbing
     "media_features"    -> (Multimodal.mediaFeaturesQuery(_, _)),
@@ -111,6 +114,7 @@ object SparkEntry {
     "union_detections"  -> Patterns.unionDetectionsQuerySql,
     "dedup_exact"       -> Dedup.dedupExactSql,
     "dedup_ngram"       -> Dedup.ngramJaccardSql(),
+    "dedup_clusters"    -> Dedup.dedupClustersSql(),
     // dedup_minhash / dedup_simhash / emb_neardup_lsh / fingerprint:
     // engine-specific hash families — not ANSI-SQL-expressible; covered
     // by DedupSpec/VectorsSpec/TextOpsSpec against brute-force truth.
@@ -122,6 +126,8 @@ object SparkEntry {
     "doc_chunks"        -> TextOps.docChunksSql(),
     "tfidf_topterms"    -> TextOps.tfidfTopTermsSql(),
     "pack_bins"         -> TextOps.packBinsSql(),
+    "bigram_topk"       -> TextOps.bigramTopKSql(),
+    "repetition_stats"  -> TextOps.repetitionStatsSql,
     "media_features"    -> Multimodal.mediaFeaturesSql,
     "sample_hash"       -> Sampling.sampleHashSql,
     "sample_stratified" -> Sampling.sampleStratifiedSql,

@@ -134,6 +134,67 @@ object Dedup {
        |  JOIN sz sb ON idb = sb.doc_id)
        |WHERE j >= ${threshold}""".stripMargin
 
+  /** Near-dup CLUSTERS from the exact pair set: connected components
+    * with each document labeled by the smallest doc_id in its component
+    * (the canonical-survivor choice corpus dedup needs — pairs alone
+    * don't tell you which copies to drop when dups chain A~B~C).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels, until a
+    * fixpoint (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — this is their baseline; rounds = component
+    * diameter, which for near-dup clusters is tiny since dup chains are
+    * short). Each round is one keyed shuffle (edges ⋈ labels, groupBy
+    * dst) with the label frame `localCheckpoint`ed so lineage doesn't
+    * compound across rounds. Singletons keep their own id. The star
+    * contraction variants from the same paper are the O(log n)-round
+    * upgrade if a corpus ever produces deep dup chains.
+    *
+    * Oracle: the same fixpoint as a DuckDB recursive CTE (UNION-dedup'd
+    * reachability, then min per node). */
+  def dedupClusters(spark: SparkSession, dir: String,
+      threshold: Double = 0.6): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir, threshold)
+      .select(col("ida"), col("idb"))
+    val edges = pairs
+      .unionAll(pairs.select(col("idb").as("ida"), col("ida").as("idb")))
+      .toDF("src", "dst")
+      .persist()
+    edges.count()
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.filter(col("label") =!= col("old_label")).count()
+      labels = next.select(col("doc_id"), col("label"))
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  def dedupClustersSql(threshold: Double = 0.6): String =
+    s"""WITH RECURSIVE pairs AS (
+       |${ngramJaccardSql(threshold)}
+       |),
+       |edges AS (SELECT ida AS src, idb AS dst FROM pairs
+       |          UNION ALL SELECT idb AS src, ida AS dst FROM pairs),
+       |reach(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.doc_id = e.src)
+       |SELECT doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY doc_id""".stripMargin
+
   // ---- MinHash + LSH ----
 
   /** 64-permutation MinHash signature per document: the shingle string is

@@ -242,6 +242,80 @@ object TextOps {
        |SELECT doc_id, term, tf, df, round(CAST(tf AS DOUBLE) / df, 6) AS score
        |FROM j WHERE rn <= $k""".stripMargin
 
+  /** Adjacent bigrams of a token array: zip each token with its
+    * successor — a zero-shuffle array expression, no explode until the
+    * consumer asks for rows. */
+  private def bigrams(toks: Column): Column =
+    zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+
+  /** Corpus-wide top-k bigrams (the n-gram statistics pass every
+    * pre-training corpus gets: contamination screens, boilerplate
+    * detection, tokenizer health checks).
+    *
+    * Scale: bigram construction is a narrow per-row array op; the
+    * explode feeds a hash aggregate with map-side partial combine, so
+    * the shuffle carries (distinct bigram, partial count), not corpus
+    * positions; the final top-k is TakeOrdered on the aggregated
+    * (vocabulary²-bounded) set — no global sort. (count DESC, bigram)
+    * makes the cut deterministic. */
+  def bigramTopK(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables.fanOut(Tables.documents(spark, dir))
+      .select(explode(bigrams(tokens(col("text")))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(k)
+
+  def bigramTopKSql(k: Int = 100): String =
+    s"""WITH t AS (SELECT doc_id, ${tokensSql} AS toks FROM documents),
+       |b AS (SELECT unnest(list_transform(
+       |        list_zip(toks[1:len(toks)-1], toks[2:]),
+       |        x -> x[1] || ' ' || x[2])) AS bigram
+       |      FROM t)
+       |SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+       |FROM b GROUP BY bigram
+       |ORDER BY cnt DESC, bigram LIMIT $k""".stripMargin
+
+  /** Per-document repetition metrics (adjacent-duplicate token runs —
+    * the degenerate-text signal quality filters cut on: "batch batch
+    * batch" inflates perplexity-free repetition). Zero-shuffle narrow
+    * pass: the adjacent-pair comparison is an array zip inside codegen,
+    * never an explode. repeat_ratio divides exact integer counts in
+    * double (bit-identical across engines); single-token docs guard the
+    * 0/0 case to 0.0. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("repeat_count",
+        size(filter(
+          zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => a === b),
+          x => x)).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("repeat_count"),
+        when(col("n_tokens") > 1,
+          round(col("repeat_count").cast("double") / (col("n_tokens") - 1), 6))
+          .otherwise(0.0).as("repeat_ratio"))
+
+  val repetitionStatsSql: String =
+    s"""WITH t AS (SELECT doc_id, ${tokensSql} AS toks FROM documents),
+       |r AS (SELECT doc_id,
+       |        CAST(len(toks) AS BIGINT) AS n_tokens,
+       |        CAST(len(list_filter(
+       |          list_zip(toks[1:len(toks)-1], toks[2:]),
+       |          x -> x[1] = x[2])) AS BIGINT) AS repeat_count
+       |      FROM t)
+       |SELECT doc_id, n_tokens, repeat_count,
+       |  CASE WHEN n_tokens > 1
+       |    THEN round(CAST(repeat_count AS DOUBLE) / (n_tokens - 1), 6)
+       |    ELSE 0.0 END AS repeat_ratio
+       |FROM r""".stripMargin
+
   /** Winnowed fingerprint summary per document (custom codegen'd Catalyst
     * expression — [[graft.functions.WinnowedFingerprint]]). Not
     * SQL-expressible in the oracle (engine-specific rolling hash);

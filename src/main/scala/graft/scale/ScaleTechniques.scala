@@ -44,4 +44,38 @@ object ScaleTechniques {
       .agg(count(lit(1)).as("pc"), sum(col("v")).as("ps"))
       .groupBy(col("k"))
       .agg(sum(col("pc")).as("cnt"), sum(col("ps")).as("sum_v"))
+
+  /** Runtime bloom-filter join pruning, via Catalyst's own
+    * InjectRuntimeFilter rule rather than hand-rolled UDF filtering:
+    * when one join side is selective (a filtered dim too big to
+    * broadcast), Spark builds a bloom filter from its creation-side keys
+    * and injects `might_contain` into the OTHER side's scan, dropping
+    * non-joining rows BEFORE the shuffle. At 100 TB that turns a
+    * fact-table-sized exchange into a match-sized one. This helper pins
+    * the confs that arm the rule (off the thresholds by default for
+    * tiny test inputs) — production keeps the defaults, which arm it
+    * only when the application side exceeds 10 GB.
+    * ScaleTechniquesSpec plan-asserts the injected BloomFilter
+    * aggregate + might_contain probe and result parity with the plain
+    * join. */
+  def withRuntimeBloomFilter[A](spark: SparkSession)(body: => A): A = {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // force a shuffle join: broadcast joins don't need (or get) the filter
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      body
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

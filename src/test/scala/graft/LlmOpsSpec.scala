@@ -31,6 +31,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == naive) // prefix filtering is lossless at the threshold
   }
 
+  test("dedup clusters: min-label propagation == union-find over the exact pair set") {
+    val pairs = Dedup.ngramJaccardPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    // brute union-find truth with path compression
+    val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = docs.map { d =>
+      d -> docs.filter(o => find(o) == find(d)).min
+    }.toMap
+    val got = Dedup.dedupClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+    // at least one non-trivial cluster (a doc labeled by a different doc)
+    assert(got.exists { case (d, c) => d != c })
+  }
+
   test("a corpus-wide hot shingle never enters the prefix postings") {
     import spark.implicits._
     // 200 docs, each: 6 unique shingles + one shingle shared by ALL docs.

@@ -55,6 +55,28 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(pruned.count() == want)
   }
 
+  test("runtime bloom filter is injected into the probe side and preserves the join result") {
+    // selective dim (1 of 25 customers by segment+comment filter) joined
+    // to the fact table — the shape where pre-shuffle pruning pays
+    val fact = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val dim = Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 25 === 0)
+      .select("c_custkey")
+    def join() = fact.join(dim, fact("o_custkey") === dim("c_custkey"))
+      .select("o_orderkey", "o_custkey")
+    val plain = join().collect().map(_.toSeq).toSet
+    assert(plain.nonEmpty)
+    ScaleTechniques.withRuntimeBloomFilter(spark) {
+      val df = join()
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no bloom probe injected:\n$optimized")
+      assert(optimized.contains("bloom_filter_agg"),
+        s"no bloom creation side:\n$optimized")
+      assert(df.collect().map(_.toSeq).toSet == plain)
+    }
+  }
+
   test("salted aggregation equals plain aggregation") {
     val got = ScaleTechniques.saltedCountSum(
         Tables.lineitem(spark, sf), col("l_suppkey"), col("l_quantity"))
