@@ -60,11 +60,13 @@ object SparkEntry {
     "dedup_minhash"     -> (Dedup.dedupMinhash(_, _)),
     "dedup_simhash"     -> (Dedup.dedupSimhash(_, _)),
     "dedup_clusters"    -> (Dedup.dedupClusters(_, _)),
+    "dedup_incremental" -> (Dedup.dedupIncremental(_, _)),
     // LLM-pipeline: similarity search
     "similarity_topk"   -> (Vectors.simTopK(_, _)),
     "similarity_topk_ivf" -> (Vectors.simTopKIvf(_, _)),
     "emb_neardup"       -> (Vectors.embNearDupPairs(_, _)),
     "emb_neardup_lsh"   -> (Vectors.embNearDupLsh(_, _)),
+    "emb_centroids"     -> (Vectors.embCentroids(_, _)),
     // LLM-pipeline: text analysis
     "text_stats"        -> (TextOps.textStats(_, _)),
     "lang_id"           -> (TextOps.langId(_, _)),
@@ -120,6 +122,7 @@ object SparkEntry {
     // by DedupSpec/VectorsSpec/TextOpsSpec against brute-force truth.
     "similarity_topk"   -> Vectors.simTopKSql(),
     "emb_neardup"       -> Vectors.embNearDupSql(),
+    "emb_centroids"     -> Vectors.embCentroidsSql,
     "text_stats"        -> TextOps.textStatsSql,
     "lang_id"           -> TextOps.langIdSql,
     "token_count"       -> TextOps.tokenCountSql,

@@ -218,4 +218,40 @@ object Vectors {
       .select(col("ida"), col("idb"), col("cos").as("cosine"))
     // (within-bucket pairs are few; per-pair norms are fine here)
   }
+
+  /** Per-class embedding centroid (the class-prototype / drift-monitor
+    * aggregate). Floats are floored onto a 1e-6 grid as exact longs
+    * BEFORE summing, so the aggregation is order-independent and
+    * bit-identical across engines — a raw float/double sum would depend
+    * on partition order and could never hash-match an oracle. One
+    * posexplode pass, map-side partial sums, one shuffle on
+    * (label, dim); the mean divides exact integers in double (IEEE-
+    * identical both engines). */
+  def embCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.embeddings(spark, dir))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), (col("pos") + 1).as("dim"),
+        floor(col("v").cast("double") * 1e6).as("sv"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("sv")).as("sum_scaled"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim").cast("int").as("dim"),
+        col("sum_scaled"), col("n"),
+        // RAW double, no round(): the division chain over exact ints is
+        // IEEE-identical in both engines, while round(x, 6) lands on a
+        // half (e.g. sum/n = 32010.5) whenever n divides sum — Spark
+        // HALF_UP vs DuckDB half-even then disagree
+        (col("sum_scaled").cast("double") / col("n") / lit(1e6)).as("mean"))
+
+  val embCentroidsSql: String =
+    """WITH e AS (SELECT label, unnest(embedding) AS v,
+      |                  generate_subscripts(embedding, 1) AS i
+      |           FROM embeddings),
+      |s AS (SELECT label, CAST(i AS INT) AS dim,
+      |        CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT)
+      |          AS sum_scaled,
+      |        CAST(count(*) AS BIGINT) AS n
+      |      FROM e GROUP BY 1, 2)
+      |SELECT label, dim, sum_scaled, n,
+      |  CAST(sum_scaled AS DOUBLE) / n / 1000000.0 AS mean
+      |FROM s""".stripMargin
 }

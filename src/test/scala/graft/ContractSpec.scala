@@ -11,6 +11,7 @@ class ContractSpec extends AnyFunSuite {
   private val specGatedOnly = Set(
     "dedup_minhash",      // LlmOpsSpec: recall vs exact Jaccard
     "dedup_simhash",      // LlmOpsSpec: == brute-force Hamming
+    "dedup_incremental",  // LlmOpsSpec: subset of brute cross pairs + recall at j>=0.9
     "emb_neardup_lsh",    // LlmOpsSpec: subset + recall bound vs exact
     "similarity_topk_ivf",// LlmOpsSpec: recall vs brute force
     "fingerprint")        // LlmOpsSpec: == plain-Scala winnowing

@@ -60,6 +60,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.exists { case (d, c) => d != c })
   }
 
+  test("incremental dedup: exact subset of brute cross pairs, full recall at j>=0.9") {
+    // brute truth: exact jaccard pairs with exactly one side in the
+    // batch (doc_id % 10 == 0), keyed (new, corpus)
+    def cross(thr: Double) = Dedup.ngramJaccardPairs(spark, sf, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect {
+        case (a, b) if a % 10 == 0 && b % 10 != 0 => (a, b)
+        case (a, b) if b % 10 == 0 && a % 10 != 0 => (b, a)
+      }.toSet
+    val got06 = Dedup.dedupIncremental(spark, sf, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got06.subsetOf(cross(0.6))) // verify step is exact
+    val want09 = cross(0.9)
+    assert(want09.nonEmpty, "fixture should contain cross-side near-dups at 0.9")
+    val got09 = Dedup.dedupIncremental(spark, sf, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want09.subsetOf(got09), // banding misses nothing at j>=0.9
+      s"missed: ${want09 -- got09}")
+  }
+
   test("a corpus-wide hot shingle never enters the prefix postings") {
     import spark.implicits._
     // 200 docs, each: 6 unique shingles + one shingle shared by ALL docs.
