@@ -44,6 +44,7 @@ object SparkEntry {
     // temporal joins / segmentation (no reference or Spark built-in)
     "asof_join"         -> (TemporalOps.asofViewBeforePurchase(_, _)),
     "asof_join_native"  -> (TemporalOps.asofViewBeforePurchaseNative(_, _)),
+    "asof_tolerance"    -> (TemporalOps.asofViewWithinTolerance(_, _)),
     "range_join"        -> (TemporalOps.rangeJoinClicks(_, _)),
     "sessionize"        -> (TemporalOps.sessionize(_, _)),
     "topk_amounts"      -> (graft.functions.TopKAggregator.topAmounts(_, _)),
@@ -76,6 +77,7 @@ object SparkEntry {
     "pack_bins"         -> (TextOps.packBins(_, _)),
     "bigram_topk"       -> (TextOps.bigramTopK(_, _)),
     "repetition_stats"  -> (TextOps.repetitionStats(_, _)),
+    "corpus_mix"        -> (TextOps.corpusMix(_, _)),
     "fingerprint"       -> (TextOps.fingerprints(_, _)),
     // LLM-pipeline: multimodal plumbing
     "media_features"    -> (Multimodal.mediaFeaturesQuery(_, _)),
@@ -105,6 +107,7 @@ object SparkEntry {
     "semi_join"         -> RelOps.semiJoinBigSql,
     "asof_join"         -> TemporalOps.asofViewBeforePurchaseSql,
     "asof_join_native"  -> TemporalOps.asofViewBeforePurchaseSql,
+    "asof_tolerance"    -> TemporalOps.asofViewWithinToleranceSql(),
     "range_join"        -> TemporalOps.rangeJoinClicksSql,
     "sessionize"        -> TemporalOps.sessionizeSql,
     "topk_amounts"      -> graft.functions.TopKAggregator.topAmountsSql,
@@ -131,6 +134,7 @@ object SparkEntry {
     "pack_bins"         -> TextOps.packBinsSql(),
     "bigram_topk"       -> TextOps.bigramTopKSql(),
     "repetition_stats"  -> TextOps.repetitionStatsSql,
+    "corpus_mix"        -> TextOps.corpusMixSql(),
     "media_features"    -> Multimodal.mediaFeaturesSql,
     "sample_hash"       -> Sampling.sampleHashSql,
     "sample_stratified" -> Sampling.sampleStratifiedSql,

@@ -316,6 +316,56 @@ object TextOps {
        |    ELSE 0.0 END AS repeat_ratio
        |FROM r""".stripMargin
 
+  /** Corpus composition by (source, lang) — the mix dashboard every
+    * training-data curation loop watches: document/token/char counts
+    * plus how many docs clear the quality bar. All aggregates are exact
+    * integers (doubles never sum across rows — partial-aggregation
+    * order would make that engine-dependent); the per-doc quality score
+    * is computed then only COMPARED, and mean tokens/doc divides exact
+    * ints. One shuffle on the (source, lang) grain. */
+  def corpusMix(spark: SparkSession, dir: String,
+      qualityBar: Double = 0.5): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("word_count", size(col("toks")).cast("long"))
+      .withColumn("stop_count",
+        size(filter(col("toks"), t => t.isInCollection(stopwords))).cast("long"))
+      .withColumn("quality_score",
+        least(col("word_count").cast("double") / lit(50.0), lit(1.0)) * 0.5
+          + (col("stop_count").cast("double") / col("word_count")) * 0.5)
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("word_count")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(when(col("quality_score") >= qualityBar, 1L).otherwise(0L))
+          .as("n_quality"))
+      // raw division (no round): exact-int division is IEEE-identical in
+      // both engines, while round(x, 6) can land on a half (n_docs a
+      // multiple of 128 ⇒ 7-digit terminating quotient) where Spark
+      // HALF_UP and DuckDB half-even disagree
+      .withColumn("tokens_per_doc",
+        col("n_tokens").cast("double") / col("n_docs"))
+
+  def corpusMixSql(qualityBar: Double = 0.5): String =
+    s"""WITH t AS (SELECT source, lang, n_chars, ${tokensSql} AS toks FROM documents),
+       |c AS (SELECT source, lang, n_chars,
+       |        CAST(len(toks) AS BIGINT) AS word_count,
+       |        CAST(len(list_filter(toks, x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")})))
+       |          AS BIGINT) AS stop_count
+       |      FROM t),
+       |q AS (SELECT source, lang, n_chars, word_count,
+       |        least(CAST(word_count AS DOUBLE) / 50.0, 1.0) * 0.5
+       |          + (CAST(stop_count AS DOUBLE) / word_count) * 0.5 AS quality_score
+       |      FROM c)
+       |SELECT source, lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(word_count) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(sum(CASE WHEN quality_score >= $qualityBar THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |  CAST(CAST(sum(word_count) AS BIGINT) AS DOUBLE) / count(*) AS tokens_per_doc
+       |FROM q GROUP BY source, lang""".stripMargin
+
   /** Winnowed fingerprint summary per document (custom codegen'd Catalyst
     * expression — [[graft.functions.WinnowedFingerprint]]). Not
     * SQL-expressible in the oracle (engine-specific rolling hash);

@@ -110,6 +110,46 @@ object TemporalOps {
         date_format(col("asof_ts"), tsFmt).as("view_ts"))
   }
 
+  /** As-of join with a TOLERANCE bound (pandas `merge_asof(tolerance=…)`
+    * semantics): the latest view before each purchase counts only if it
+    * happened within `toleranceMinutes`; staler matches become NULL.
+    * Because build rows at a probe are ordered by time, "latest match
+    * outside tolerance" implies every other match is too — so the bound
+    * is a null-out of the plain as-of result, not a different join (no
+    * extra shuffle, same one window pass). */
+  def asofViewWithinTolerance(spark: SparkSession, dir: String,
+      toleranceMinutes: Int = 30): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val inTol = col("asof_ts") >=
+      col("ts") - expr(s"INTERVAL $toleranceMinutes MINUTES")
+    asofJoin(purchases, views, Seq("user_id"), "ts", "ts", "event_id",
+        Seq("event_id", "ts"))
+      .select(
+        col("purchase_id"), col("user_id"),
+        date_format(col("ts"), tsFmt).as("purchase_ts"),
+        when(inTol, col("asof_event_id")).as("view_id"),
+        when(inTol, date_format(col("asof_ts"), tsFmt)).as("view_ts"))
+  }
+
+  def asofViewWithinToleranceSql(toleranceMinutes: Int = 30): String =
+    s"""WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+       |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+       |j AS (
+       |  SELECT p.purchase_id, p.user_id, p.ts AS pts, v.event_id AS vid, v.ts AS vts,
+       |    row_number() OVER (PARTITION BY p.purchase_id
+       |      ORDER BY v.ts DESC NULLS LAST, v.event_id DESC NULLS LAST) AS rn
+       |  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+       |    AND v.ts >= p.ts - INTERVAL $toleranceMinutes MINUTE)
+       |SELECT purchase_id, user_id,
+       |  strftime(pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       |  vid AS view_id,
+       |  strftime(vts, '%Y-%m-%d %H:%M:%S') AS view_ts
+       |FROM j WHERE rn = 1""".stripMargin
+
   val asofViewBeforePurchaseSql: String =
     """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
       |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
