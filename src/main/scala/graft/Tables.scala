@@ -45,14 +45,18 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** Fan a small-file scan out to every core. The doc/embedding tables
-    * arrive as one parquet file → one scan partition; any pipeline doing
-    * real per-row compute (shingling, hashing, pair joins) would run
-    * single-threaded without this. The shuffled bytes are tiny relative
-    * to the compute they unlock; at cluster scale the same holds for a
-    * handful of input splits fanning to thousands of cores. */
-  def fanOut(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  /** Fan a small-file scan out to every core — but ONLY when the scan
+    * actually under-parallelizes. The testdata doc/embedding tables
+    * arrive as one parquet file → one scan partition, so per-row compute
+    * (shingling, hashing, pair joins) would run single-threaded; there
+    * the shuffled bytes are tiny relative to the compute they unlock.
+    * A 100 TB corpus arrives as thousands of splits already ≥ the
+    * session's parallelism — repartitioning it would be a full-corpus
+    * shuffle for nothing, so this is a no-op exactly then. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 
   /** The reference's transaction stream schema re-expressed on testdata:
     * customer = o_custkey, merchant = l_suppkey, category = l_returnflag,

@@ -77,6 +77,15 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("fanOut is a no-op when the scan already has enough partitions") {
+    val target = spark.sparkContext.defaultParallelism
+    val wide = spark.range(1000).repartition(target + 4).toDF("n")
+    assert(Tables.fanOut(wide) eq wide) // no second shuffle injected
+    val narrow = spark.range(1000).coalesce(1).toDF("n")
+    assert(narrow.rdd.getNumPartitions == 1)
+    assert(Tables.fanOut(narrow).rdd.getNumPartitions == target)
+  }
+
   test("salted aggregation equals plain aggregation") {
     val got = ScaleTechniques.saltedCountSum(
         Tables.lineitem(spark, sf), col("l_suppkey"), col("l_quantity"))
