@@ -198,6 +198,63 @@ object Dedup {
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., SoCC'14) — O(log n) rounds regardless
+    * of component diameter, vs [[dedupClusters]]'s O(diameter)
+    * propagation. Near-dup chains are usually short, so propagation is
+    * the default; this is the variant a corpus with DEEP chains (e.g.
+    * iteratively mutated boilerplate) needs — ClustersSpec runs it on a
+    * 200-node path graph where propagation would take 200 rounds.
+    *
+    * Each round: large-star hangs every neighbor v > u onto
+    * m = min(Γ(u) ∪ u); small-star re-hangs the v ≤ u side; both are
+    * one groupBy + one join over the (symmetrized) edge list. The edge
+    * set monotonically contracts toward stars rooted at component
+    * minima; fixpoint when a round changes nothing. */
+  private[graft] def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+    // large-star: per node u over its FULL neighborhood,
+    // m = min(Γ(u) ∪ {u}); hang every LARGER neighbor onto m
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    // small-star: orient each edge (hi → lo); per hi with smaller
+    // neighborhood N, m = min(N); re-hang N ∪ {hi} \ {m} onto m
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val hung = oriented.join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(mins.select(col("u"), col("m").as("v")))
+      hung.filter(col("u") =!= col("v")).distinct()
+    }
+    def canon(e: DataFrame): DataFrame = e.select(
+      least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    var edges = pairs.toDF("u", "v").filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    var converged = edges.isEmpty
+    while (!converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = canon(next).exceptAll(canon(edges)).isEmpty &&
+        canon(edges).exceptAll(canon(next)).isEmpty
+      edges = next
+    }
+    // fixpoint: edges are (member → component min) stars
+    val members = edges.select(
+      greatest(col("u"), col("v")).as("doc_id"),
+      least(col("u"), col("v")).as("cluster_id")).distinct()
+    members.unionAll(members.select(col("cluster_id"), col("cluster_id"))
+      .distinct().toDF("doc_id", "cluster_id"))
+  }
+
   def dedupClustersSql(threshold: Double = 0.6): String =
     s"""WITH RECURSIVE pairs AS (
        |${ngramJaccardSql(threshold)}

@@ -60,6 +60,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.exists { case (d, c) => d != c })
   }
 
+  test("star-contraction components == propagation clusters; deep chain converges") {
+    import spark.implicits._
+    // same exact pair set as dedupClusters: results must agree on every
+    // doc that participates in a near-dup pair
+    val pairs = Dedup.ngramJaccardPairs(spark, sf).select("ida", "idb")
+    val star = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val prop = Dedup.dedupClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star.nonEmpty)
+    star.foreach { case (d, c) => assert(prop(d) == c, s"doc $d: star=$c prop=${prop(d)}") }
+    // 200-node path graph: diameter 199 (propagation would need ~199
+    // rounds); star contraction must still produce one cluster rooted at 0
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("u", "v")
+    val chainStar = Dedup.connectedComponentsStar(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(chainStar.size == 200)
+    assert(chainStar.values.forall(_ == 0L))
+  }
+
   test("incremental dedup: exact subset of brute cross pairs, full recall at j>=0.9") {
     // brute truth: exact jaccard pairs with exactly one side in the
     // batch (doc_id % 10 == 0), keyed (new, corpus)

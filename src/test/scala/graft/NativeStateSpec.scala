@@ -110,6 +110,33 @@ class NativeStateSpec extends AnyFunSuite {
       NativeStatePipeline.genderSummary(spark, s"$base/state-fmgws")))
   }
 
+  test("checkpoint restart restores transformWithState state (RocksDB)") {
+    val base = Files.createTempDirectory("graft-tws-restart").toString
+    val tx = refTx().cache()
+    val half = tx.limit((tx.count() / 2).toInt).cache()
+
+    ChunkFeeder.feed(half, s"$base/in", chunkSize = 1000)
+    val p1 = new NativeStatePipeline(spark, Tables.importance(spark, sf),
+      s"$base/out", s"$base/state", clock = () => Patterns.FixedClock,
+      api = NativeStatePipeline.TransformWithStateApi)
+    val q1 = p1.start(s"$base/in", s"$base/cp", "1 second")
+    q1.processAllAvailable(); q1.stop()
+    val afterFirst = NativeStatePipeline.merchantSummary(spark, s"$base/state")
+      .agg(sum(col("total_transactions"))).collect()(0).getLong(0)
+    assert(afterFirst == half.count())
+
+    // a BRAND-NEW pipeline on the same checkpoint resumes RocksDB state
+    ChunkFeeder.feed(tx, s"$base/in", chunkSize = 1000)
+    val p2 = new NativeStatePipeline(spark, Tables.importance(spark, sf),
+      s"$base/out", s"$base/state", clock = () => Patterns.FixedClock,
+      api = NativeStatePipeline.TransformWithStateApi)
+    val q2 = p2.start(s"$base/in", s"$base/cp", "1 second")
+    q2.processAllAvailable(); q2.stop()
+    val afterSecond = NativeStatePipeline.merchantSummary(spark, s"$base/state")
+      .agg(sum(col("total_transactions"))).collect()(0).getLong(0)
+    assert(afterSecond == afterFirst + tx.count())
+  }
+
   test("checkpoint restart restores fMGWS state (no loss, no double count)") {
     val base = Files.createTempDirectory("graft-native-restart").toString
     val tx = refTx().cache()
