@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   *     the reference's at-least-once semantics for parity).
   */
 class JdbcUpsertStore(url: String, driverClass: String =
-    "org.apache.derby.jdbc.EmbeddedDriver") extends StateStore {
+    "org.apache.derby.jdbc.EmbeddedDriver",
+    semiJoinKeyThreshold: Int = 1000) extends StateStore {
 
   Class.forName(driverClass)
 
@@ -193,20 +194,47 @@ class JdbcUpsertStore(url: String, driverClass: String =
 
   /** Pruned state read — the key predicate is pushed into the JDBC scan
     * (shows up as a WHERE on the remote side), so per-batch state IO is
-    * O(batch keys), not O(state). Long IN-lists are split into ~250-key
-    * groups, one scan partition each: a 1k-merchant batch reads over 4
-    * parallel connections instead of serializing through one, and a
-    * 10k-key batch never builds a megabyte statement. */
+    * O(batch keys), not O(state). Two forms by key count:
+    *
+    *   - ≤ [[semiJoinKeyThreshold]] keys: IN-lists split into ~250-key
+    *     groups, one scan partition each — a 1k-merchant batch reads
+    *     over 4 parallel connections without building a giant statement.
+    *   - wider batches: the key set is written to a keys temp table
+    *     (same executor-write channel as the deltas) and the remote
+    *     query SEMI-JOINS it — statement size stays O(1) no matter how
+    *     many keys, and the DB drives the lookup from its PK index
+    *     instead of parsing a megabyte IN-list. */
   private def prunedRead(spark: SparkSession, table: String,
       keyCol: String, ids: Seq[String]): DataFrame = {
-    val preds: Array[String] =
-      if (ids.isEmpty) Array("1=0")
-      else ids.distinct.grouped(250).map { g =>
+    val distinctIds = ids.distinct
+    if (distinctIds.isEmpty)
+      spark.read.jdbc(url, table, Array("1=0"), props).drop("last_updated")
+    else if (distinctIds.size <= semiJoinKeyThreshold) {
+      val preds = distinctIds.grouped(250).map { g =>
         val in = g.map(id => s"'${id.replace("'", "''")}'").mkString(",")
         s"$keyCol IN ($in)"
       }.toArray
-    spark.read.jdbc(url, table, preds, props).drop("last_updated")
+      spark.read.jdbc(url, table, preds, props).drop("last_updated")
+    } else {
+      // one shared keys table per store: all three per-batch pruned
+      // reads carry the SAME merchant key set and materialize after the
+      // last (identical) write, so the overwrite is idempotent within a
+      // batch; a store is single-pipeline by contract
+      import spark.implicits._
+      distinctIds.toDF("k")
+        .write.mode("overwrite")
+        .option("truncate", "true")
+        .option("createTableColumnTypes", "k VARCHAR(255)")
+        .jdbc(url, "temp_read_keys", props)
+      val q = s"(SELECT t.* FROM $table t " +
+        s"INNER JOIN temp_read_keys r ON t.$keyCol = r.${q2("k")}) sq"
+      spark.read.jdbc(url, q, props).drop("last_updated")
+    }
   }
+
+  // Spark's JDBC writer creates temp-table columns with quoted
+  // (case-preserved) identifiers — same quoting contract as the merge
+  private def q2(c: String): String = "\"" + c + "\""
 
   override def merchantSummaryFor(spark: SparkSession,
       merchantIds: Seq[String]): DataFrame =

@@ -118,6 +118,28 @@ class StateSpec extends AnyFunSuite {
     } finally store.close()
   }
 
+  test("semi-join pruned read (wide batches) returns the same rows as the IN-list form") {
+    // threshold 0 forces every pruned read through the keys-temp-table
+    // semi-join — the O(1)-statement path wide batches take
+    val dir = s"target/derby-test-semijoin-${System.nanoTime()}"
+    val store = new graft.state.JdbcUpsertStore(
+      s"jdbc:derby:$dir;create=true", semiJoinKeyThreshold = 0)
+    store.init()
+    try {
+      val (m, cm, g) = deltas(txWithBucket(1))
+      store.applyDeltas(m, cm, g)
+      val keys = m.select("merchant_id").collect().map(_.getString(0)).toSeq
+      val some = keys.take(7)
+      val gotM = store.merchantSummaryFor(spark, some)
+      val wantM = m.filter(col("merchant_id").isin(some: _*))
+      assert(gotM.exceptAll(wantM).isEmpty && wantM.exceptAll(gotM).isEmpty)
+      val gotCm = store.custMerchantSummaryFor(spark, some)
+      assert(gotCm.select("merchant_id").distinct().collect()
+        .map(_.getString(0)).toSet == some.toSet)
+      assert(store.merchantSummaryFor(spark, Nil).isEmpty)
+    } finally store.close()
+  }
+
   test("dialect golden strings: postgresql URL → ON CONFLICT, Derby → MERGE INTO") {
     // a jdbc:postgresql: store must emit the reference's upsert form —
     // PG14 has no MERGE ("Mechanism Y.py":152-160); constructing the
