@@ -28,13 +28,41 @@ object Caches {
 
   private val memoMap = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Drop entries whose session's context has stopped — their frames
+    * are unusable and the map would otherwise pin the dead session (and
+    * every cached plan bound to it) for the life of the JVM. Called on
+    * every memo() so long-running multi-session JVMs (sequential test
+    * suites) self-clean without an explicit release(). */
+  private def evictStopped(): Unit = {
+    val it = memoMap.keySet.iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
+  }
+
   /** The memoized, persisted frame for `key` in `spark`'s session,
     * building (and persisting) it on first use. Keys should include
     * every input the plan depends on (e.g. the sf dir). */
-  def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+  def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    evictStopped()
     memoMap.computeIfAbsent((spark, key), _ => build.persist())
+  }
 
-  /** Unpersist and forget every registered frame. */
+  /** Unpersist and forget the frames registered by ONE session, leaving
+    * other live sessions' caches alone — the right call for per-query
+    * cold-attribution benchmarking and session teardown in a shared JVM. */
+  def release(spark: SparkSession): Unit = {
+    val it = memoMap.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) {
+        try e.getValue.unpersist() catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
+
+  /** Unpersist and forget every registered frame (all sessions). */
   def release(): Unit = {
     memoMap.values.forEach(df =>
       try df.unpersist() catch { case _: Throwable => () })

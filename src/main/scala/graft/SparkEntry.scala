@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Multimodal, Sampling, TextOps, Vectors}
+import graft.llm.{Decontam, Dedup, Multimodal, Sampling, TextOps, Vectors}
 import graft.ops.{Patterns, RelOps, TemporalOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -45,6 +45,8 @@ object SparkEntry {
     "asof_join"         -> (TemporalOps.asofViewBeforePurchase(_, _)),
     "asof_join_native"  -> (TemporalOps.asofViewBeforePurchaseNative(_, _)),
     "asof_tolerance"    -> (TemporalOps.asofViewWithinTolerance(_, _)),
+    "asof_forward"      -> (TemporalOps.asofViewAfterPurchase(_, _)),
+    "asof_nearest"      -> (TemporalOps.asofViewNearestPurchase(_, _)),
     "range_join"        -> (TemporalOps.rangeJoinClicks(_, _)),
     "sessionize"        -> (TemporalOps.sessionize(_, _)),
     "topk_amounts"      -> (graft.functions.TopKAggregator.topAmounts(_, _)),
@@ -62,6 +64,9 @@ object SparkEntry {
     "dedup_simhash"     -> (Dedup.dedupSimhash(_, _)),
     "dedup_clusters"    -> (Dedup.dedupClusters(_, _)),
     "dedup_incremental" -> (Dedup.dedupIncremental(_, _)),
+    // LLM-pipeline: benchmark decontamination
+    "decontam"          -> (Decontam.decontaminate(_, _)),
+    "decontam_fp"       -> (Decontam.decontaminateFingerprint(_, _)),
     // LLM-pipeline: similarity search
     "similarity_topk"   -> (Vectors.simTopK(_, _)),
     "similarity_topk_ivf" -> (Vectors.simTopKIvf(_, _)),
@@ -108,6 +113,8 @@ object SparkEntry {
     "asof_join"         -> TemporalOps.asofViewBeforePurchaseSql,
     "asof_join_native"  -> TemporalOps.asofViewBeforePurchaseSql,
     "asof_tolerance"    -> TemporalOps.asofViewWithinToleranceSql(),
+    "asof_forward"      -> TemporalOps.asofViewAfterPurchaseSql,
+    "asof_nearest"      -> TemporalOps.asofViewNearestPurchaseSql,
     "range_join"        -> TemporalOps.rangeJoinClicksSql,
     "sessionize"        -> TemporalOps.sessionizeSql,
     "topk_amounts"      -> graft.functions.TopKAggregator.topAmountsSql,
@@ -120,6 +127,7 @@ object SparkEntry {
     "dedup_exact"       -> Dedup.dedupExactSql,
     "dedup_ngram"       -> Dedup.ngramJaccardSql(),
     "dedup_clusters"    -> Dedup.dedupClustersSql(),
+    "decontam"          -> Decontam.decontaminateSql(),
     // dedup_minhash / dedup_simhash / emb_neardup_lsh / fingerprint:
     // engine-specific hash families — not ANSI-SQL-expressible; covered
     // by DedupSpec/VectorsSpec/TextOpsSpec against brute-force truth.

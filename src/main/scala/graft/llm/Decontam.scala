@@ -1,0 +1,122 @@
+package graft.llm
+
+import graft.Tables
+import graft.functions.WinnowedFingerprint.winnowed_fingerprint
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the train/test-overlap screen every
+  * pre-training pipeline runs before a corpus ships: flag corpus
+  * documents that share verbatim content with a HOLDOUT (benchmark) set,
+  * so evaluation numbers aren't inflated by memorized test items. Two
+  * screens, the standard pair:
+  *
+  *   - [[decontaminate]]: exact n-gram overlap (n = 13 by convention —
+  *     the GPT-3/PaLM-style contamination rule). ANSI-expressible ⇒
+  *     DuckDB-oracle-checked end to end.
+  *   - [[decontaminateFingerprint]]: winnowed-fingerprint containment
+  *     (robust to small edits a fixed n-gram screen slips past, cf.
+  *     Schleimer et al., SIGMOD'03). Engine-specific rolling hash ⇒ no
+  *     SQL oracle; LlmOpsSpec verifies planted contamination is caught.
+  *
+  * 100 TB scale design: the benchmark side is SMALL by nature (a holdout
+  * of eval sets, not a corpus), so its distinct n-gram posting list is
+  * broadcast — the corpus streams through a broadcast-hash join with NO
+  * corpus-wide shuffle; the only shuffle is the final aggregate on the
+  * (corpus doc, benchmark doc) hit pairs, which is contamination-sized,
+  * not corpus-sized. Docs shorter than n tokens cannot share an n-gram
+  * and drop out before the join.
+  *
+  * Here the holdout is carved from `documents` by doc_id so the query is
+  * reproducible against the oracle; in production the benchmark side is
+  * its own table and the same plan applies unchanged.
+  */
+object Decontam {
+
+  /** Word n-grams of a token array: positions 1..len−n+1, each joined
+    * with single spaces. Empty (never null) below n tokens — the
+    * `slice(toks, 1, 0)` branch keeps the type array<string> with zero
+    * elements, so a downstream explode simply drops the row. */
+  def ngramsFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(slice(toks, lit(1), lit(0)))
+
+  def ngramsSql(n: Int): String =
+    s"""CASE WHEN len(toks) >= $n
+       |  THEN list_transform(generate_series(1, len(toks) - ${n - 1}),
+       |         i -> array_to_string(toks[i:i+${n - 1}], ' '))
+       |  ELSE [] END""".stripMargin
+
+  /** The production API: (corpus doc, benchmark doc, shared distinct
+    * n-gram count) for every contaminated pair. Both inputs are
+    * (doc_id, text) relations; the benchmark is broadcast. */
+  def decontaminatePairs(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 13): DataFrame = {
+    def postings(df: DataFrame, idName: String) = df
+      .select(col("doc_id").as(idName), TextOps.tokens(col("text")).as("toks"))
+      .select(col(idName), explode(ngramsFromTokens(col("toks"), n)).as("gram"))
+      .distinct()
+    postings(corpus, "doc_id")
+      .join(broadcast(postings(benchmark, "bench_id")), Seq("gram"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Registered query: the holdout is carved from `documents` as
+    * doc_id ≡ benchRem (mod benchMod), the rest is the corpus. */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 13,
+      benchMod: Int = 20, benchRem: Int = 7): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+    val isBench = col("doc_id") % benchMod === benchRem
+    decontaminatePairs(docs.filter(!isBench), docs.filter(isBench), n)
+  }
+
+  def decontaminateSql(n: Int = 13, benchMod: Int = 20, benchRem: Int = 7): String =
+    s"""WITH tk AS (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
+       |g AS (SELECT DISTINCT doc_id, unnest(${ngramsSql(n)}) AS gram FROM tk),
+       |c AS (SELECT doc_id, gram FROM g WHERE doc_id % $benchMod != $benchRem),
+       |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % $benchMod = $benchRem)
+       |SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM c JOIN b USING (gram)
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Fingerprint-containment screen: corpus docs sharing any winnowed
+    * fingerprint hash with a benchmark doc, with the shared-hash count
+    * and the containment ratio (shared / benchmark-doc fingerprint size —
+    * how much of the benchmark item appears). Same broadcast-benchmark
+    * shape as [[decontaminate]]; the winnowing window makes it catch
+    * near-verbatim overlap that an exact 13-gram screen misses when every
+    * 13-gram spans at least one edited token. */
+  def decontaminateFingerprintPairs(corpus: DataFrame, benchmark: DataFrame,
+      k: Int = 8, window: Int = 4, minShared: Int = 2): DataFrame = {
+    def fps(df: DataFrame) =
+      df.select(col("doc_id"), winnowed_fingerprint(col("text"), k, window).as("fp"))
+    val bench = fps(benchmark)
+      .select(col("doc_id").as("bench_id"), size(col("fp")).as("bench_fp_size"),
+        explode(col("fp")).as("h"))
+      .distinct()
+    val cps = fps(corpus)
+      .select(col("doc_id"), explode(col("fp")).as("h"))
+      .distinct()
+    cps.join(broadcast(bench), Seq("h"))
+      .groupBy(col("doc_id"), col("bench_id"), col("bench_fp_size"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"), col("bench_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("bench_fp_size"), 6)
+          .as("containment"))
+  }
+
+  def decontaminateFingerprint(spark: SparkSession, dir: String,
+      k: Int = 8, window: Int = 4, benchMod: Int = 20, benchRem: Int = 7,
+      minShared: Int = 2): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+    val isBench = col("doc_id") % benchMod === benchRem
+    decontaminateFingerprintPairs(docs.filter(!isBench), docs.filter(isBench),
+      k, window, minShared)
+  }
+}

@@ -244,12 +244,18 @@ object TextOps {
 
   /** Adjacent bigrams of a token array: zip each token with its
     * successor — a zero-shuffle array expression, no explode until the
-    * consumer asks for rows. */
-  private def bigrams(toks: Column): Column =
+    * consumer asks for rows. The slice length is clamped at 0 because
+    * Spark's slice THROWS on a negative length — a single empty/
+    * whitespace-only document (0 tokens ⇒ size−1 = −1) would crash the
+    * whole query, where the DuckDB oracle's toks[1:len−1] just returns
+    * empty. */
+  private def bigrams(toks: Column): Column = {
+    val len = greatest(size(toks) - 1, lit(0))
     zip_with(
-      slice(toks, lit(1), size(toks) - 1),
-      slice(toks, lit(2), size(toks) - 1),
+      slice(toks, lit(1), len),
+      slice(toks, lit(2), len),
       (a, b) => concat(a, lit(" "), b))
+  }
 
   /** Corpus-wide top-k bigrams (the n-gram statistics pass every
     * pre-training corpus gets: contamination screens, boilerplate
@@ -291,10 +297,11 @@ object TextOps {
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("repeat_count",
+        // greatest(·, 0): slice throws on negative length for 0-token docs
         size(filter(
           zip_with(
-            slice(col("toks"), lit(1), size(col("toks")) - 1),
-            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+            slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
             (a, b) => a === b),
           x => x)).cast("long"))
       .select(col("doc_id"), col("n_tokens"), col("repeat_count"),

@@ -110,6 +110,145 @@ object TemporalOps {
         date_format(col("asof_ts"), tsFmt).as("view_ts"))
   }
 
+  /** As-of join, FORWARD direction (pandas `merge_asof(direction=
+    * 'forward')`): for every probe row, attach the single EARLIEST build
+    * row with the same `keys` and `build.timeCol >= probe.timeCol`.
+    * Mirror of [[asofJoin]]: same union + one-shuffle window formulation,
+    * with the partition sorted by time DESCENDING so the running
+    * `last(ignoreNulls)` carries the nearest future build row backward
+    * onto each probe. Among build rows at identical (key, time) the
+    * greatest `tiebreak` wins, matching the backward direction. */
+  def asofJoinForward(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      probeTime: String, buildTime: String, tiebreak: String,
+      attach: Seq[String]): DataFrame = {
+    val probeCols = probe.columns.toSeq
+    val b = build.select(
+      (keys.map(col) :+ col(buildTime).as("__t")) ++
+        attach.map(c => col(c).as(s"__b_$c")): _*)
+      .withColumn("__is_probe", lit(0))
+    val p = probe.withColumn("__t", col(probeTime)).withColumn("__is_probe", lit(1))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").desc, col("__is_probe").asc,
+        col(s"__b_$tiebreak").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val firstBuild = last(
+      when(col("__is_probe") === 0, struct(attach.map(c => col(s"__b_$c").as(c)): _*)),
+      ignoreNulls = true).over(w)
+    p.unionByName(b, allowMissingColumns = true)
+      .withColumn("__next", firstBuild)
+      .filter(col("__is_probe") === 1)
+      .select(probeCols.map(col) ++
+        attach.map(c => col(s"__next.$c").as(s"asof_$c")): _*)
+  }
+
+  /** As-of join, NEAREST direction (pandas `merge_asof(direction=
+    * 'nearest')`): attach whichever of the backward and forward matches
+    * is closer in time; exact-distance ties (including a build row AT the
+    * probe time) resolve BACKWARD. One shuffle on the keys, two in-
+    * partition sorts (asc + desc) over the same union frame — never a
+    * row-multiplying time-range join. `timeCol` of the attached build
+    * row must be in `attach` (the distance is computed from it). */
+  def asofJoinNearest(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      probeTime: String, buildTime: String, tiebreak: String,
+      attach: Seq[String]): DataFrame = {
+    val probeCols = probe.columns.toSeq
+    val b = build.select(
+      (keys.map(col) :+ col(buildTime).as("__t")) ++
+        attach.map(c => col(c).as(s"__b_$c")): _*)
+      .withColumn("__is_probe", lit(0))
+    val p = probe.withColumn("__t", col(probeTime)).withColumn("__is_probe", lit(1))
+    def w(desc: Boolean) = {
+      val t = if (desc) col("__t").desc else col("__t").asc
+      Window.partitionBy(keys.map(col): _*)
+        .orderBy(t, col("__is_probe").asc, col(s"__b_$tiebreak").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    }
+    val buildStruct = when(col("__is_probe") === 0,
+      struct((col("__t").as("__bt") +: attach.map(c => col(s"__b_$c").as(c))): _*))
+    val back = last(buildStruct, ignoreNulls = true).over(w(desc = false))
+    val fwd = last(buildStruct, ignoreNulls = true).over(w(desc = true))
+    val backD = unix_micros(col("__t")) - unix_micros(col("__back.__bt"))
+    val fwdD = unix_micros(col("__fwd.__bt")) - unix_micros(col("__t"))
+    val chosen = when(col("__back").isNull, col("__fwd"))
+      .when(col("__fwd").isNull, col("__back"))
+      .when(fwdD < backD, col("__fwd"))
+      .otherwise(col("__back")) // tie → backward
+    p.unionByName(b, allowMissingColumns = true)
+      .withColumn("__back", back)
+      .withColumn("__fwd", fwd)
+      .filter(col("__is_probe") === 1)
+      .withColumn("__near", chosen)
+      .select(probeCols.map(col) ++
+        attach.map(c => col(s"__near.$c").as(s"asof_$c")): _*)
+  }
+
+  /** Registered query (forward): each purchase picks up the same user's
+    * EARLIEST view at or after the purchase time. */
+  def asofViewAfterPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    asofJoinForward(purchases, views, Seq("user_id"), "ts", "ts", "event_id",
+        Seq("event_id", "ts"))
+      .select(
+        col("purchase_id"), col("user_id"),
+        date_format(col("ts"), tsFmt).as("purchase_ts"),
+        col("asof_event_id").as("view_id"),
+        date_format(col("asof_ts"), tsFmt).as("view_ts"))
+  }
+
+  val asofViewAfterPurchaseSql: String =
+    """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+      |j AS (
+      |  SELECT p.purchase_id, p.user_id, p.ts AS pts, v.event_id AS vid, v.ts AS vts,
+      |    row_number() OVER (PARTITION BY p.purchase_id
+      |      ORDER BY v.ts ASC NULLS LAST, v.event_id DESC NULLS LAST) AS rn
+      |  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts >= p.ts)
+      |SELECT purchase_id, user_id,
+      |  strftime(pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  vid AS view_id,
+      |  strftime(vts, '%Y-%m-%d %H:%M:%S') AS view_ts
+      |FROM j WHERE rn = 1""".stripMargin
+
+  /** Registered query (nearest): each purchase picks up the same user's
+    * view CLOSEST in time, ties resolved backward. */
+  def asofViewNearestPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    asofJoinNearest(purchases, views, Seq("user_id"), "ts", "ts", "event_id",
+        Seq("event_id", "ts"))
+      .select(
+        col("purchase_id"), col("user_id"),
+        date_format(col("ts"), tsFmt).as("purchase_ts"),
+        col("asof_event_id").as("view_id"),
+        date_format(col("asof_ts"), tsFmt).as("view_ts"))
+  }
+
+  /** Oracle mirror of the nearest semantics: min |Δt| first, then the
+    * backward side (v.ts <= p.ts), then greatest event_id — exactly the
+    * engine's per-side max-tiebreak + tie-to-backward resolution. */
+  val asofViewNearestPurchaseSql: String =
+    """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+      |j AS (
+      |  SELECT p.purchase_id, p.user_id, p.ts AS pts, v.event_id AS vid, v.ts AS vts,
+      |    row_number() OVER (PARTITION BY p.purchase_id
+      |      ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)) ASC NULLS LAST,
+      |        CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END ASC,
+      |        v.event_id DESC NULLS LAST) AS rn
+      |  FROM p LEFT JOIN v ON v.user_id = p.user_id)
+      |SELECT purchase_id, user_id,
+      |  strftime(pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  vid AS view_id,
+      |  strftime(vts, '%Y-%m-%d %H:%M:%S') AS view_ts
+      |FROM j WHERE rn = 1""".stripMargin
+
   /** As-of join with a TOLERANCE bound (pandas `merge_asof(tolerance=…)`
     * semantics): the latest view before each purchase counts only if it
     * happened within `toleranceMinutes`; staler matches become NULL.

@@ -113,8 +113,13 @@ class JdbcUpsertStore(url: String, driverClass: String =
     delta.schema.fields.foldLeft(delta) { (df, f) =>
       f.dataType match {
         case d: org.apache.spark.sql.types.DecimalType if d.precision > 18 =>
-          df.withColumn(f.name,
-            col(f.name).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          // Narrow the precision but PRESERVE the source scale: a
+          // hardcoded (18,2) would silently shave sub-cent digits off any
+          // future finer-scaled delta column (and under non-ANSI casting
+          // an overflow becomes NULL, not an error). Today's sum columns
+          // are scale 2, so this is (18,2) in practice.
+          df.withColumn(f.name, col(f.name).cast(
+            org.apache.spark.sql.types.DecimalType(18, math.min(d.scale, 18))))
         case _ => df
       }
     }
@@ -216,21 +221,41 @@ class JdbcUpsertStore(url: String, driverClass: String =
       }.toArray
       spark.read.jdbc(url, table, preds, props).drop("last_updated")
     } else {
-      // one shared keys table per store: all three per-batch pruned
-      // reads carry the SAME merchant key set and materialize after the
-      // last (identical) write, so the overwrite is idempotent within a
-      // batch; a store is single-pipeline by contract
+      // a UNIQUE keys table per call: the returned frame scans its keys
+      // table LAZILY, so a shared table would silently serve the wrong
+      // key set to any unmaterialized frame held across a later pruned
+      // read (and a lazy recompute — AQE retry, cache eviction — would
+      // too). Each frame owns its table; old tables are retired once
+      // enough newer calls have passed that their frames are consumed
+      // (the runner materializes every pruned read within its batch),
+      // and a too-early drop fails LOUDLY (table not found), never with
+      // wrong rows.
       import spark.implicits._
+      val keysTable = s"temp_read_keys_${keysTableSeq.incrementAndGet()}"
       distinctIds.toDF("k")
         .write.mode("overwrite")
-        .option("truncate", "true")
         .option("createTableColumnTypes", "k VARCHAR(255)")
-        .jdbc(url, "temp_read_keys", props)
+        .jdbc(url, keysTable, props)
+      keysTables.addFirst(keysTable)
+      while (keysTables.size() > keysTableRetention)
+        dropKeysTable(keysTables.pollLast())
       val q = s"(SELECT t.* FROM $table t " +
-        s"INNER JOIN temp_read_keys r ON t.$keyCol = r.${q2("k")}) sq"
+        s"INNER JOIN $keysTable r ON t.$keyCol = r.${q2("k")}) sq"
       spark.read.jdbc(url, q, props).drop("last_updated")
     }
   }
+
+  // per-call keys tables (see prunedRead): newest-first registry, retained
+  // long enough for the three per-batch reads plus one batch of slack
+  private val keysTableSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private val keysTables = new java.util.concurrent.ConcurrentLinkedDeque[String]()
+  private val keysTableRetention = 6
+
+  private def dropKeysTable(name: String): Unit =
+    if (name != null) withConn { c =>
+      try exec(c, s"DROP TABLE $name")
+      catch { case _: java.sql.SQLException => () } // already gone
+    }
 
   // Spark's JDBC writer creates temp-table columns with quoted
   // (case-preserved) identifiers — same quoting contract as the merge
@@ -248,9 +273,11 @@ class JdbcUpsertStore(url: String, driverClass: String =
       merchantIds: Seq[String]): DataFrame =
     prunedRead(spark, "merchant_gender_summary", "merchant_id", merchantIds)
 
-  override def close(): Unit =
+  override def close(): Unit = {
+    while (!keysTables.isEmpty) dropKeysTable(keysTables.pollLast())
     try DriverManager.getConnection(s"$url;shutdown=true").close()
     catch { case _: java.sql.SQLException => () } // Derby signals shutdown via exception
+  }
 }
 
 object JdbcUpsertStore {

@@ -14,7 +14,8 @@ class ContractSpec extends AnyFunSuite {
     "dedup_incremental",  // LlmOpsSpec: subset of brute cross pairs + recall at j>=0.9
     "emb_neardup_lsh",    // LlmOpsSpec: subset + recall bound vs exact
     "similarity_topk_ivf",// LlmOpsSpec: recall vs brute force
-    "fingerprint")        // LlmOpsSpec: == plain-Scala winnowing
+    "fingerprint",        // LlmOpsSpec: == plain-Scala winnowing
+    "decontam_fp")        // LlmOpsSpec: planted contamination caught; clean doc not flagged
 
   test("every oracle entry has a query") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.WinnowedFingerprint
-import graft.llm.{Dedup, Multimodal, TextOps, Vectors}
+import graft.llm.{Decontam, Dedup, Multimodal, TextOps, Vectors}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -248,6 +248,59 @@ class LlmOpsSpec extends AnyFunSuite {
       val (n, checksum) = feats(id)
       assert(n == bytes.length.toLong && checksum == want, s"doc $id")
     }
+  }
+
+  test("decontam: planted 13-gram contamination is caught, clean docs are not") {
+    import spark.implicits._
+    val benchText = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa"            // 16 tokens
+    val span = benchText.split(" ").slice(1, 14).mkString(" ") // 13-token verbatim span
+    val corpus = Seq(
+      (1L, s"intro words then $span and a different tail here"), // contaminated
+      (2L, "completely unrelated words that never overlap with anything benchy"),
+      (3L, benchText.split(" ").take(12).mkString(" "))) // 12 tokens: below n, can't hit
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val got = Decontam.decontaminatePairs(corpus, bench, n = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 100L, 1L)), s"got: ${got.toSeq}")
+  }
+
+  test("decontam: shared-gram count matches a brute-force set intersection") {
+    // on the real fixture: pair counts == |corpus grams ∩ bench grams|
+    // computed driver-side (n=5 so the small fixture has hits)
+    val n = 5
+    def grams(text: String): Set[String] = {
+      val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (t.length < n) Set.empty
+      else t.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val bench = docs.filter(_._1 % 20 == 7).toMap
+    val corpus = docs.filter(_._1 % 20 != 7).toMap
+    val want = (for {
+      (cid, ctext) <- corpus.toSeq; (bid, btext) <- bench.toSeq
+      shared = (grams(ctext) intersect grams(btext)).size
+      if shared > 0
+    } yield (cid, bid, shared.toLong)).toSet
+    val got = Decontam.decontaminate(spark, sf, n = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("decontam fingerprint: verbatim inclusion is flagged with high containment") {
+    import spark.implicits._
+    val benchText = ('a' to 'z').map(c => s"${c}word${c}token${c}").mkString(" ")
+    val corpus = Seq(
+      (1L, s"prefix padding text then $benchText then suffix padding"),
+      (2L, "totally different content with no overlap at all in any window"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val got = Decontam.decontaminateFingerprintPairs(corpus, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toList
+    assert(got.map(g => (g._1, g._2)) == List((1L, 100L)))
+    assert(got.head._3 >= 0.8, s"containment ${got.head._3}") // near-full inclusion
   }
 
   test("lang_id marks CJK docs as zh") {

@@ -45,6 +45,52 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(row.getLong(0) == 9L && row.getString(1) == "b")
   }
 
+  test("asofJoinForward picks the earliest build row at-or-after each probe, per key") {
+    val probe = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:01"), "p2"), // after the last build row for key 1
+      (2L, ts("2024-01-01 09:00:00"), "p3"),
+      (3L, ts("2024-01-01 09:00:00"), "p4")  // key with no build rows
+    ).toDF("k", "t", "tag")
+    val build = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 100L),
+      (1L, ts("2024-01-01 10:00:00"), 101L), // equal time: >= includes it
+      (1L, ts("2024-01-01 12:00:00"), 102L),
+      (2L, ts("2024-01-01 09:30:00"), 200L)
+    ).toDF("k", "t", "v")
+    val got = TemporalOps.asofJoinForward(probe, build, Seq("k"), "t", "t", "v", Seq("v"))
+      .select("tag", "asof_v").as[(String, Option[Long])].collect().toMap
+    assert(got("p1").contains(101L)) // equal-time row wins over the later one
+    assert(got("p2").isEmpty)        // nothing at-or-after
+    assert(got("p3").contains(200L))
+    assert(got("p4").isEmpty)
+  }
+
+  test("asofJoinNearest picks the closer side, ties resolve backward") {
+    val probe = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "closer_back"),   // back 10min, fwd 20min
+      (1L, ts("2024-01-01 11:50:00"), "closer_fwd"),    // back 100min, fwd 10min
+      (2L, ts("2024-01-01 10:00:00"), "exact_tie"),     // 30min both sides
+      (3L, ts("2024-01-01 10:00:00"), "only_fwd"),
+      (4L, ts("2024-01-01 10:00:00"), "none")
+    ).toDF("k", "t", "tag")
+    val build = Seq(
+      (1L, ts("2024-01-01 09:50:00"), 100L),
+      (1L, ts("2024-01-01 10:20:00"), 101L),
+      (1L, ts("2024-01-01 12:00:00"), 102L),
+      (2L, ts("2024-01-01 09:30:00"), 200L),
+      (2L, ts("2024-01-01 10:30:00"), 201L),
+      (3L, ts("2024-01-01 10:30:00"), 300L)
+    ).toDF("k", "t", "v")
+    val got = TemporalOps.asofJoinNearest(probe, build, Seq("k"), "t", "t", "v", Seq("v"))
+      .select("tag", "asof_v").as[(String, Option[Long])].collect().toMap
+    assert(got("closer_back").contains(100L))
+    assert(got("closer_fwd").contains(102L))
+    assert(got("exact_tie").contains(200L)) // tie → backward
+    assert(got("only_fwd").contains(300L))
+    assert(got("none").isEmpty)
+  }
+
   test("asofJoin plans one key shuffle and no nested-loop join") {
     val plan = TemporalOps.asofViewBeforePurchase(spark, sf)
       .queryExecution.executedPlan.toString
