@@ -46,10 +46,17 @@ import org.apache.spark.sql.types.DecimalType
   * (Spark 4 `transformWithState` — ValueState totals + per-entry
   * MapState customers on RocksDB, the shape for unbounded fan-out).
   *
-  * State snapshot rows are also APPENDED to `stateDir` as parquet tagged
-  * with the epoch (a state change-log): [[NativeStatePipeline.merchantSummary]]
+  * State snapshot rows are also APPENDED under `stateDir/log` as parquet
+  * partitioned by epoch (a state change-log): [[NativeStatePipeline.merchantSummary]]
   * etc. reconstruct the current tables as last-row-per-key — the audit
-  * read path the JDBC backend got from the DB itself.
+  * read path the JDBC backend got from the DB itself. On a long-running
+  * stream the raw log (and the readout's window over it) would grow
+  * without bound, one small parquet file per epoch — so every
+  * `compactEvery` appended epochs the pipeline folds the whole log into
+  * a latest-per-key SNAPSHOT under `stateDir/snapshot/v=<epoch>` and
+  * deletes the folded epoch partitions ([[NativeStatePipeline.compact]]).
+  * The readout then scans snapshot + tail: bounded by |keys| +
+  * compactEvery epochs of deltas, regardless of stream age.
   */
 class NativeStatePipeline(
     spark: SparkSession,
@@ -60,7 +67,8 @@ class NativeStatePipeline(
     clock: () => Patterns.Clock = () => MicroBatchRunner.wallClock(),
     detectionBatchSize: Int = 50,
     fallbackWeight: Double = 2.0,
-    api: NativeStatePipeline.StateApi = NativeStatePipeline.FlatMapGroups) {
+    api: NativeStatePipeline.StateApi = NativeStatePipeline.FlatMapGroups,
+    compactEvery: Int = 16) {
 
   import NativeStatePipeline._
 
@@ -73,16 +81,27 @@ class NativeStatePipeline(
       .as("p_weight"))
     .cache()
 
+  // appends since the last compaction — empty batches don't append, so
+  // the trigger counts actual log growth, not epoch ids
+  private var appendsSinceCompact = 0
+
   /** Per-epoch detection pass over the stateful operator's output. */
   private[graft] def processStateBatch(out: DataFrame, epochId: Long): Unit = {
     if (out.isEmpty) return
     out.persist()
     try {
       // audit/readout change-log: cumulative state rows for this epoch's
-      // touched merchants (the "b" batch-pair rows are per-batch only)
+      // touched merchants (the "b" batch-pair rows are per-batch only),
+      // one epoch partition per append so compaction can retire exactly
+      // the folded epochs
       out.filter(col("rowType") =!= "b")
         .withColumn("epoch", lit(epochId))
-        .write.mode("append").parquet(stateDir)
+        .write.mode("append").partitionBy("epoch").parquet(s"$stateDir/log")
+      appendsSinceCompact += 1
+      if (compactEvery > 0 && appendsSinceCompact >= compactEvery) {
+        NativeStatePipeline.compact(spark, stateDir)
+        appendsSinceCompact = 0
+      }
 
       val ms = out.filter(col("rowType") === "m")
         .select(col("merchant_id"), col("c1").as("total_transactions"))
@@ -145,8 +164,22 @@ class NativeStatePipeline(
     * directory through the stateful operator into the detection pass. */
   def start(inputDir: String, checkpointDir: String,
       triggerInterval: String = "30 seconds"): StreamingQuery = {
-    import spark.implicits._
-    val src = spark.readStream
+    // transformWithState requires the RocksDB provider (per-entry
+    // MapState access is the whole point). The provider conf is read at
+    // query start, so it is set on a CLONED session (shared context +
+    // cache, isolated SQLConf) that only this query runs on — setting it
+    // on the caller's session would silently flip every other streaming
+    // query started there onto RocksDB.
+    val qSession = api match {
+      case TransformWithStateApi =>
+        val s = spark.newSession()
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        s
+      case _ => spark
+    }
+    import qSession.implicits._
+    val src = qSession.readStream
       .format("csv")
       .schema(MicroBatchRunner.txStreamSchema)
       .option("header", "true")
@@ -162,10 +195,6 @@ class NativeStatePipeline(
           .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
             updateMerchant)
       case TransformWithStateApi =>
-        // transformWithState requires the RocksDB provider (per-entry
-        // MapState access is the whole point); picked up at query start
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         src.groupByKey(_.merchant)
           .transformWithState(new MerchantProcessor(),
             TimeMode.None(), OutputMode.Update())
@@ -319,16 +348,81 @@ object NativeStatePipeline {
     }
   }
 
-  // ---- readout: reconstruct the three tables from the change-log ----
+  // ---- readout: reconstruct the three tables from snapshot + log tail ----
 
-  private def lastPerKey(log: DataFrame, keys: Seq[String]): DataFrame = {
+  private def lastPerKey(log: DataFrame, keys: Seq[String]): DataFrame =
+    lastPerKeyKeepEpoch(log, keys).drop("epoch")
+
+  private def lastPerKeyKeepEpoch(log: DataFrame, keys: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("epoch").desc)
     log.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn", "epoch")
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
-  private def stateLog(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.parquet(stateDir)
+  private def hadoopFs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def listDirs(spark: SparkSession, dir: String,
+      prefix: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val (fs, p) = hadoopFs(spark, dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(s => s.getPath.getName.stripPrefix(prefix).toLong -> s.getPath)
+  }
+
+  /** Snapshot ∪ log tail, epoch as long. Empty-but-typed when neither
+    * exists yet (readout before the first batch). */
+  private def stateLog(spark: SparkSession, stateDir: String): DataFrame = {
+    val snapVersions = listDirs(spark, s"$stateDir/snapshot", "v=")
+    val snap = snapVersions.sortBy(_._1).lastOption.map { case (_, p) =>
+      spark.read.parquet(p.toString)
+    }
+    // read the epoch partitions explicitly (basePath keeps the epoch
+    // column) so a compaction deleting old partitions mid-scan can't
+    // fail the listing
+    val logParts = listDirs(spark, s"$stateDir/log", "epoch=")
+    val log = if (logParts.isEmpty) None else Some(
+      spark.read.option("basePath", s"$stateDir/log")
+        .parquet(logParts.map(_._2.toString): _*)
+        .withColumn("epoch", col("epoch").cast("long")))
+    (snap, log) match {
+      case (Some(s), Some(l)) => l.unionByName(s.select(l.columns.map(col): _*))
+      case (Some(s), None) => s
+      case (None, Some(l)) => l
+      case (None, None) =>
+        import spark.implicits._
+        Seq.empty[StateOut].toDF().withColumn("epoch", lit(0L))
+    }
+  }
+
+  /** Fold the full change-log (previous snapshot + all log epochs) into
+    * one latest-per-key snapshot version, then retire the folded epoch
+    * partitions and older snapshots. Serialized with appends (called
+    * from the foreachBatch thread); the readout stays correct through a
+    * crash at any point — the log is only deleted AFTER the snapshot
+    * holding the same rows is fully written, and a re-run of compact is
+    * idempotent. */
+  def compact(spark: SparkSession, stateDir: String): Unit = {
+    val logParts = listDirs(spark, s"$stateDir/log", "epoch=")
+    if (logParts.isEmpty) return
+    val log = stateLog(spark, stateDir)
+    val version = logParts.map(_._1).max
+    val snapshot = Seq(
+      lastPerKeyKeepEpoch(log.filter(col("rowType") === "m"), Seq("merchant_id")),
+      lastPerKeyKeepEpoch(log.filter(col("rowType") === "g"), Seq("merchant_id")),
+      lastPerKeyKeepEpoch(log.filter(col("rowType") === "cm"),
+        Seq("merchant_id", "customer_id")))
+      .reduce(_ unionByName _)
+    snapshot.write.mode("overwrite").parquet(s"$stateDir/snapshot/v=$version")
+    val (fs, _) = hadoopFs(spark, stateDir)
+    logParts.foreach { case (_, p) => fs.delete(p, true) }
+    listDirs(spark, s"$stateDir/snapshot", "v=")
+      .filter(_._1 < version)
+      .foreach { case (_, p) => fs.delete(p, true) }
+  }
 
   /** merchant_summary reconstructed from the change-log (rows are
     * cumulative, so the latest epoch's row per merchant IS the state). */

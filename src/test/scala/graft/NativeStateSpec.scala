@@ -110,6 +110,74 @@ class NativeStateSpec extends AnyFunSuite {
       NativeStatePipeline.genderSummary(spark, s"$base/state-fmgws")))
   }
 
+  test("change-log compaction: readout unchanged, scans only snapshot + tail") {
+    val base = Files.createTempDirectory("graft-compact").toString
+    val tx = refTx().cache()
+    ChunkFeeder.feed(tx, s"$base/in", chunkSize = 500) // many epochs
+
+    // control: no compaction
+    val ctl = new NativeStatePipeline(spark, Tables.importance(spark, sf),
+      s"$base/out-ctl", s"$base/state-ctl", clock = () => Patterns.FixedClock,
+      compactEvery = 0)
+    val q1 = ctl.start(s"$base/in", s"$base/cp-ctl", "1 second")
+    q1.processAllAvailable(); q1.stop()
+
+    // compacting pipeline over the same input
+    val cmp = new NativeStatePipeline(spark, Tables.importance(spark, sf),
+      s"$base/out-cmp", s"$base/state-cmp", clock = () => Patterns.FixedClock,
+      compactEvery = 3)
+    val q2 = cmp.start(s"$base/in", s"$base/cp-cmp", "1 second")
+    q2.processAllAvailable(); q2.stop()
+
+    // the readout is identical across all three tables
+    assert(sameRows(
+      NativeStatePipeline.merchantSummary(spark, s"$base/state-cmp"),
+      NativeStatePipeline.merchantSummary(spark, s"$base/state-ctl")))
+    assert(sameRows(
+      NativeStatePipeline.custMerchantSummary(spark, s"$base/state-cmp"),
+      NativeStatePipeline.custMerchantSummary(spark, s"$base/state-ctl")))
+    assert(sameRows(
+      NativeStatePipeline.genderSummary(spark, s"$base/state-cmp"),
+      NativeStatePipeline.genderSummary(spark, s"$base/state-ctl")))
+
+    // folded epochs are GONE from the log: at most compactEvery-1 tail
+    // partitions remain, and a snapshot exists
+    def epochDirs(dir: String) = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array()).filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+    val ctlEpochs = epochDirs(s"$base/state-ctl/log").length
+    val cmpEpochs = epochDirs(s"$base/state-cmp/log").length
+    assert(ctlEpochs > 3, s"control should have many epochs, had $ctlEpochs")
+    assert(cmpEpochs < 3, s"compacted tail should be < compactEvery, had $cmpEpochs")
+    val snaps = Option(new java.io.File(s"$base/state-cmp/snapshot").listFiles())
+      .getOrElse(Array()).filter(f => f.isDirectory && f.getName.startsWith("v="))
+    assert(snaps.length == 1, "exactly one snapshot version survives")
+    // detections are unaffected by compaction
+    assert(detections(s"$base/out-cmp") == detections(s"$base/out-ctl"))
+    // compact() is idempotent: a second run changes nothing
+    val before = NativeStatePipeline.merchantSummary(spark, s"$base/state-cmp").collect().toSet
+    NativeStatePipeline.compact(spark, s"$base/state-cmp")
+    val after = NativeStatePipeline.merchantSummary(spark, s"$base/state-cmp").collect().toSet
+    assert(after == before)
+  }
+
+  test("TWS pipeline does not leak the RocksDB provider conf into the caller's session") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    val base = Files.createTempDirectory("graft-tws-conf").toString
+    val tx = refTx().limit(1000).cache()
+    ChunkFeeder.feed(tx, s"$base/in", chunkSize = 1000)
+    val tws = new NativeStatePipeline(spark, Tables.importance(spark, sf),
+      s"$base/out", s"$base/state", clock = () => Patterns.FixedClock,
+      api = NativeStatePipeline.TransformWithStateApi)
+    val q = tws.start(s"$base/in", s"$base/cp", "1 second")
+    q.processAllAvailable(); q.stop()
+    assert(spark.conf.getOption(key) == before,
+      "starting a TWS query must not mutate the shared session conf")
+    // state actually landed (the cloned session really ran RocksDB)
+    assert(NativeStatePipeline.merchantSummary(spark, s"$base/state")
+      .agg(sum(col("total_transactions"))).collect()(0).getLong(0) == tx.count())
+  }
+
   test("checkpoint restart restores transformWithState state (RocksDB)") {
     val base = Files.createTempDirectory("graft-tws-restart").toString
     val tx = refTx().cache()
