@@ -51,17 +51,22 @@ object Decontam {
 
   /** The production API: (corpus doc, benchmark doc, shared distinct
     * n-gram count) for every contaminated pair. Both inputs are
-    * (doc_id, text) relations; the benchmark is broadcast. */
+    * (doc_id, text) relations; the benchmark is broadcast.
+    *
+    * The corpus posting stream is NOT pre-deduplicated — a corpus-side
+    * distinct would shuffle the whole exploded corpus before the join.
+    * Instead the per-pair `count_distinct` dedups AFTER the broadcast
+    * join, so the only shuffle keys are join SURVIVORS (contaminated
+    * hits — contamination-sized, not corpus-sized). */
   def decontaminatePairs(corpus: DataFrame, benchmark: DataFrame,
       n: Int = 13): DataFrame = {
     def postings(df: DataFrame, idName: String) = df
       .select(col("doc_id").as(idName), TextOps.tokens(col("text")).as("toks"))
       .select(col(idName), explode(ngramsFromTokens(col("toks"), n)).as("gram"))
-      .distinct()
     postings(corpus, "doc_id")
-      .join(broadcast(postings(benchmark, "bench_id")), Seq("gram"))
+      .join(broadcast(postings(benchmark, "bench_id").distinct()), Seq("gram"))
       .groupBy(col("doc_id"), col("bench_id"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(countDistinct(col("gram")).as("n_shared"))
   }
 
   /** Registered query: the holdout is carved from `documents` as
@@ -76,10 +81,10 @@ object Decontam {
 
   def decontaminateSql(n: Int = 13, benchMod: Int = 20, benchRem: Int = 7): String =
     s"""WITH tk AS (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
-       |g AS (SELECT DISTINCT doc_id, unnest(${ngramsSql(n)}) AS gram FROM tk),
+       |g AS (SELECT doc_id, unnest(${ngramsSql(n)}) AS gram FROM tk),
        |c AS (SELECT doc_id, gram FROM g WHERE doc_id % $benchMod != $benchRem),
        |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % $benchMod = $benchRem)
-       |SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+       |SELECT c.doc_id, b.bench_id, CAST(count(DISTINCT c.gram) AS BIGINT) AS n_shared
        |FROM c JOIN b USING (gram)
        |GROUP BY 1, 2""".stripMargin
 
@@ -98,12 +103,13 @@ object Decontam {
       .select(col("doc_id").as("bench_id"), size(col("fp")).as("bench_fp_size"),
         explode(col("fp")).as("h"))
       .distinct()
+    // corpus side streams into the broadcast join; dedup happens in the
+    // post-join distinct-aggregate (see decontaminatePairs)
     val cps = fps(corpus)
       .select(col("doc_id"), explode(col("fp")).as("h"))
-      .distinct()
     cps.join(broadcast(bench), Seq("h"))
       .groupBy(col("doc_id"), col("bench_id"), col("bench_fp_size"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(countDistinct(col("h")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select(col("doc_id"), col("bench_id"), col("n_shared"),
         round(col("n_shared").cast("double") / col("bench_fp_size"), 6)

@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Lineage truncation for the iterative fixpoint loops (label
+    * propagation, star contraction): RELIABLE `checkpoint()` when the
+    * context has a checkpoint dir configured, else `localCheckpoint()`.
+    * localCheckpoint blocks live only on executors — on a real cluster a
+    * lost executor kills the whole fixpoint loop mid-iteration, so
+    * cluster runs set `sc.setCheckpointDir` (HDFS/S3) and every loop
+    * here switches to fault-tolerant checkpoints automatically;
+    * local[n] runs skip the filesystem round-trip. */
+  private def chk(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** 3-token shingles of the whitespace tokens (word-salad corpora make
     * unigram sets non-discriminative; 3-grams separate the planted
     * near-dup pairs from the background at Jaccard ≥ 0.6).
@@ -150,7 +162,8 @@ object Dedup {
     * Beyond", SoCC'14 — this is their baseline; rounds = component
     * diameter, which for near-dup clusters is tiny since dup chains are
     * short). Each round is one keyed shuffle (edges ⋈ labels, groupBy
-    * dst) with the label frame `localCheckpoint`ed so lineage doesn't
+    * dst) with the label frame checkpointed ([[chk]] — reliable when a
+    * checkpoint dir is configured) so lineage doesn't
     * compound across rounds. Singletons keep their own id. The star
     * contraction variants from the same paper are the O(log n)-round
     * upgrade if a corpus ever produces deep dup chains.
@@ -172,7 +185,7 @@ object Dedup {
     // not |corpus|
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint()
+      .transform(chk)
     var changed = 1L
     while (changed > 0) {
       val nbrMin = edges
@@ -183,7 +196,7 @@ object Dedup {
         .join(nbrMin, Seq("doc_id"), "left_outer")
         .select(col("doc_id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint()
+        .transform(chk)
       changed = next.filter(col("label") =!= col("old_label")).count()
       labels = next.select(col("doc_id"), col("label"))
     }
@@ -239,10 +252,10 @@ object Dedup {
       least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
       .distinct()
     var edges = pairs.toDF("u", "v").filter(col("u") =!= col("v"))
-      .distinct().localCheckpoint()
+      .distinct().transform(chk)
     var converged = edges.isEmpty
     while (!converged) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).transform(chk)
       converged = canon(next).exceptAll(canon(edges)).isEmpty &&
         canon(edges).exceptAll(canon(next)).isEmpty
       edges = next
@@ -285,9 +298,9 @@ object Dedup {
   }
 
   /** (doc_id, band_id, band_hash) bucket rows for a signature frame —
-    * the LSH banding common to the self-join dedup and the incremental
-    * index probe. */
-  private def bandedBuckets(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
+    * the LSH banding common to the self-join dedup, the incremental
+    * index probe, and the persisted [[DedupIndex]]. */
+  private[llm] def bandedBuckets(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rows).map(r => col(s"mh_${b * rows + r}"))
       struct(lit(b).as("band_id"), xxhash64(cols: _*).as("band_hash"))
@@ -307,6 +320,14 @@ object Dedup {
       .distinct()
   }
 
+  /** (doc_id, shset) for an arbitrary (doc_id, text) relation — the
+    * shared shingle-set builder behind [[shingleArrays]] and the
+    * persisted [[DedupIndex]]. */
+  private[llm] def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(shinglesFromTokens(col("toks")))).as("shset"))
+
   /** Per-document distinct shingle ARRAY (sorted for determinism) —
     * candidate verification joins against this instead of re-running the
     * inverted-index self-join. */
@@ -314,10 +335,7 @@ object Dedup {
     graft.Caches.memo(spark, s"shingleArrays:$dir") {
       // consumed 3× by dedupMinhash (signature explode + both verify
       // joins) and by the prefix-filtered exact join
-      Tables.fanOut(Tables.documents(spark, dir))
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          array_sort(array_distinct(shinglesFromTokens(col("toks")))).as("shset"))
+      shingleSets(Tables.fanOut(Tables.documents(spark, dir)))
     }
 
   /** MinHash-LSH near-dedup: LSH candidates, then exact Jaccard verify by

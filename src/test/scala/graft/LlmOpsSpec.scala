@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.WinnowedFingerprint
-import graft.llm.{Decontam, Dedup, Multimodal, TextOps, Vectors}
+import graft.llm.{Decontam, Dedup, DedupIndex, Multimodal, TextOps, Vectors}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -98,6 +98,59 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(want09.subsetOf(got09), // banding misses nothing at j>=0.9
       s"missed: ${want09 -- got09}")
+  }
+
+  test("persisted dedup index: N sequential foldIns == one full rebuild; probe == in-session incremental") {
+    val base = java.nio.file.Files.createTempDirectory("graft-dedupidx").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+
+    // three sequential folds vs a one-shot build over the same corpus
+    DedupIndex.build(docs.filter(col("doc_id") % 3 === 0), s"$base/folded")
+    DedupIndex.foldIn(docs.filter(col("doc_id") % 3 === 1), s"$base/folded")
+    DedupIndex.foldIn(docs.filter(col("doc_id") % 3 === 2), s"$base/folded")
+    DedupIndex.build(docs, s"$base/full")
+    def buckets(p: String) = spark.read.parquet(s"$p/buckets")
+      .select("doc_id", "band_id", "band_hash", "pfx")
+      .collect().map(_.toSeq).toSet
+    def sets(p: String) = spark.read.parquet(s"$p/sets")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSet
+    assert(buckets(s"$base/folded") == buckets(s"$base/full"))
+    assert(sets(s"$base/folded") == sets(s"$base/full"))
+
+    // probing the persisted index == the in-session incremental operator
+    // (same split: corpus = doc_id % 10 != 0, batch = doc_id % 10 == 0)
+    DedupIndex.build(docs.filter(col("doc_id") % 10 =!= 0), s"$base/corpus")
+    val got = DedupIndex.probe(spark, s"$base/corpus",
+        docs.filter(col("doc_id") % 10 === 0), threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Dedup.dedupIncremental(spark, sf, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
+  test("iterative loops under a reliable checkpoint dir: same results, checkpoints written") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-reliable-chk").toString
+    val localClusters = Dedup.dedupClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("u", "v")
+    val localStar = Dedup.connectedComponentsStar(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val reliableClusters = Dedup.dedupClusters(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val reliableStar = Dedup.connectedComponentsStar(chain)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(reliableClusters == localClusters)
+      assert(reliableStar == localStar)
+      // the loops really used the reliable path: checkpoint data on disk
+      def files(f: java.io.File): Long =
+        if (f.isFile) 1L
+        else Option(f.listFiles()).getOrElse(Array()).map(files).sum
+      assert(files(new java.io.File(dir)) > 0, "no reliable checkpoint written")
+    } finally spark.sparkContext.setCheckpointDir(null)
   }
 
   test("a corpus-wide hot shingle never enters the prefix postings") {
