@@ -42,10 +42,25 @@ object Caches {
 
   /** The memoized, persisted frame for `key` in `spark`'s session,
     * building (and persisting) it on first use. Keys should include
-    * every input the plan depends on (e.g. the sf dir). */
+    * every input the plan depends on (e.g. the sf dir).
+    *
+    * REENTRANT by construction: builders nest memo calls (ngram pairs
+    * build → shingle arrays memo), and `computeIfAbsent` throws
+    * IllegalStateException("Recursive update") whenever an outer and a
+    * nested key happen to land in the same hash bin — an identity-hash
+    * lottery per JVM. Build OUTSIDE the map operation, publish with
+    * putIfAbsent; a racing duplicate build is unpersisted and discarded. */
   def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     evictStopped()
-    memoMap.computeIfAbsent((spark, key), _ => build.persist())
+    val k = (spark, key)
+    val existing = memoMap.get(k)
+    if (existing != null) existing
+    else {
+      val built = build.persist()
+      val prev = memoMap.putIfAbsent(k, built)
+      if (prev != null) { try built.unpersist() catch { case _: Throwable => () }; prev }
+      else built
+    }
   }
 
   /** Unpersist and forget the frames registered by ONE session, leaving

@@ -28,4 +28,38 @@ class CachesSpec extends AnyFunSuite {
     assert(fb.sparkSession eq b)
     assert(fb.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
   }
+
+  test("memo is reentrant: builders that memo other keys never hit Recursive update") {
+    // ngramJaccardPairs' builder calls shingleArrays' memo — with
+    // computeIfAbsent this threw IllegalStateException whenever the two
+    // keys shared a hash bin (identity-hash lottery, seen in Bench).
+    // Many nested pairs make a bin collision near-certain under the old
+    // implementation.
+    val s = spark.newSession()
+    for (i <- 0 until 64) {
+      val outer = Caches.memo(s, s"reentrant-outer-$i") {
+        Caches.memo(s, s"reentrant-inner-$i")(s.range(2).toDF("n"))
+          .select(org.apache.spark.sql.functions.col("n"))
+      }
+      assert(outer.count() == 2)
+    }
+    Caches.release(s)
+  }
+
+  test("release(spark) frees only that session's frames") {
+    val a = spark.newSession()
+    val b = spark.newSession()
+    val fa = Caches.memo(a, "release-scope")(a.range(1).toDF("n"))
+    val fb = Caches.memo(b, "release-scope")(b.range(1).toDF("n"))
+    fa.count(); fb.count()
+    Caches.release(a)
+    // A's entry is gone (re-memo builds anew); B's entry survives
+    var rebuilt = false
+    Caches.memo(a, "release-scope") { rebuilt = true; a.range(1).toDF("n") }
+    assert(rebuilt)
+    var rebuiltB = false
+    val fb2 = Caches.memo(b, "release-scope") { rebuiltB = true; b.range(1).toDF("n") }
+    assert(!rebuiltB && (fb2 eq fb))
+    Caches.release(a); Caches.release(b)
+  }
 }
