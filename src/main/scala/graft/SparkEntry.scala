@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Decontam, Dedup, Multimodal, Sampling, TextOps, Vectors}
+import graft.llm.{Decontam, Dedup, Multimodal, Pii, Quality, Sampling, TextOps, Vectors}
 import graft.ops.{Patterns, RelOps, TemporalOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -89,6 +89,10 @@ object SparkEntry {
     // LLM-pipeline: reproducible sampling
     "sample_hash"       -> (Sampling.sampleHash(_, _)),
     "sample_stratified" -> (Sampling.sampleStratified(_, _)),
+    "resample_temperature" -> (Sampling.resampleTemperature(_, _)),
+    // LLM-pipeline: PII scrub + quality gating
+    "pii_scrub"         -> (Pii.piiScrub(_, _)),
+    "quality_filter"    -> (Quality.qualityFilter(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -146,5 +150,8 @@ object SparkEntry {
     "media_features"    -> Multimodal.mediaFeaturesSql,
     "sample_hash"       -> Sampling.sampleHashSql,
     "sample_stratified" -> Sampling.sampleStratifiedSql,
+    "resample_temperature" -> Sampling.resampleTemperatureSql,
+    "pii_scrub"         -> Pii.piiScrubSql,
+    "quality_filter"    -> Quality.qualityFilterSql,
   )
 }

@@ -1,0 +1,96 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gopher-style document quality filtering (Rae et al. 2021 §A1.1's rule
+  * family, re-expressed over the `documents` table): hard per-document
+  * rules whose conjunction decides keep/drop. Unlike
+  * [[TextOps.textStats]] (which SCORES), this is the DECISION operator a
+  * curation pipeline actually gates on, and every rule is exposed as its
+  * own column so a mix dashboard can attribute drops to rules.
+  *
+  * A single narrow zero-shuffle projection — every rule derives from the
+  * one token-array column inside whole-stage codegen, so the filter
+  * streams over a 100 TB corpus at scan speed. All rule inputs are exact
+  * integers (or exact-integer divisions in double, identical IEEE ops in
+  * both engines), so the DuckDB oracle is bit-identical.
+  */
+object Quality {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Rule columns over a token array + word count:
+    *  - r_nwords: 10 ≤ word_count ≤ 1000 (Gopher 50..100k, rescaled to
+    *    this corpus's 25..60-token documents)
+    *  - r_awl: mean word length in [2, 12]
+    *  - r_stop: ≥ 2 DISTINCT stopwords present (the "real prose" check)
+    *  - r_alpha: ≥ 80% of tokens purely alphabetic
+    *  - r_repeat: adjacent-duplicate token ratio ≤ 0.2 (degenerate-text)
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val n = col("word_count")
+    val awl = col("len_sum").cast("double") / n
+    val stopHits = size(filter(
+      typedLit(stopwords),
+      s => array_contains(toks, s))).cast("long")
+    val alphaCnt = size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("long")
+    val repeats = size(filter(
+      zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => a === b),
+      x => x)).cast("long")
+
+    Tables.documents(spark, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("word_count", size(toks).cast("long"))
+      .withColumn("len_sum",
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)))
+      .withColumn("r_nwords", (n >= 10 && n <= 1000).cast("int"))
+      // n > 0 guard: a zero-token doc divides 0/0 → NaN here but NULL in
+      // DuckDB; anchoring on the exact-int predicate keeps both at 0
+      .withColumn("r_awl", (n > 0 && awl >= 2.0 && awl <= 12.0).cast("int"))
+      .withColumn("r_stop", (stopHits >= 2).cast("int"))
+      .withColumn("r_alpha",
+        (alphaCnt.cast("double") >= n.cast("double") * 0.8).cast("int"))
+      .withColumn("r_repeat",
+        (repeats.cast("double") <= (n - 1).cast("double") * 0.2 || n <= 1)
+          .cast("int"))
+      .withColumn("keep",
+        (col("r_nwords") === 1 && col("r_awl") === 1 && col("r_stop") === 1 &&
+          col("r_alpha") === 1 && col("r_repeat") === 1).cast("int"))
+      .select("doc_id", "word_count", "r_nwords", "r_awl", "r_stop",
+        "r_alpha", "r_repeat", "keep")
+  }
+
+  val qualityFilterSql: String = {
+    val stopList = stopwords.map("'" + _ + "'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
+       |c AS (SELECT doc_id,
+       |        CAST(len(toks) AS BIGINT) AS word_count,
+       |        CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS len_sum,
+       |        CAST(len(list_filter([$stopList], s -> list_contains(toks, s))) AS BIGINT) AS stop_hits,
+       |        CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+'))) AS BIGINT) AS alpha_cnt,
+       |        CAST(len(list_filter(
+       |          list_zip(toks[1:len(toks)-1], toks[2:]),
+       |          x -> x[1] = x[2])) AS BIGINT) AS repeats
+       |      FROM t),
+       |r AS (SELECT doc_id, word_count,
+       |        CAST(word_count >= 10 AND word_count <= 1000 AS INT) AS r_nwords,
+       |        CAST(word_count > 0
+       |         AND CAST(len_sum AS DOUBLE) / word_count >= 2.0
+       |         AND CAST(len_sum AS DOUBLE) / word_count <= 12.0 AS INT) AS r_awl,
+       |        CAST(stop_hits >= 2 AS INT) AS r_stop,
+       |        CAST(CAST(alpha_cnt AS DOUBLE) >= CAST(word_count AS DOUBLE) * 0.8 AS INT) AS r_alpha,
+       |        CAST(CAST(repeats AS DOUBLE) <= CAST(word_count - 1 AS DOUBLE) * 0.2
+       |             OR word_count <= 1 AS INT) AS r_repeat
+       |      FROM c)
+       |SELECT doc_id, word_count, r_nwords, r_awl, r_stop, r_alpha, r_repeat,
+       |  CAST(r_nwords = 1 AND r_awl = 1 AND r_stop = 1 AND r_alpha = 1
+       |       AND r_repeat = 1 AS INT) AS keep
+       |FROM r""".stripMargin
+  }
+}

@@ -57,4 +57,59 @@ object Sampling {
     """SELECT doc_id, lang FROM documents
       |WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0')
       |   OR (lang <> 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3'))""".stripMargin
+
+  /** Temperature-based mixture resampling (τ = 0.5): downsample every
+    * language toward the smallest one with rate_s = √(min_cnt / cnt_s), so
+    * expected kept docs per stratum is √(min_cnt · cnt_s) — the standard
+    * mixture-flattening move (multilingual BERT's exponent-smoothing,
+    * Gopher's domain reweighting) made DETERMINISTIC: the accept draw is
+    * md5(doc_id), the rate becomes a 16-bit hex threshold, and the
+    * accept test is a lexicographic compare of fixed-width lowercase hex
+    * (hex strings order exactly as their numeric value).
+    *
+    * Every arithmetic step is engine-exact: min over integer counts,
+    * one exact-int division, one IEEE sqrt (correctly rounded in both
+    * engines), floor ×65536 — so Spark and the DuckDB oracle select the
+    * identical subset.
+    *
+    * Scale: per-source counts are a tiny aggregate (|sources| rows), the
+    * global min is a window over that tiny frame, and the join back to
+    * the corpus broadcasts — the corpus itself sees one scan + filter,
+    * no shuffle. */
+  def resampleTemperature(spark: SparkSession, dir: String): DataFrame =
+    resampleTemperatureBy(Tables.documents(spark, dir), "lang", "doc_id")
+      .select(col("doc_id"), col("lang"), col("grp_cnt"), col("rate"))
+
+  /** Generic form: flatten the mix over any stratum column, drawing on
+    * md5 of any key column. */
+  def resampleTemperatureBy(docs: DataFrame, stratum: String,
+      key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rates = docs
+      .groupBy(col(stratum)).agg(count(lit(1)).as("grp_cnt"))
+      // the window is over the |strata|-row aggregate, not the corpus —
+      // a deliberate single-partition pass on a tiny frame
+      .withColumn("min_cnt", min(col("grp_cnt")).over(Window.partitionBy()))
+      .withColumn("rate",
+        sqrt(col("min_cnt").cast("double") / col("grp_cnt")))
+      .withColumn("thr",
+        lpad(lower(hex(floor(col("rate") * 65536).cast("long"))), 4, "0"))
+    docs.join(broadcast(rates), stratum)
+      .filter(col("grp_cnt") === col("min_cnt") ||
+        substring(md5(col(key).cast("string")), 1, 4) < col("thr"))
+  }
+
+  val resampleTemperatureSql: String =
+    """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS grp_cnt
+      |           FROM documents GROUP BY lang),
+      |m AS (SELECT lang, grp_cnt, min(grp_cnt) OVER () AS min_cnt FROM c),
+      |r AS (SELECT lang, grp_cnt, min_cnt,
+      |        sqrt(CAST(min_cnt AS DOUBLE) / grp_cnt) AS rate,
+      |        lpad(lower(to_hex(CAST(floor(sqrt(CAST(min_cnt AS DOUBLE) / grp_cnt)
+      |          * 65536) AS BIGINT))), 4, '0') AS thr
+      |      FROM m)
+      |SELECT d.doc_id, d.lang, r.grp_cnt, r.rate
+      |FROM documents d JOIN r ON d.lang = r.lang
+      |WHERE r.grp_cnt = r.min_cnt
+      |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.thr""".stripMargin
 }

@@ -95,6 +95,25 @@ object EventStreams {
         col("p_ts"), col("click_id"), col("c_ts"))
   }
 
+  /** Built-in session-window aggregation: Spark's native
+    * `session_window` (gap-closed event-time windows) — the declarative
+    * sibling of [[sessionize]]. Same semantics (a session closes after
+    * `gapMinutes` of inactivity; emitted once the watermark passes), but
+    * the state handling is Catalyst's own session-window operator:
+    * merging, GC, and RocksDB spill come for free, and the aggregation
+    * stays inside codegen. Prefer this form whenever the per-session
+    * output is expressible as an aggregate; drop to
+    * flatMapGroupsWithState only for imperative per-event state. */
+  def sessionWindowCounts(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"),
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+      .select(col("user_id"), col("n_events"), col("total_value"),
+        col("start_ts"), col("end_ts"))
+
   /** Custom keyed state: gap-based sessionization (30-minute inactivity
     * closes a session) via flatMapGroupsWithState with event-time
     * timeout. Emits one summary per closed session. */

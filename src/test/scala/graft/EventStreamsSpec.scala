@@ -76,6 +76,36 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(mustHave.subsetOf(got))
   }
 
+  test("session_window aggregation matches the batch sessionize truth") {
+    val stream = EventStreams.eventsStream(spark, sf)
+    runToMemory(EventStreams.sessionWindowCounts(stream), "sw_sessions",
+      "append")
+    val got = spark.table("sw_sessions")
+      .select("user_id", "n_events", "start_ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+      .toSet
+    // batch truth: the same gap segmentation via TemporalOps-style lag
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val want = Tables.events(spark, sf)
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        (col("prev").isNull ||
+          col("ts").cast("long") - col("prev").cast("long") > 30 * 60)
+          .cast("int"))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"), min("ts").as("start_ts"))
+      .select("user_id", "n_events", "start_ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+      .toSet
+    // append mode withholds sessions the final watermark hasn't closed
+    assert(got.nonEmpty)
+    assert(got.subsetOf(want))
+    assert(got.size >= want.size / 2)
+  }
+
   test("sessionization closes sessions on the inactivity gap") {
     val stream = EventStreams.eventsStream(spark, sf)
     runToMemory(EventStreams.sessionize(stream).toDF(), "sessions", "append")

@@ -86,6 +86,47 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(Tables.fanOut(narrow).rdd.getNumPartitions == target)
   }
 
+  test("compaction planner packs within the FFD bound and loses no file") {
+    import graft.scale.Compaction
+    val files = (1 to 100).map(i => (f"f$i%03d", (i * 37 % 90 + 10) * 1024L))
+    val bins = Compaction.planBins(files, 256 * 1024L)
+    // every file appears exactly once
+    assert(bins.flatten.sorted == files.map(_._1).sorted)
+    // no bin over target (no file exceeds it here)
+    val sizes = files.toMap
+    assert(bins.forall(_.map(sizes).sum <= 256 * 1024L))
+    // FFD bound: ≤ 11/9·OPT + 1 with OPT ≥ ceil(total/target)
+    val opt = math.ceil(files.map(_._2).sum / (256.0 * 1024)).toInt
+    assert(bins.size <= (11 * opt) / 9 + 1)
+    // oversized files get singleton bins, unsplit
+    val big = Compaction.planBins(Seq(("huge", 10L << 20), ("s", 1024L)), 1L << 20)
+    assert(big.contains(Seq("huge")))
+    // deterministic
+    assert(Compaction.planBins(files.reverse, 256 * 1024L) == bins)
+  }
+
+  test("compact merges a fragmented table with row parity") {
+    import graft.scale.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // fragment: 24 tiny files
+    Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      .repartition(24).write.mode("overwrite").parquet(s"$dir/in")
+    val before = Compaction.listParquet(spark, s"$dir/in")
+    assert(before.size == 24)
+    val target = before.map(_._2).sum / 4 // aim for ~4-5 output files
+    val (nIn, nOut) = Compaction.compact(spark, s"$dir/in", s"$dir/out", target)
+    assert(nIn == 24 && nOut < 10)
+    val in = spark.read.parquet(s"$dir/in")
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == in.count())
+    assert(out.agg(sum("l_quantity")).head().getDouble(0)
+      == in.agg(sum("l_quantity")).head().getDouble(0))
+    // each bin directory holds exactly one data file
+    val outFiles = (0 until nOut).map(i =>
+      Compaction.listParquet(spark, f"$dir/out/bin=$i%05d"))
+    assert(outFiles.forall(_.size == 1))
+  }
+
   test("salted aggregation equals plain aggregation") {
     val got = ScaleTechniques.saltedCountSum(
         Tables.lineitem(spark, sf), col("l_suppkey"), col("l_quantity"))
