@@ -50,6 +50,7 @@ object SparkEntry {
     "range_join"        -> (TemporalOps.rangeJoinClicks(_, _)),
     "sessionize"        -> (TemporalOps.sessionize(_, _)),
     "topk_amounts"      -> (graft.functions.TopKAggregator.topAmounts(_, _)),
+    "quantile_sketch"   -> (graft.functions.KllSketch.quantileSketch(_, _)),
     "events_window"     -> (RelOps.eventsWindow(_, _)),
     "count_distinct_users" -> (RelOps.countDistinctUsers(_, _)),
     // §2.11 the three pattern queries + §2.6 union fold
@@ -64,6 +65,8 @@ object SparkEntry {
     "dedup_simhash"     -> (Dedup.dedupSimhash(_, _)),
     "dedup_clusters"    -> (Dedup.dedupClusters(_, _)),
     "dedup_incremental" -> (Dedup.dedupIncremental(_, _)),
+    "dedup_editdist"    -> (Dedup.dedupEditDistance(_, _)),
+    "dedup_apply"       -> (Dedup.dedupApply(_, _)),
     // LLM-pipeline: benchmark decontamination
     "decontam"          -> (Decontam.decontaminate(_, _)),
     "decontam_fp"       -> (Decontam.decontaminateFingerprint(_, _)),
@@ -90,6 +93,7 @@ object SparkEntry {
     "sample_hash"       -> (Sampling.sampleHash(_, _)),
     "sample_stratified" -> (Sampling.sampleStratified(_, _)),
     "resample_temperature" -> (Sampling.resampleTemperature(_, _)),
+    "split_corpus"      -> (Sampling.splitCorpus(_, _)),
     // LLM-pipeline: PII scrub + quality gating
     "pii_scrub"         -> (Pii.piiScrub(_, _)),
     "quality_filter"    -> (Quality.qualityFilter(_, _)),
@@ -131,6 +135,8 @@ object SparkEntry {
     "dedup_exact"       -> Dedup.dedupExactSql,
     "dedup_ngram"       -> Dedup.ngramJaccardSql(),
     "dedup_clusters"    -> Dedup.dedupClustersSql(),
+    "dedup_editdist"    -> Dedup.dedupEditDistanceSql(),
+    "dedup_apply"       -> Dedup.dedupApplySql(),
     "decontam"          -> Decontam.decontaminateSql(),
     // dedup_minhash / dedup_simhash / emb_neardup_lsh / fingerprint:
     // engine-specific hash families — not ANSI-SQL-expressible; covered
@@ -151,6 +157,7 @@ object SparkEntry {
     "sample_hash"       -> Sampling.sampleHashSql,
     "sample_stratified" -> Sampling.sampleStratifiedSql,
     "resample_temperature" -> Sampling.resampleTemperatureSql,
+    "split_corpus"      -> Sampling.splitCorpusSql,
     "pii_scrub"         -> Pii.piiScrubSql,
     "quality_filter"    -> Quality.qualityFilterSql,
   )

@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Mergeable streaming quantile sketch (the KLL/MRL compactor family:
+  * Karnin-Lang-Liberty 2016, Manku-Rajagopalan-Lindsay 1998): level i
+  * stores items of weight 2^i in a buffer of at most `k`; a full buffer
+  * sorts, keeps every other item, and promotes the survivors one level
+  * up. Space is O(k·log(n/k)) per group, merge is level-wise
+  * concatenation + the same compaction — a TRUE map-side-combinable
+  * aggregate, so the shuffle carries one small sketch per group instead
+  * of every row.
+  *
+  * This is the scale story `percentile_approx` shares but with the
+  * mechanics owned and inspectable (and a deterministic compaction coin,
+  * so a fixed partitioning reproduces bit-identical estimates — the
+  * property Spark's own sketch does not document). Rank error is the
+  * compactor bound O(log(n/k)/k); FunctionsSpec pins an empirical 2%
+  * envelope at k=256.
+  */
+case class KllSketch(k: Int, quantiles: Seq[Double])
+    extends Aggregator[Double, KllSketch.Buf, Seq[Double]] {
+  import KllSketch.Buf
+
+  override def zero: Buf = Buf(Seq(Vector.empty), 0L, 0L)
+
+  override def reduce(b: Buf, v: Double): Buf =
+    compact(Buf(b.levels.updated(0, b.levels.head :+ v), b.count + 1,
+      b.compactions))
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    val depth = math.max(a.levels.size, b.levels.size)
+    val lv = (0 until depth).map { i =>
+      a.levels.lift(i).getOrElse(Vector.empty) ++
+        b.levels.lift(i).getOrElse(Vector.empty)
+    }
+    compact(Buf(lv, a.count + b.count, a.compactions + b.compactions))
+  }
+
+  private def compact(b: Buf): Buf = {
+    var levels = b.levels.toVector
+    var coins = b.compactions
+    var i = 0
+    while (i < levels.size) {
+      if (levels(i).size > k) {
+        val sorted = levels(i).sorted
+        val offset = (coins % 2).toInt
+        coins += 1
+        val keep = sorted.zipWithIndex.collect {
+          case (x, idx) if idx % 2 == offset => x
+        }
+        levels = levels.updated(i, Vector.empty[Double])
+        if (i + 1 >= levels.size) levels = levels :+ Vector.empty[Double]
+        levels = levels.updated(i + 1, levels(i + 1) ++ keep)
+      }
+      i += 1
+    }
+    Buf(levels, b.count, coins)
+  }
+
+  /** Weighted-rank readout: the smallest stored value whose cumulative
+    * weight reaches q·(W−1), W = total stored weight. */
+  override def finish(b: Buf): Seq[Double] = {
+    val items = b.levels.zipWithIndex
+      .flatMap { case (l, i) => l.map(v => (v, 1L << i)) }
+      .sortBy(_._1)
+    if (items.isEmpty) return quantiles.map(_ => Double.NaN)
+    val total = items.map(_._2).sum
+    quantiles.map { q =>
+      val target = q * (total - 1)
+      var cum = 0L
+      var ans = items.last._1
+      val it = items.iterator
+      var found = false
+      while (it.hasNext && !found) {
+        val (v, w) = it.next()
+        cum += w
+        if (cum - 1 >= target) { ans = v; found = true }
+      }
+      ans
+    }
+  }
+
+  override def bufferEncoder: Encoder[Buf] = ExpressionEncoder[Buf]()
+  override def outputEncoder: Encoder[Seq[Double]] =
+    ExpressionEncoder[Seq[Double]]()
+}
+
+object KllSketch {
+
+  /** levels(i) holds items of weight 2^i; compactions drives the
+    * deterministic alternating compaction coin. */
+  final case class Buf(levels: Seq[Vector[Double]], count: Long,
+      compactions: Long)
+
+  /** Registered query: sketched price quantiles per return flag,
+    * exploded to (l_returnflag, q, est). Approximate by construction —
+    * no SQL oracle; FunctionsSpec pins the rank-error envelope against
+    * the exact sorted truth. */
+  def quantileSketch(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    import spark.implicits._
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val ds = graft.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .as[(String, Double)]
+    val inner = KllSketch(k, qs)
+    val agg = new Aggregator[(String, Double), Buf, Seq[Double]] {
+      def zero = inner.zero
+      def reduce(b: Buf, r: (String, Double)) = inner.reduce(b, r._2)
+      def merge(a: Buf, b: Buf) = inner.merge(a, b)
+      def finish(b: Buf) = inner.finish(b)
+      def bufferEncoder = inner.bufferEncoder
+      def outputEncoder = inner.outputEncoder
+    }
+    ds.groupByKey(_._1)
+      .agg(agg.toColumn.name("est"))
+      .toDF("l_returnflag", "est")
+      .select(col("l_returnflag"), posexplode(col("est")).as(Seq("pos", "est")))
+      .select(col("l_returnflag"),
+        element_at(typedLit(qs), col("pos") + 1).as("q"), col("est"))
+  }
+}

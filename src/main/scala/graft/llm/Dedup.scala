@@ -211,6 +211,37 @@ object Dedup {
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Apply the dedup decision: keep ONE representative per near-dup
+    * cluster (the cluster's minimum doc_id — [[dedupClusters]]' label is
+    * exactly that minimum, so the representative test is
+    * `doc_id == cluster_id` with no extra aggregation), annotated with
+    * the cluster size so downstream mix accounting can weight
+    * representatives. Singletons are their own representative, so the
+    * output is the full deduplicated corpus, not just the dup survivors.
+    *
+    * Scale: everything rides on [[dedupClusters]]' working set (the dup
+    * subgraph); the size rollup is one aggregate over the |corpus|-row
+    * label frame and joins back broadcast-ably. */
+  def dedupApply(spark: SparkSession, dir: String,
+      threshold: Double = 0.6): DataFrame = {
+    val clusters = dedupClusters(spark, dir, threshold)
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.filter(col("doc_id") === col("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_size"))
+  }
+
+  def dedupApplySql(threshold: Double = 0.6): String =
+    s"""WITH clusters AS (
+       |${dedupClustersSql(threshold)}
+       |),
+       |sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |          FROM clusters GROUP BY cluster_id)
+       |SELECT c.doc_id, s.cluster_size
+       |FROM clusters c JOIN sizes s ON c.cluster_id = s.cluster_id
+       |WHERE c.doc_id = c.cluster_id""".stripMargin
+
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris et al., SoCC'14) — O(log n) rounds regardless
     * of component diameter, vs [[dedupClusters]]'s O(diameter)
@@ -453,4 +484,65 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Edit-distance near-dup via the sorted-neighborhood method
+    * (Hernández & Stolfo 1995, the record-linkage classic): sort inside
+    * a prefix block, rank, compare each doc only to its `window`
+    * following neighbors, keep pairs whose Levenshtein distance is at
+    * most `maxFrac` of the longer text. Complements the set-based
+    * family: shingle Jaccard is order-insensitive, edit distance
+    * catches near-identical texts with small in-place edits.
+    *
+    * Scale: candidate generation is one range shuffle on the blocking
+    * key + a rank self-join INSIDE each block — O(n·window) Levenshtein
+    * calls total (codegen'd built-in), never O(n²); blocks are
+    * independent so a skewed prefix can't serialize the corpus (the
+    * usual multi-pass-with-rotated-keys recipe recovers cross-block
+    * boundary pairs). Exact SQL semantics ⇒ DuckDB oracle (its
+    * `levenshtein` is the same unit-cost DP). */
+  def dedupEditDistance(spark: SparkSession, dir: String, window: Int = 5,
+      maxFrac: Double = 0.25, blockChars: Int = 2,
+      sortChars: Int = 24): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        substring(col("text"), 1, blockChars).as("blk"),
+        substring(col("text"), 1, sortChars).as("sk"))
+    val w = Window.partitionBy(col("blk")).orderBy(col("sk"), col("doc_id"))
+    val ranked = d.withColumn("rnk", row_number().over(w))
+    // explode each row's window of target ranks so the self-join is a
+    // pure (blk, rnk) EQUI-join — O(n·window) candidates exactly. A
+    // range condition on rnk would instead hash-join on blk alone and
+    // enumerate every same-block pair before filtering, which is
+    // O(n·blocksize) and degrades with block skew at corpus scale.
+    val a = ranked.select(col("blk"), col("doc_id").as("ida"),
+        col("text").as("ta"),
+        explode(sequence(col("rnk") + 1, col("rnk") + window)).as("rnk2"))
+    val b = ranked.select(col("blk"), col("rnk").as("rnk2"),
+      col("doc_id").as("idb"), col("text").as("tb"))
+    a.join(b, Seq("blk", "rnk2"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("dist") <= floor(
+        greatest(length(col("ta")), length(col("tb"))) * maxFrac))
+      .select(least(col("ida"), col("idb")).as("ida"),
+        greatest(col("ida"), col("idb")).as("idb"), col("dist"))
+  }
+
+  def dedupEditDistanceSql(window: Int = 5, maxFrac: Double = 0.25,
+      blockChars: Int = 2, sortChars: Int = 24): String =
+    s"""WITH d AS (SELECT doc_id, text,
+       |             substr(text, 1, $blockChars) AS blk,
+       |             substr(text, 1, $sortChars) AS sk
+       |           FROM documents),
+       |r AS (SELECT doc_id, text, blk,
+       |        row_number() OVER (PARTITION BY blk ORDER BY sk, doc_id) AS rnk
+       |      FROM d),
+       |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+       |        CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+       |        a.text AS ta, b.text AS tb
+       |      FROM r a JOIN r b
+       |        ON a.blk = b.blk AND b.rnk > a.rnk AND b.rnk <= a.rnk + $window)
+       |SELECT least(ida, idb) AS ida, greatest(ida, idb) AS idb, dist
+       |FROM p
+       |WHERE dist <= floor(greatest(len(ta), len(tb)) * $maxFrac)""".stripMargin
 }

@@ -99,6 +99,31 @@ object Sampling {
         substring(md5(col(key).cast("string")), 1, 4) < col("thr"))
   }
 
+  /** Deterministic train/val/test split (~90/5/5): the first two hex
+    * digits of md5(doc_id, salt) are a uniform draw over 256 buckets;
+    * lexicographic thresholds 'e6' (230) and 'f3' (243) cut them
+    * 230/13/13. Salting the hash decorrelates the split from every
+    * other md5(doc_id) draw in this file (sampling and resampling use
+    * the unsalted key), so holding out test docs doesn't bias any
+    * sample. Disjoint + exhaustive by construction; any engine
+    * recomputes the identical assignment. Pure scan-side projection —
+    * zero shuffle at any corpus size. */
+  def splitCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(concat(col("doc_id").cast("string"),
+      lit(":split"))), 1, 2)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(bucket < "e6", "train").when(bucket < "f3", "val")
+          .otherwise("test").as("split"))
+  }
+
+  val splitCorpusSql: String =
+    """SELECT doc_id, lang, source,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'e6' THEN 'train'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'f3' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin
+
   val resampleTemperatureSql: String =
     """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS grp_cnt
       |           FROM documents GROUP BY lang),

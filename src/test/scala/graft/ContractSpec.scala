@@ -15,7 +15,8 @@ class ContractSpec extends AnyFunSuite {
     "emb_neardup_lsh",    // LlmOpsSpec: subset + recall bound vs exact
     "similarity_topk_ivf",// LlmOpsSpec: recall vs brute force
     "fingerprint",        // LlmOpsSpec: == plain-Scala winnowing
-    "decontam_fp")        // LlmOpsSpec: planted contamination caught; clean doc not flagged
+    "decontam_fp",        // LlmOpsSpec: planted contamination caught; clean doc not flagged
+    "quantile_sketch")    // FunctionsSpec: rank error <= 2% vs exact sorted truth
 
   test("every oracle entry has a query") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -37,6 +37,42 @@ class FunctionsSpec extends AnyFunSuite {
     assert(injected.contains(graft.plans.AsofJoinPlan.AsofJoinStrategy))
   }
 
+  test("KLL quantile sketch: rank error within 2% of exact, laws hold") {
+    import graft.functions.KllSketch
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    // exact per-group sorted truth
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val byFlag = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = KllSketch.quantileSketch(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2))).toMap
+    assert(got.size == byFlag.size * qs.size)
+    for (((flag, q), est) <- got) {
+      val sorted = byFlag(flag)
+      val n = sorted.length
+      // rank of the estimate in the exact order vs target rank
+      val rank = sorted.count(_ <= est)
+      assert(math.abs(rank - q * n) <= math.max(0.02 * n, 2.0),
+        s"flag=$flag q=$q est=$est rank=$rank n=$n")
+    }
+    // merge law: sketch(a ++ b) == merge(sketch(a), sketch(b)) readouts
+    // stay inside the same envelope regardless of the split point
+    val vals = byFlag.values.flatten.toVector
+    val sk = KllSketch(64, qs)
+    def build(xs: Seq[Double]) = xs.foldLeft(sk.zero)(sk.reduce)
+    val merged = sk.finish(sk.merge(build(vals.take(vals.size / 3)),
+      build(vals.drop(vals.size / 3))))
+    val whole = vals.sorted
+    merged.zip(qs).foreach { case (est, q) =>
+      val rank = whole.count(_ <= est)
+      assert(math.abs(rank - q * whole.size) <= 0.05 * whole.size,
+        s"merged sketch q=$q est=$est rank=$rank")
+    }
+    // determinism: same input order => identical buffer and readout
+    assert(sk.finish(build(vals)) == sk.finish(build(vals)))
+  }
+
   test("approx_count_distinct tracks exact within 5%") {
     val joined = RelOps.countDistinctUsers(spark, sf)
       .join(Tables.events(spark, sf).groupBy(col("event_type"))

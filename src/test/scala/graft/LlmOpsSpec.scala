@@ -356,6 +356,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.head._3 >= 0.8, s"containment ${got.head._3}") // near-full inclusion
   }
 
+  test("sorted-neighborhood edit-distance dedup equals plain-Scala recomputation") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.groupBy(_._2.take(2)).flatMap { case (_, blk) =>
+      val ranked = blk.sortBy { case (id, t) => (t.take(24), id) }
+      for {
+        i <- ranked.indices
+        j <- (i + 1) until math.min(i + 6, ranked.length)
+        (ida, ta) = ranked(i)
+        (idb, tb) = ranked(j)
+        dist = lev(ta, tb)
+        if dist <= math.floor(math.max(ta.length, tb.length) * 0.25)
+      } yield (math.min(ida, idb), math.max(ida, idb), dist.toLong)
+    }.toSet
+    val got = Dedup.dedupEditDistance(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "testdata contains edit-distance near-dups")
+    assert(got == want)
+  }
+
   test("lang_id marks CJK docs as zh") {
     val rows = TextOps.langId(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -74,6 +74,40 @@ class PiiQualitySpec extends AnyFunSuite {
     assert(Seq(2L, 3L, 4L, 5L, 6L).forall(out(_).getInt(7) == 0))
   }
 
+  test("corpus split is disjoint, exhaustive, deterministic, near 90/5/5") {
+    val out = Sampling.splitCorpus(spark, sf)
+    val n = Tables.documents(spark, sf).count()
+    assert(out.count() == n) // exhaustive, one label per doc
+    val frac = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / n).toMap
+    assert(frac.keySet == Set("train", "val", "test"))
+    assert(math.abs(frac("train") - 230.0 / 256) < 0.05)
+    assert(math.abs(frac("val") - 13.0 / 256) < 0.03)
+    assert(math.abs(frac("test") - 13.0 / 256) < 0.03)
+    // decorrelated from the unsalted sampling draw: the 1/8 sample's
+    // test-split fraction stays near the global test fraction
+    val sampled = Sampling.sampleHash(spark, sf).select("doc_id")
+      .join(out, "doc_id")
+    val testFrac = sampled.filter(col("split") === "test").count().toDouble /
+      sampled.count()
+    assert(math.abs(testFrac - frac("test")) < 0.08)
+  }
+
+  test("dedup apply keeps exactly one representative per cluster") {
+    import graft.llm.Dedup
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = Dedup.dedupApply(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val byCluster = clusters.groupBy(_._2)
+    assert(out.size == byCluster.size, "one row per cluster")
+    for ((cid, members) <- byCluster) {
+      assert(out.contains(cid), s"representative of $cid is its min doc_id")
+      assert(out(cid) == members.size.toLong, s"cluster_size of $cid")
+      assert(cid == members.map(_._1).min)
+    }
+  }
+
   test("temperature resampling: min stratum kept whole, others near √ rate, deterministic") {
     val out = Sampling.resampleTemperature(spark, sf)
     val kept = out.groupBy("lang").agg(
