@@ -5,12 +5,17 @@ import org.apache.spark.sql.SparkSession
 /** Runs ONE registered query end to end and prints the row count — the
   * single-query debugging loop Bench can't give (it swallows stacks):
   *
-  *   sbt "runMain graft.RunQuery <name> [sfDir]"
+  *   sbt "runMain graft.RunQuery <name> [sfDir] [outDir]"
+  *
+  * With a third arg, also writes the result to <outDir>/<name> and the
+  * query's oracle SQL to <outDir>/oracle_sql.json so tools/check.py can
+  * compare just this query against DuckDB.
   */
 object RunQuery {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val outDir = if (args.length > 2) Some(args(2)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,8 +25,22 @@ object RunQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val n = SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-    println(s"[runquery] $name: $n rows")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    outDir match {
+      case Some(out) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
+        val sql = SparkEntry.oracleSql.get(name).map(s =>
+          "{\"" + name + "\": \"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+            .replace("\n", "\\n").replace("\t", "\\t") + "\"}").getOrElse("{}")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/oracle_sql.json"), sql)
+        println(s"[runquery] $name: written to $out")
+      case None =>
+        val t0 = System.nanoTime()
+        val n = df.queryExecution.toRdd.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[runquery] $name: $n rows in $sec%.2f s")
+    }
     spark.stop()
   }
 }

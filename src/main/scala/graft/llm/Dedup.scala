@@ -1,7 +1,8 @@
 package graft.llm
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Levenshtein
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -485,29 +486,60 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** Edit-distance near-dup via the sorted-neighborhood method
-    * (Hernández & Stolfo 1995, the record-linkage classic): sort inside
-    * a prefix block, rank, compare each doc only to its `window`
-    * following neighbors, keep pairs whose Levenshtein distance is at
-    * most `maxFrac` of the longer text. Complements the set-based
-    * family: shingle Jaccard is order-insensitive, edit distance
-    * catches near-identical texts with small in-place edits.
+  /** Edit-distance near-dup via the MULTI-PASS sorted-neighborhood
+    * method (Hernández & Stolfo 1995, the record-linkage classic): per
+    * pass, sort inside a prefix block, rank, compare each doc only to
+    * its `window` following neighbors, keep pairs whose Levenshtein
+    * distance is at most `maxFrac` of the longer text. Pass 1 keys on
+    * the leading `blockChars` characters; pass 2 re-keys on the rotated
+    * prefix starting at `blockChars + 1`, so a near-dup pair whose edits
+    * touch the leading block (and therefore lands in different pass-1
+    * blocks) still collides and is compared. The union of the passes'
+    * pairs is deduplicated. Complements the set-based family: shingle
+    * Jaccard is order-insensitive, edit distance catches near-identical
+    * texts with small in-place edits.
     *
-    * Scale: candidate generation is one range shuffle on the blocking
-    * key + a rank self-join INSIDE each block — O(n·window) Levenshtein
-    * calls total (codegen'd built-in), never O(n²); blocks are
-    * independent so a skewed prefix can't serialize the corpus (the
-    * usual multi-pass-with-rotated-keys recipe recovers cross-block
-    * boundary pairs). Exact SQL semantics ⇒ DuckDB oracle (its
-    * `levenshtein` is the same unit-cost DP). */
+    * Scale: per pass, candidate generation is one range shuffle on the
+    * blocking key + a rank self-join INSIDE each block — O(n·window)
+    * Levenshtein calls total (codegen'd built-in), never O(n²); blocks
+    * are independent so a skewed prefix can't serialize the corpus.
+    * Exact SQL semantics ⇒ DuckDB oracle (its `levenshtein` is the same
+    * unit-cost DP). */
   def dedupEditDistance(spark: SparkSession, dir: String, window: Int = 5,
       maxFrac: Double = 0.25, blockChars: Int = 2,
       sortChars: Int = 24): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    editDistKeyOffsets(blockChars)
+      .map(off => editDistPass(spark, docs, off, window, maxFrac, blockChars, sortChars))
+      .reduce(_ unionByName _)
+      .distinct()
+  }
+
+  /** Blocking-key start offsets for the multi-pass run: the natural
+    * prefix, then the rotated key one block further in. */
+  private def editDistKeyOffsets(blockChars: Int): Seq[Int] =
+    Seq(1, blockChars + 1)
+
+  /** One sorted-neighborhood pass with the blocking/sort key taken from
+    * character offset `off` (1-based, as in SQL substr). */
+  private[graft] def editDistPass(spark: SparkSession, docs: DataFrame,
+      off: Int, window: Int, maxFrac: Double, blockChars: Int,
+      sortChars: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = graft.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"),
-        substring(col("text"), 1, blockChars).as("blk"),
-        substring(col("text"), 1, sortChars).as("sk"))
+    val d = docs.select(col("doc_id"), col("text"),
+        substring(col("text"), off, blockChars).as("blk"),
+        substring(col("text"), off, sortChars).as("sk"))
+      // Pin the stage parallelism HERE, not after the join: Catalyst
+      // pushes the dist filter into the join condition, so the
+      // Levenshtein DP — O(|ta|·|tb|) per pair, billions of cell ops at
+      // sf0.1, tiny in BYTES — executes in whatever stage the window
+      // exchange produces. AQE sizes ENSURE_REQUIREMENTS exchanges by
+      // bytes and would coalesce that stage to ONE task, serializing
+      // the whole verify pass. An explicit (numPartitions, blk)
+      // repartition is REPARTITION_BY_NUM — exempt from AQE coalescing
+      // — and satisfies the window's clustering requirement, so the
+      // join + levenshtein chain inherits full parallelism.
+      .repartition(spark.sparkContext.defaultParallelism, col("blk"))
     val w = Window.partitionBy(col("blk")).orderBy(col("sk"), col("doc_id"))
     val ranked = d.withColumn("rnk", row_number().over(w))
     // explode each row's window of target ranks so the self-join is a
@@ -520,29 +552,47 @@ object Dedup {
         explode(sequence(col("rnk") + 1, col("rnk") + window)).as("rnk2"))
     val b = ranked.select(col("blk"), col("rnk").as("rnk2"),
       col("doc_id").as("idb"), col("text").as("tb"))
+    // |len(a)-len(b)| ≤ edit distance, so a length gap over the budget
+    // rules the pair out before any DP work; for survivors, passing the
+    // per-pair budget as Levenshtein's threshold switches the DP to the
+    // banded O(n·k) variant with early exit (returns -1 above budget).
+    // Both are exact-semantics rewrites, so the plain-levenshtein DuckDB
+    // oracle is unchanged.
+    val thr = floor(greatest(length(col("ta")), length(col("tb"))) * maxFrac)
+    val banded = GraftBridge.column(Levenshtein(
+      GraftBridge.expression(col("ta")), GraftBridge.expression(col("tb")),
+      Some(GraftBridge.expression((thr + 1).cast("int")))))
     a.join(b, Seq("blk", "rnk2"))
-      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
-      .filter(col("dist") <= floor(
-        greatest(length(col("ta")), length(col("tb"))) * maxFrac))
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= thr)
+      .withColumn("dist", banded.cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= thr)
       .select(least(col("ida"), col("idb")).as("ida"),
         greatest(col("ida"), col("idb")).as("idb"), col("dist"))
   }
 
   def dedupEditDistanceSql(window: Int = 5, maxFrac: Double = 0.25,
-      blockChars: Int = 2, sortChars: Int = 24): String =
-    s"""WITH d AS (SELECT doc_id, text,
-       |             substr(text, 1, $blockChars) AS blk,
-       |             substr(text, 1, $sortChars) AS sk
-       |           FROM documents),
-       |r AS (SELECT doc_id, text, blk,
-       |        row_number() OVER (PARTITION BY blk ORDER BY sk, doc_id) AS rnk
-       |      FROM d),
-       |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
-       |        CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
-       |        a.text AS ta, b.text AS tb
-       |      FROM r a JOIN r b
-       |        ON a.blk = b.blk AND b.rnk > a.rnk AND b.rnk <= a.rnk + $window)
-       |SELECT least(ida, idb) AS ida, greatest(ida, idb) AS idb, dist
-       |FROM p
-       |WHERE dist <= floor(greatest(len(ta), len(tb)) * $maxFrac)""".stripMargin
+      blockChars: Int = 2, sortChars: Int = 24): String = {
+    val offs = editDistKeyOffsets(blockChars)
+    val ctes = offs.map { off =>
+      s"""r$off AS (SELECT doc_id, text, blk,
+         |        row_number() OVER (PARTITION BY blk ORDER BY sk, doc_id) AS rnk
+         |      FROM (SELECT doc_id, text,
+         |              substr(text, $off, $blockChars) AS blk,
+         |              substr(text, $off, $sortChars) AS sk
+         |            FROM documents)),
+         |p$off AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |        CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+         |        a.text AS ta, b.text AS tb
+         |      FROM r$off a JOIN r$off b
+         |        ON a.blk = b.blk AND b.rnk > a.rnk AND b.rnk <= a.rnk + $window)""".stripMargin
+    }.mkString(",\n")
+    // UNION (not UNION ALL) deduplicates pairs found by both passes,
+    // mirroring the .distinct() on the Spark side.
+    val passes = offs.map { off =>
+      s"""SELECT least(ida, idb) AS ida, greatest(ida, idb) AS idb, dist
+         |FROM p$off
+         |WHERE dist <= floor(greatest(len(ta), len(tb)) * $maxFrac)""".stripMargin
+    }.mkString("\nUNION\n")
+    s"WITH $ctes\n$passes"
+  }
 }

@@ -367,21 +367,48 @@ class LlmOpsSpec extends AnyFunSuite {
     }
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1)))
-    val want = docs.groupBy(_._2.take(2)).flatMap { case (_, blk) =>
-      val ranked = blk.sortBy { case (id, t) => (t.take(24), id) }
-      for {
-        i <- ranked.indices
-        j <- (i + 1) until math.min(i + 6, ranked.length)
-        (ida, ta) = ranked(i)
-        (idb, tb) = ranked(j)
-        dist = lev(ta, tb)
-        if dist <= math.floor(math.max(ta.length, tb.length) * 0.25)
-      } yield (math.min(ida, idb), math.max(ida, idb), dist.toLong)
-    }.toSet
+    // mirror the two-pass sorted neighborhood: keys at offset 0 and 2
+    def passPairs(off: Int): Set[(Long, Long, Long)] =
+      docs.groupBy(_._2.slice(off, off + 2)).flatMap { case (_, blk) =>
+        val ranked = blk.sortBy { case (id, t) => (t.slice(off, off + 24), id) }
+        for {
+          i <- ranked.indices
+          j <- (i + 1) until math.min(i + 6, ranked.length)
+          (ida, ta) = ranked(i)
+          (idb, tb) = ranked(j)
+          dist = lev(ta, tb)
+          if dist <= math.floor(math.max(ta.length, tb.length) * 0.25)
+        } yield (math.min(ida, idb), math.max(ida, idb), dist.toLong)
+      }.toSet
+    val want = passPairs(0) ++ passPairs(2)
     val got = Dedup.dedupEditDistance(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(want.nonEmpty, "testdata contains edit-distance near-dups")
     assert(got == want)
+  }
+
+  test("edit-distance rotated pass recalls pairs differing in the leading block") {
+    import spark.implicits._
+    val base = "shared tail that makes the texts near-identical copies"
+    // 1 and 2 differ ONLY in the first two chars: pass 1 blocks them
+    // apart ("AB" vs "CD") so they are never compared; pass 2 re-keys on
+    // substr(text, 3, _) where they collide and sort adjacently.
+    val docs = Seq(
+      (1L, "AB" + base), (2L, "CD" + base),
+      (3L, "EF an unrelated document about something else entirely"),
+      (4L, "GH another filler document with no near duplicate here")
+    ).toDF("doc_id", "text")
+    val miss = Dedup.editDistPass(spark, docs, off = 1, window = 5,
+        maxFrac = 0.25, blockChars = 2, sortChars = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!miss.contains((1L, 2L)), "pass 1 alone must miss the cross-block pair")
+    val dir = java.nio.file.Files.createTempDirectory("editdist").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.dedupEditDistance(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), "two-pass union must recall the cross-block pair")
   }
 
   test("lang_id marks CJK docs as zh") {
