@@ -355,7 +355,7 @@ object Dedup {
   /** (doc_id, shset) for an arbitrary (doc_id, text) relation — the
     * shared shingle-set builder behind [[shingleArrays]] and the
     * persisted [[DedupIndex]]. */
-  private[llm] def shingleSets(docs: DataFrame): DataFrame =
+  private[graft] def shingleSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         array_sort(array_distinct(shinglesFromTokens(col("toks")))).as("shset"))

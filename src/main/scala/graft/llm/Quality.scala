@@ -28,8 +28,12 @@ object Quality {
     *  - r_stop: ≥ 2 DISTINCT stopwords present (the "real prose" check)
     *  - r_alpha: ≥ 80% of tokens purely alphabetic
     *  - r_repeat: adjacent-duplicate token ratio ≤ 0.2 (degenerate-text)
-    */
-  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    *
+    * [[gate]] adds the rule + `keep` columns to ANY frame with a text
+    * column (the form the streaming curation loop consumes);
+    * [[qualityFilter]] is the registered, oracle-checked projection of
+    * it over the documents table. */
+  def gate(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = col("toks")
     val n = col("word_count")
     val awl = col("len_sum").cast("double") / n
@@ -44,8 +48,8 @@ object Quality {
         (a, b) => a === b),
       x => x)).cast("long")
 
-    Tables.documents(spark, dir)
-      .withColumn("toks", TextOps.tokens(col("text")))
+    docs
+      .withColumn("toks", TextOps.tokens(col(textCol)))
       .withColumn("word_count", size(toks).cast("long"))
       .withColumn("len_sum",
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)))
@@ -62,9 +66,13 @@ object Quality {
       .withColumn("keep",
         (col("r_nwords") === 1 && col("r_awl") === 1 && col("r_stop") === 1 &&
           col("r_alpha") === 1 && col("r_repeat") === 1).cast("int"))
+      .drop("toks", "len_sum")
+  }
+
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    gate(Tables.documents(spark, dir))
       .select("doc_id", "word_count", "r_nwords", "r_awl", "r_stop",
         "r_alpha", "r_repeat", "keep")
-  }
 
   val qualityFilterSql: String = {
     val stopList = stopwords.map("'" + _ + "'").mkString(", ")

@@ -56,27 +56,107 @@ object Compaction {
       .map(s => (s.getPath.toString, s.getLen))
   }
 
+  /** Run `tasks` on a bounded pool, FAIL FAST: the first failure cancels
+    * every not-yet-started task (running Spark jobs finish their bin —
+    * interrupting a mid-write executor task would leave torn output) and
+    * rethrows immediately instead of letting the remaining bins run to
+    * completion first. */
+  private def runAll(tasks: Seq[() => Unit], parallelism: Int): Unit = {
+    if (tasks.isEmpty) return
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    val ecs = new java.util.concurrent.ExecutorCompletionService[Unit](pool)
+    try {
+      val futures = tasks.map(t => ecs.submit(() => t()))
+      var done = 0
+      while (done < tasks.size) {
+        try { ecs.take().get(); done += 1 }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            futures.foreach(_.cancel(false)) // don't start what hasn't run
+            throw e.getCause
+        }
+      }
+    } finally pool.shutdownNow()
+  }
+
   /** Compact `inDir`'s parquet files into ~`targetBytes` files in
     * `outDir`. Returns (input file count, output bin count). Bins run
     * as concurrent Spark jobs — each is an independent scan+write, so
-    * a 1000-executor cluster compacts 1000 bins at once. */
+    * a 1000-executor cluster compacts 1000 bins at once; the first
+    * failed bin cancels the rest ([[runAll]]). */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long, parallelism: Int = 8): (Int, Int) = {
     val files = listParquet(spark, inDir)
     val bins = planBins(files, targetBytes)
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val jobs = bins.zipWithIndex.map { case (bin, i) =>
-      Future {
-        spark.read.parquet(bin: _*)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(f"$outDir/bin=$i%05d")
-      }
-    }
-    try Await.result(Future.sequence(jobs), Duration.Inf)
-    finally pool.shutdown()
+    runAll(bins.zipWithIndex.map { case (bin, i) => () =>
+      spark.read.parquet(bin: _*)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(f"$outDir/bin=$i%05d")
+    }, parallelism)
     (files.size, bins.size)
+  }
+
+  /** Relative paths of every directory under `dir` that directly holds
+    * parquet files — `""` for a flat table, `k=v[/k2=w…]` leaves for a
+    * hive-partitioned one. Hidden/metadata dirs (`_spark_metadata`,
+    * `.tmp…`) are skipped, like Spark's own file index does. */
+  def leafDirs(spark: SparkSession, dir: String): Seq[String] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    def walk(p: Path, rel: String): Seq[String] = {
+      val st = fs.listStatus(p)
+      val here =
+        if (st.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+          Seq(rel)
+        else Seq.empty
+      here ++ st
+        .filter(s => s.isDirectory &&
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        .flatMap(s => walk(s.getPath,
+          if (rel.isEmpty) s.getPath.getName else s"$rel/${s.getPath.getName}"))
+    }
+    walk(root, "").sorted
+  }
+
+  /** Partition-recursive compaction for hive-partitioned tables (the
+    * shape [[graft.llm.DedupIndex]]'s `pfx=…` buckets and epoch-
+    * partitioned state logs accumulate): compact each leaf partition's
+    * files independently and mirror the `k=v` directory structure under
+    * `outDir`, so `spark.read.parquet(outDir)` discovers exactly the
+    * same partition columns as the input. Returns (input file count,
+    * output file count).
+    *
+    * Each bin writes through a hidden `.tmp…` staging dir and RENAMES
+    * the single part file up into the partition dir — the output stays
+    * a plain hive layout (no `bin=` level leaking a phantom partition
+    * column), and a crashed bin leaves only an invisible staging dir,
+    * never a half-file beside live data. Partitions compact
+    * concurrently and independently — exactly the property that lets a
+    * 100 TB table be maintained incrementally, a few partitions at a
+    * time, without ever rewriting the whole table. */
+  def compactPartitioned(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long, parallelism: Int = 8): (Int, Int) = {
+    val outRoot = new Path(outDir)
+    val fs = outRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val work = for {
+      rel <- leafDirs(spark, inDir)
+      in = if (rel.isEmpty) inDir else s"$inDir/$rel"
+      out = if (rel.isEmpty) outDir else s"$outDir/$rel"
+      (bin, i) <- planBins(listParquet(spark, in), targetBytes).zipWithIndex
+    } yield (bin, i, rel, out)
+    runAll(work.map { case (bin, i, rel, out) => () =>
+      val tmp = s"$outDir/.tmp_${rel.replace('/', '_')}_$i"
+      spark.read.parquet(bin: _*)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = fs.listStatus(new Path(tmp)).toSeq
+        .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+      fs.mkdirs(new Path(out))
+      fs.rename(part.getPath, new Path(out, f"part-$i%05d.parquet"))
+      fs.delete(new Path(tmp), true)
+    }, parallelism)
+    (work.map(_._1.size).sum, work.size)
   }
 }

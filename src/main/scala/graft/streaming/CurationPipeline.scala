@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.llm.{Dedup, DedupIndex, Pii, Quality}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** The continuous-curation loop — the production shape every piece of the
+  * LLM-data surface was built for, finally assembled: a standing
+  * [[graft.llm.DedupIndex]] plus per-micro-batch
+  *
+  *   1. `probe`: batch docs near-duplicating the already-curated corpus
+  *      are dropped (MinHash-LSH banded probe, partition-pruned index
+  *      scan — per-batch cost O(batch + candidates), never O(corpus));
+  *   2. within-batch self-dedup: exact prefix-filtered n-gram Jaccard
+  *      over the micro-batch ([[Dedup.ngramJaccardFromSets]] — a batch
+  *      is small, exactness is cheap here), keeping the smaller doc_id
+  *      of each near-dup pair;
+  *   3. PII scrub ([[Pii.scrub]]) then the Gopher-style quality gate
+  *      ([[Quality.gate]]) over the SCRUBBED text — what gets published
+  *      is what gets judged;
+  *   4. survivors append to `outDir/kept` and fold into the index
+  *      ([[DedupIndex.foldIn]] — an O(batch) append, never a rebuild),
+  *      so the NEXT batch's probe sees them.
+  *
+  * The per-batch body is deterministic (hash-based signatures, exact
+  * verification, min-id keeper rule), so N streamed micro-batches produce
+  * exactly the same kept set as driving [[processBatch]] by hand over the
+  * same frames in the same order — StreamingSpec pins that parity, which
+  * is also what makes the checkpoint/restart story safe: a replayed batch
+  * re-derives the same decisions.
+  *
+  * 100 TB design notes: the index is hive-partitioned by hash prefix and
+  * probes read only the partitions the batch can hit; the corpus text
+  * never re-shuffles after ingest (scrub + gate are zero-shuffle
+  * projections); the only growing state is the index itself, which
+  * [[graft.scale.Compaction.compactPartitioned]] keeps in scan-sized
+  * files as the appends accumulate.
+  */
+class CurationPipeline(
+    spark: SparkSession,
+    indexPath: String,
+    outDir: String,
+    threshold: Double = 0.6) {
+
+  import CurationPipeline._
+
+  private def indexExists: Boolean = {
+    val p = new Path(s"$indexPath/buckets")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** One micro-batch of (doc_id, text) through the curation gauntlet.
+    * Public so batch-mode callers (and the parity spec) can drive it
+    * without a streaming query. */
+  def processBatch(batch0: DataFrame, epochId: Long): Unit = {
+    if (batch0.isEmpty) return
+    val batch = batch0.select(col("doc_id"), col("text")).persist()
+    try {
+      val haveIndex = indexExists
+      // 1. standing-index probe: near-dups of the curated corpus drop out
+      val fresh =
+        if (haveIndex) {
+          val dups = DedupIndex.probe(spark, indexPath, batch, threshold)
+            .select(col("new_id").as("doc_id")).distinct()
+          batch.join(dups, Seq("doc_id"), "left_anti")
+        } else batch
+      // 2. within-batch self-dedup; ida < idb by construction, so
+      //    dropping every idb keeps the first-seen (smallest) id
+      val selfDups = Dedup.ngramJaccardFromSets(Dedup.shingleSets(fresh), threshold)
+        .select(col("idb").as("doc_id")).distinct()
+      val unique = fresh.join(selfDups, Seq("doc_id"), "left_anti")
+      // 3. scrub, then gate the scrubbed text
+      val kept = Quality.gate(
+          Pii.scrub(unique, "text")
+            .select(col("doc_id"), col("clean_text").as("text")))
+        .filter(col("keep") === 1)
+        .select(col("doc_id"), col("text"))
+        .persist()
+      try {
+        if (kept.count() > 0) {
+          kept.withColumn("epoch", lit(epochId))
+            .write.mode("append").parquet(s"$outDir/kept")
+          if (haveIndex) DedupIndex.foldIn(kept, indexPath)
+          else DedupIndex.build(kept, indexPath)
+        }
+      } finally kept.unpersist()
+    } finally batch.unpersist()
+  }
+
+  /** File-stream source (one parquet file per trigger ⇒ one ingest batch
+    * per micro-batch) into foreachBatch; the checkpoint tracks processed
+    * files so a restart resumes at the first unabsorbed batch. */
+  def start(inputDir: String, checkpointDir: String,
+      triggerInterval: String = "1 second"): StreamingQuery =
+    spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .start()
+}
+
+object CurationPipeline {
+  /** Ingest schema: the minimal (doc_id, text) document frame. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+}

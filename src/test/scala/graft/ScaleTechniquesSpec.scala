@@ -127,6 +127,48 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(outFiles.forall(_.size == 1))
   }
 
+  test("partition-recursive compaction preserves rows and partition columns") {
+    import graft.scale.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_part").toString
+    // fragment a hive-partitioned table: 6 appends × 4 files per partition
+    val src = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"),
+        pmod(col("l_orderkey"), lit(3)).as("pfx"))
+    (1 to 6).foreach { _ =>
+      src.repartition(4).write.mode("append")
+        .partitionBy("pfx").parquet(s"$dir/in")
+    }
+    val leaves = Compaction.leafDirs(spark, s"$dir/in")
+    assert(leaves == Seq("pfx=0", "pfx=1", "pfx=2"))
+    val before = leaves.map(l =>
+      Compaction.listParquet(spark, s"$dir/in/$l").size).sum
+    assert(before == 72)
+    val target = leaves.map(l => Compaction.listParquet(spark, s"$dir/in/$l")
+      .map(_._2).sum).max // one bin per partition
+    val (nIn, nOut) = Compaction.compactPartitioned(
+      spark, s"$dir/in", s"$dir/out", target)
+    assert(nIn == 72 && nOut == 3)
+    // same hive layout discovered on read: pfx is a partition column again
+    assert(Compaction.leafDirs(spark, s"$dir/out") == leaves)
+    val in = spark.read.parquet(s"$dir/in")
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.schema.fieldNames.sorted.toSeq == in.schema.fieldNames.sorted.toSeq)
+    assert(out.exceptAll(in).isEmpty && in.exceptAll(out).isEmpty)
+    // no staging or bin= dirs leaked into the output
+    val stray = new java.io.File(s"$dir/out").listFiles()
+      .filter(f => f.getName.startsWith(".tmp") || f.getName.startsWith("bin="))
+    assert(stray.isEmpty)
+    // fail fast: a corrupt input file surfaces the error promptly
+    val badDir = new java.io.File(s"$dir/bad"); badDir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/bad/garbage.parquet"),
+      "this is not parquet".getBytes)
+    intercept[Throwable] {
+      Compaction.compact(spark, s"$dir/bad", s"$dir/out2", 1L << 20)
+    }
+    ()
+  }
+
   test("salted aggregation equals plain aggregation") {
     val got = ScaleTechniques.saltedCountSum(
         Tables.lineitem(spark, sf), col("l_suppkey"), col("l_quantity"))

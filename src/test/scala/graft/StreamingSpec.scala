@@ -250,4 +250,66 @@ class StreamingSpec extends AnyFunSuite {
       assert(new java.io.File(outDir).listFiles().count(_.isDirectory) == 1)
     } finally store.close()
   }
+
+  test("curation loop: streamed micro-batches == batch-mode pipeline; index grows only by kept docs") {
+    import graft.streaming.CurationPipeline
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-curate").toString
+
+    val textA = "the river flows gently through a green valley where tall trees stand in quiet morning light"
+    val textB = "bright stars fill the night sky and a cool wind moves softly over sleeping hills far away"
+    val textC = "please send a note to alice@example.com and the team will reply in a day or two with detailed answers"
+    val textD = "a small boat drifts slowly across the calm blue lake while distant mountains rise sharply against clear skies"
+    val textE = "old books line the wooden shelves of a dusty library where scholars read ancient pages in silence"
+    val batches = Seq(
+      // batch 0: two keepers + a too-short doc the quality gate drops
+      Seq((1L, textA), (2L, textB), (3L, "zzz qqq xxx")),
+      // batch 1: a copy of an already-curated doc (probe drops it), a
+      // PII doc (kept, scrubbed), and a within-batch near-dup pair
+      // (13 appends one word to 12 → exact Jaccard 16/17; 12 survives)
+      Seq((10L, textA), (11L, textC), (12L, textD), (13L, textD + " everywhere")),
+      // batch 2: a cross-batch copy of batch 1's kept doc 12 + a keeper
+      Seq((20L, textD), (21L, textE)))
+    val wantKept = Set(1L, 2L, 11L, 12L, 21L)
+
+    // batch mode: drive processBatch by hand
+    val bm = new CurationPipeline(spark, s"$base/idxA", s"$base/outA")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      bm.processBatch(b.toDF("doc_id", "text"), i.toLong)
+    }
+
+    // streaming mode: same batches as one parquet file each, mtimes
+    // spaced so the file source's timestamp order IS the batch order
+    val inDir = new java.io.File(s"$base/in"); inDir.mkdirs()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = s"$base/tmp$i"
+      b.toDF("doc_id", "text").repartition(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir, f"batch$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val sm = new CurationPipeline(spark, s"$base/idxB", s"$base/outB")
+    val q = sm.start(inDir.toString, s"$base/cp")
+    q.processAllAvailable()
+    q.stop()
+
+    def kept(out: String): Set[(Long, String)] =
+      spark.read.parquet(s"$out/kept").select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val keptBatch = kept(s"$base/outA")
+    val keptStream = kept(s"$base/outB")
+    assert(keptStream == keptBatch)
+    assert(keptBatch.map(_._1) == wantKept)
+    // the PII doc was scrubbed before publication
+    val t11 = keptBatch.find(_._1 == 11L).get._2
+    assert(t11.contains("[EMAIL]") && !t11.contains("alice@example.com"))
+    // the index grew by exactly the kept docs
+    for (idx <- Seq(s"$base/idxA", s"$base/idxB")) {
+      val indexed = spark.read.parquet(s"$idx/sets")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(indexed == wantKept)
+    }
+  }
 }
