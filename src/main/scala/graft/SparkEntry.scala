@@ -80,6 +80,7 @@ object SparkEntry {
     "text_stats"        -> (TextOps.textStats(_, _)),
     "lang_id"           -> (TextOps.langId(_, _)),
     "token_count"       -> (TextOps.tokenCount(_, _)),
+    "token_count_bpe"   -> (TextOps.tokenCountBpe(_, _)),
     "doc_chunks"        -> (TextOps.docChunks(_, _)),
     "tfidf_topterms"    -> (TextOps.tfidfTopTerms(_, _)),
     "pack_bins"         -> (TextOps.packBins(_, _)),
@@ -87,8 +88,9 @@ object SparkEntry {
     "repetition_stats"  -> (TextOps.repetitionStats(_, _)),
     "corpus_mix"        -> (TextOps.corpusMix(_, _)),
     "fingerprint"       -> (TextOps.fingerprints(_, _)),
-    // LLM-pipeline: multimodal plumbing
+    // LLM-pipeline: multimodal plumbing + perceptual near-dup
     "media_features"    -> (Multimodal.mediaFeaturesQuery(_, _)),
+    "media_neardup"     -> (Multimodal.mediaNearDup(_, _)),
     // LLM-pipeline: reproducible sampling
     "sample_hash"       -> (Sampling.sampleHash(_, _)),
     "sample_stratified" -> (Sampling.sampleStratified(_, _)),

@@ -30,6 +30,10 @@ object GraftFunctions {
     "float_dot" -> { exprs =>
       require(exprs.length == 2, "float_dot(a, b)")
       FloatDot(exprs.head, exprs(1))
+    },
+    "bpe_token_count" -> { exprs =>
+      require(exprs.length == 1, "bpe_token_count(text)")
+      BpeTokenCount(exprs.head)
     })
 
   def register(spark: SparkSession): Unit =
@@ -57,6 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       (exprs: Seq[Expression]) => FloatDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
+      (exprs: Seq[Expression]) => BpeTokenCount(exprs.head)))
     // whole-operator tier: plan AsofJoin logical nodes natively in any
     // session built with this extension (the imperative path is
     // AsofJoinPlan.install / implicit in AsofJoinPlan.asof)

@@ -462,26 +462,39 @@ object Dedup {
       agg.select(col("doc_id"), sig.as("simhash"))
     }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, via banded
-    * joins: split the 64-bit signature into (maxDist+1) bands — by
-    * pigeonhole, any pair within maxDist matches exactly on ≥1 band, so
-    * the banded join is EXACT (full recall), never all-pairs. */
-  def dedupSimhash(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, via the
+    * shared banded-Hamming self-join ([[bandedHammingPairs]]) — EXACT
+    * (full recall) by pigeonhole, never all-pairs. */
+  def dedupSimhash(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame =
+    bandedHammingPairs(
+      simhashSignatures(spark, dir).select(col("doc_id"), col("simhash").as("sig")),
+      maxDist)
+
+  /** EXACT banded self-join over any 64-bit signature frame
+    * `(doc_id: long, sig: long)`: split the signature into (maxDist+1)
+    * disjoint bands — by pigeonhole, any pair within Hamming distance
+    * maxDist agrees exactly on ≥1 band, so joining on band equality
+    * yields every qualifying pair (full recall) while never enumerating
+    * all pairs. Shared by SimHash text dedup and dHash media dedup.
+    *
+    * Scale: the only shuffle is the band-equality join; candidates are
+    * verified with a codegen'd XOR+popcount, so cost is driven by bucket
+    * collisions, not corpus size². */
+  private[graft] def bandedHammingPairs(sig: DataFrame, maxDist: Int): DataFrame = {
     val nBands = maxDist + 1
     val width = 64 / nBands
-    val sig = simhashSignatures(spark, dir)
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band_id"),
-        shiftrightunsigned(col("simhash"), b * width)
+        shiftrightunsigned(col("sig"), b * width)
           .bitwiseAND((1L << width) - 1).as("band_val"))
     }
-    val banded = sig.select(col("doc_id"), col("simhash"),
+    val banded = sig.select(col("doc_id"), col("sig"),
         explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("simhash"), col("band.band_id"), col("band.band_val"))
+      .select(col("doc_id"), col("sig"), col("band.band_id"), col("band.band_val"))
     banded.as("x").join(banded.as("y"), Seq("band_id", "band_val"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }

@@ -36,6 +36,65 @@ object Multimodal {
       while (i < n) { checksum = checksum * 31 + (payload(i) & 0xFF); i += 1 }
       ((n % 64) + 1, ((n / 64) % 64) + 1, checksum)
     }
+
+    /** Stub "decode + downsample to a rows×cols grayscale grid": average-
+      * pool the payload bytes into `rows*cols` equal-width segments
+      * (row-major). This is the exact shape a real decoder feeds dHash —
+      * a real image library would decode pixels and box-filter down to
+      * the same grid; the pooling (not the decoding) is what makes the
+      * hash robust, and pooling proportional segments makes the grid
+      * invariant to uniform re-sampling of the payload (a byte-level
+      * stand-in for image resizing) and stable under small local edits
+      * (a stand-in for re-encoding noise). */
+    def grayscaleStub(payload: Array[Byte], rows: Int = 8, cols: Int = 9): Array[Double] = {
+      val cells = rows * cols
+      val out = new Array[Double](cells)
+      val n = payload.length
+      if (n == 0) return out
+      // Exact box filter: byte i is a constant patch over [i, i+1) of the
+      // signal's [0, n) extent; cell k integrates [k·n/cells, (k+1)·n/cells)
+      // with true interval-overlap weights. Integer-factor upsampling
+      // (every byte repeated f times) yields the SAME piecewise-constant
+      // function, so the pooled grid — and the hash — is exactly
+      // resample-invariant, the property a real box-downsampling decoder
+      // has on pixels.
+      var k = 0
+      while (k < cells) {
+        val lo = k.toDouble * n / cells
+        val hi = (k + 1).toDouble * n / cells
+        var acc = 0.0
+        var i = math.floor(lo).toInt
+        val end = math.min(n, math.ceil(hi).toInt)
+        while (i < end) {
+          val w = math.min(hi, i + 1.0) - math.max(lo, i.toDouble)
+          if (w > 0) acc += w * (payload(i) & 0xFF)
+          i += 1
+        }
+        out(k) = acc / (hi - lo)
+        k += 1
+      }
+      out
+    }
+
+    /** 64-bit difference hash (dHash — Krawetz's public perceptual-hash
+      * family): over the 8×9 pooled grayscale grid, bit r*8+c is set iff
+      * cell (r, c) < cell (r, c+1). Gradient signs survive brightness /
+      * scale shifts, so re-encoded or resized payloads land within a few
+      * bits of the original. */
+    def dHash64(payload: Array[Byte]): Long = {
+      val g = grayscaleStub(payload)
+      var h = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (g(r * 9 + c) < g(r * 9 + c + 1)) h |= (1L << (r * 8 + c))
+          c += 1
+        }
+        r += 1
+      }
+      h
+    }
   }
 
   /** Documents re-materialized as a media table: payload = UTF-8 bytes of
@@ -67,6 +126,43 @@ object Multimodal {
   def mediaFeaturesQuery(spark: SparkSession, dir: String): DataFrame =
     mediaFeatures(spark, dir)
       .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))
+
+  /** A media hash row: id + 64-bit perceptual signature. */
+  final case class MediaHash(doc_id: Long, sig: Long)
+
+  /** Per-partition perceptual hashing over any `(doc_id, payload, mime)`
+    * frame: the same batched mapPartitions shape as [[mediaFeatures]],
+    * emitting (doc_id, dHash-64). */
+  def mediaHashesOf(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow]
+      .mapPartitions(_.map(r => MediaHash(r.doc_id, MediaCodec.dHash64(r.payload))))
+      .toDF()
+  }
+
+  def mediaHashes(spark: SparkSession, dir: String): DataFrame =
+    mediaHashesOf(spark, mediaTable(spark, dir))
+
+  /** Visual near-duplicate pairs: dHash-64 per payload, then the EXACT
+    * banded-Hamming self-join shared with SimHash text dedup
+    * ([[Dedup.bandedHammingPairs]] — pigeonhole full recall at distance
+    * ≤ maxDist, never all-pairs). This is the standard first screen a
+    * multimodal corpus needs: re-encoded / resized copies of an image
+    * hash within a few bits of each other while distinct images are
+    * ~32 bits apart in expectation.
+    *
+    * Scale: hashing is a narrow scan (64 bits/row retained — the
+    * payloads never shuffle); the join shuffles only (id, sig, band)
+    * rows. Engine-specific hash ⇒ no SQL oracle; LlmOpsSpec plants
+    * re-encoded/resized duplicates and asserts recall + brute-force
+    * Hamming parity. */
+  def mediaNearDup(spark: SparkSession, dir: String, maxDist: Int = 6): DataFrame =
+    mediaNearDupPairs(spark, mediaTable(spark, dir), maxDist)
+
+  /** [[mediaNearDup]] over an arbitrary media frame (spec entry point for
+    * planted-duplicate fixtures). */
+  def mediaNearDupPairs(spark: SparkSession, media: DataFrame, maxDist: Int = 6): DataFrame =
+    Dedup.bandedHammingPairs(mediaHashesOf(spark, media), maxDist)
 
   val mediaFeaturesSql: String =
     """SELECT doc_id,

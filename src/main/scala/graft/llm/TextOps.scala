@@ -137,6 +137,24 @@ object TextOps {
        |    / len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')), 6) AS chars_per_token
        |FROM documents""".stripMargin
 
+  /** True subword token counting via greedy byte-pair merges
+    * ([[graft.functions.BpeTokenCount]] — a codegen'd native
+    * expression), beside the whitespace count for calibration: this is
+    * the number a trainer's tokenizer actually bills, where ws_tokens
+    * undercounts. Zero-shuffle scan-speed projection like the rest of
+    * the family; engine-specific merge loop ⇒ no SQL oracle
+    * (FunctionsSpec pins it against a plain-Scala reimplementation,
+    * ContractSpec pins the exemption). */
+  def tokenCountBpe(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        graft.functions.BpeTokenCount.bpe_token_count(col("text")).as("bpe_tokens"),
+        col("n_chars"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("bpe_tokens"), 6))
+
   /** Overlapping token-window chunking — the unit-of-training-sample
     * splitter (chunk of `chunkTokens` tokens every `stride`). Pure
     * narrow transformation: tokens bound once, starts exploded, slices

@@ -16,7 +16,9 @@ class ContractSpec extends AnyFunSuite {
     "similarity_topk_ivf",// LlmOpsSpec: recall vs brute force
     "fingerprint",        // LlmOpsSpec: == plain-Scala winnowing
     "decontam_fp",        // LlmOpsSpec: planted contamination caught; clean doc not flagged
-    "quantile_sketch")    // FunctionsSpec: rank error <= 2% vs exact sorted truth
+    "quantile_sketch",    // FunctionsSpec: rank error <= 2% vs exact sorted truth
+    "token_count_bpe",    // FunctionsSpec: == independent plain-Scala BPE merge count
+    "media_neardup")      // LlmOpsSpec: planted re-encoded/resized dups recalled
 
   test("every oracle entry has a query") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

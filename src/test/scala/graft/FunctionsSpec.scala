@@ -73,6 +73,70 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sk.finish(build(vals)) == sk.finish(build(vals)))
   }
 
+  test("bpe_token_count == independent plain-Scala greedy merge count") {
+    import graft.functions.BpeTokenCount
+    // independent reimplementation: immutable Lists + recursion, sharing
+    // only the published merge table (the contract under test)
+    val rk = BpeTokenCount.merges.zipWithIndex.toMap
+    def mergeOnce(syms: List[String]): Option[List[String]] = {
+      val pairs = syms.zip(syms.drop(1)).filter(rk.contains)
+      if (pairs.isEmpty) None
+      else {
+        val best = pairs.minBy(rk)
+        def go(l: List[String]): List[String] = l match {
+          case a :: b :: rest if (a, b) == best => (a + b) :: go(rest)
+          case x :: rest => x :: go(rest)
+          case Nil => Nil
+        }
+        Some(go(syms))
+      }
+    }
+    def wordCount(w: String): Long = {
+      var syms = w.map(_.toString).toList
+      var next = mergeOnce(syms)
+      while (next.isDefined) { syms = next.get; next = mergeOnce(syms) }
+      syms.length.toLong
+    }
+    def docCount(text: String): Long =
+      "[a-zA-Z]+|[^a-zA-Z\\s]".r.findAllIn(text).map { t =>
+        if (t.head.isLetter) wordCount(t.toLowerCase) else 1L
+      }.sum
+
+    val crafted = Seq(
+      "the theater is in the thing",  // multi-level merges (th+e, th+at…)
+      "printing and privatization of nations", // ing/and/ation tiers
+      "a",                            // single char
+      "",                             // empty
+      "Hello, World! 123",            // case folding, punct + digits 1 each
+      "zzzz qqqq",                    // no merges apply: chars count
+      "ingingING")                    // repeated mergeable unit
+    crafted.foreach { s =>
+      val got = spark.range(1)
+        .select(BpeTokenCount.bpe_token_count(lit(s)).as("n"))
+        .head().getLong(0)
+      assert(got == docCount(s), s"mismatch on '$s': engine $got, spec ${docCount(s)}")
+    }
+    // and over real corpus docs, through codegen
+    val docs = Tables.documents(spark, sf).limit(50)
+    val got = docs.select(col("doc_id"),
+        BpeTokenCount.bpe_token_count(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> docCount(r.getString(1))).toMap
+    assert(got == want && got.nonEmpty)
+    // BPE sits between whitespace words and characters
+    val row = Tables.documents(spark, sf)
+      .select(
+        sum(size(graft.llm.TextOps.tokens(col("text")))).cast("long").as("ws"),
+        sum(BpeTokenCount.bpe_token_count(col("text"))).as("bpe"),
+        sum(col("n_chars")).as("chars")).head()
+    assert(row.getLong(0) < row.getLong(1) && row.getLong(1) < row.getLong(2))
+    // callable from SQL too
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT bpe_token_count('the thing') AS n").head().getLong(0)
+      == docCount("the thing"))
+  }
+
   test("approx_count_distinct tracks exact within 5%") {
     val joined = RelOps.countDistinctUsers(spark, sf)
       .join(Tables.events(spark, sf).groupBy(col("event_type"))

@@ -303,6 +303,47 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("media near-dup: planted re-encoded/resized dups recalled, banding == brute Hamming") {
+    import spark.implicits._
+    import Multimodal.MediaCodec
+    val base = Tables.documents(spark, sf).select("doc_id", "text").limit(30)
+      .collect().map { r =>
+        r.getLong(0) -> r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      }
+    // "re-encode": flip the low bit of every 97th byte (codec noise);
+    // "resize": repeat every byte ×2 (uniform 2x upsample)
+    def reencoded(b: Array[Byte]): Array[Byte] = {
+      val c = b.clone()
+      var i = 0
+      while (i < c.length) { c(i) = (c(i) ^ 1).toByte; i += 97 }
+      c
+    }
+    def resized(b: Array[Byte]): Array[Byte] = b.flatMap(x => Array(x, x))
+    val planted = base.flatMap { case (id, b) =>
+      Seq((id, b), (id + 10000L, reencoded(b)), (id + 20000L, resized(b)))
+    }
+    val media = planted.toSeq
+      .map { case (id, b) => (id, b, "application/octet-stream") }
+      .toDF("doc_id", "payload", "mime")
+    val got = Multimodal.mediaNearDupPairs(spark, media, maxDist = 6)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted twin pair is recalled through the distributed path
+    for ((id, _) <- base) {
+      assert(got.contains((id, id + 10000L)), s"re-encoded twin of $id missed")
+      assert(got.contains((id, id + 20000L)), s"resized twin of $id missed")
+    }
+    // the banded join is exactly brute-force Hamming <= maxDist (pigeonhole)
+    val sig = planted.map { case (id, b) => id -> MediaCodec.dHash64(b) }
+    val brute = (for {
+      (a, ha) <- sig; (b, hb) <- sig if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (a, b)).toSet
+    assert(got == brute)
+    // distinct source docs don't collapse into one blob: most cross pairs are far
+    val crossDup = brute.count { case (a, b) => a % 10000 != b % 10000 }
+    assert(crossDup < brute.size / 2, s"$crossDup spurious cross-document pairs")
+  }
+
   test("decontam: planted 13-gram contamination is caught, clean docs are not") {
     import spark.implicits._
     val benchText = "alpha bravo charlie delta echo foxtrot golf hotel india " +
