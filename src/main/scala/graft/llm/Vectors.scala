@@ -71,22 +71,72 @@ object Vectors {
        |SELECT query_id, rank, neighbor_id, cos AS cosine
        |FROM r WHERE rank <= ${k}""".stripMargin
 
-  /** Exact embedding near-dup pairs: all pairs with cosine ≥ threshold.
-    * Oracle-checked exact form; the LSH-bucketed variant below is the
-    * 100 TB path (this one is O(n²) by definition of exactness). */
+  /** Exact embedding near-dup pairs (all pairs with cosine ≥ threshold)
+    * via ANGULAR PIVOT BUCKETING — exact output, never a blind all-pairs
+    * join. The metric-space pruning classic: for unit directions,
+    * cos(a,b) ≥ t implies angle(a,b) ≤ acos(t), and by the triangle
+    * inequality on the sphere |θ_a − θ_b| ≤ angle(a,b) for the angle θ
+    * of each vector to ANY fixed pivot. So bucketing by
+    * floor(θ/width) with width = acos(t)+ε and joining only same and
+    * adjacent buckets has FULL recall (the pair's bucket indices can
+    * differ by at most 1); additional pivots prefilter candidates with
+    * the same bound before the dot product. The final cosine ≥ t verify
+    * is unchanged, so the result — and the DuckDB oracle — is exactly
+    * the brute-force answer.
+    *
+    * Scale: one shuffle on the pivot-1 bucket; candidate count is
+    * Σ_b |b|·(|b|+|b+1|), driven by how tight the threshold is — at a
+    * real near-dup threshold (0.9 → width ≈ 0.46 rad, ~7 buckets per π)
+    * the join touches a fraction of pairs, and every extra pivot
+    * multiplies the prefilter. A directionally-degenerate corpus decays
+    * toward all-pairs (exactness requires it — ε-ball covers can't help
+    * a worst case); [[embNearDupLsh]] stays the approximate 100 TB
+    * path. ε = 0.01 rad absorbs float32-dot → acos noise (acos is
+    * steep near ±1), so rounding can never evict a boundary pair. */
   def embNearDupPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.45): DataFrame = {
+      threshold: Double = 0.45, nPivots: Int = 4, dim: Int = 64): DataFrame = {
+    val eps = 0.01
+    val width =
+      math.acos(math.max(-1.0, math.min(1.0, threshold))) + eps
     val emb = withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
       "embedding", "nrm")
-    val a = emb.select(col("vec_id").as("ida"), col("embedding").as("va"),
-      col("nrm").as("na"))
-    val b = emb.select(col("vec_id").as("idb"), col("embedding").as("vb"),
-      col("nrm").as("nb"))
-    a.join(b, col("ida") < col("idb"))
+    // deterministic pseudo-random pivots (splitmix stream, disjoint from
+    // the SRP planes); θ_p = angle(v, pivot_p) ∈ [0, π]
+    def theta(p: Int): Column = {
+      val comps = (0 until dim).map(i => planeComponent(9001 + p, i))
+      val pnrm = math.sqrt(comps.map(x => x * x).sum)
+      val plane = array(comps.map(lit): _*)
+      val dot = aggregate(zip_with(col("embedding"), plane,
+        (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
+      acos(greatest(lit(-1.0), least(lit(1.0), dot / (col("nrm") * pnrm))))
+    }
+    val thCols = (0 until nPivots).map(p => theta(p).as(s"th$p"))
+    val t = emb.select(Seq(col("vec_id"), col("embedding"), col("nrm"))
+        ++ thCols: _*)
+      .withColumn("bkt", floor(col("th0") / width).cast("int"))
+    // each vector probes its own bucket AND the next one up: a same-
+    // bucket pair meets on the self key (both orientations — ida < idb
+    // keeps one); an adjacent pair meets exactly once, via the lower
+    // vector's bkt+1 probe (orientation normalized at the end).
+    val probe = t.select(Seq(col("vec_id").as("ida"),
+        col("embedding").as("va"), col("nrm").as("na"), col("bkt").as("ba"),
+        explode(array(col("bkt"), col("bkt") + 1)).as("jb"))
+      ++ (0 until nPivots).map(p => col(s"th$p").as(s"tha$p")): _*)
+    val own = t.select(Seq(col("vec_id").as("idb"),
+        col("embedding").as("vb"), col("nrm").as("nb"), col("bkt").as("jb"))
+      ++ (0 until nPivots).map(p => col(s"th$p").as(s"thb$p")): _*)
+    val angleBounds = (0 until nPivots)
+      .map(p => abs(col(s"tha$p") - col(s"thb$p")) <= width)
+      .reduce(_ && _)
+    probe.join(own, Seq("jb"))
+      .filter((col("ba") === col("jb") && col("ida") < col("idb")) ||
+        col("ba") + 1 === col("jb"))
+      .filter(angleBounds)
       .withColumn("cos",
         round(dotF32(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= threshold)
-      .select(col("ida"), col("idb"), col("cos").as("cosine"))
+      .select(least(col("ida"), col("idb")).as("ida"),
+        greatest(col("ida"), col("idb")).as("idb"), col("cos").as("cosine"))
   }
 
   def embNearDupSql(threshold: Double = 0.45): String =

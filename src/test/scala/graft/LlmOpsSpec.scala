@@ -244,6 +244,30 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("angular-bucketed exact near-dup == driver-side all-pairs at every threshold") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def f32dot(x: Array[Float], y: Array[Float]): Double = {
+      var acc = 0.0f
+      var i = 0
+      while (i < x.length) { acc += x(i) * y(i); i += 1 }
+      acc.toDouble
+    }
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(f32dot(v, v)) }.toMap
+    for (t <- Seq(0.3, 0.45, 0.6, 0.9)) {
+      val brute = (for {
+        (a, va) <- vecs; (b, vb) <- vecs if a < b
+        cos = BigDecimal(f32dot(va, vb) / (nrm(a) * nrm(b)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if cos >= t
+      } yield (a, b)).toSet
+      val got = Vectors.embNearDupPairs(spark, sf, threshold = t)
+        .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute,
+        s"t=$t: missed ${brute -- got}; spurious ${got -- brute}")
+    }
+  }
+
   test("LSH near-dup output is a subset of brute-force with recall >= 0.8") {
     val brute = Vectors.embNearDupPairs(spark, sf, threshold = 0.4)
       .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
