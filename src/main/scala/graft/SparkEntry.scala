@@ -70,6 +70,7 @@ object SparkEntry {
     // LLM-pipeline: benchmark decontamination
     "decontam"          -> (Decontam.decontaminate(_, _)),
     "decontam_fp"       -> (Decontam.decontaminateFingerprint(_, _)),
+    "decontam_apply"    -> (Decontam.decontamApply(_, _)),
     // LLM-pipeline: similarity search
     "similarity_topk"   -> (Vectors.simTopK(_, _)),
     "similarity_topk_ivf" -> (Vectors.simTopKIvf(_, _)),
@@ -96,6 +97,7 @@ object SparkEntry {
     "sample_stratified" -> (Sampling.sampleStratified(_, _)),
     "resample_temperature" -> (Sampling.resampleTemperature(_, _)),
     "split_corpus"      -> (Sampling.splitCorpus(_, _)),
+    "source_cap"        -> (Sampling.sourceCap(_, _)),
     // LLM-pipeline: PII scrub + quality gating
     "pii_scrub"         -> (Pii.piiScrub(_, _)),
     "quality_filter"    -> (Quality.qualityFilter(_, _)),
@@ -140,6 +142,7 @@ object SparkEntry {
     "dedup_editdist"    -> Dedup.dedupEditDistanceSql(),
     "dedup_apply"       -> Dedup.dedupApplySql(),
     "decontam"          -> Decontam.decontaminateSql(),
+    "decontam_apply"    -> Decontam.decontamApplySql(),
     // dedup_minhash / dedup_simhash / emb_neardup_lsh / fingerprint:
     // engine-specific hash families — not ANSI-SQL-expressible; covered
     // by DedupSpec/VectorsSpec/TextOpsSpec against brute-force truth.
@@ -160,6 +163,7 @@ object SparkEntry {
     "sample_stratified" -> Sampling.sampleStratifiedSql,
     "resample_temperature" -> Sampling.resampleTemperatureSql,
     "split_corpus"      -> Sampling.splitCorpusSql,
+    "source_cap"        -> Sampling.sourceCapSql(),
     "pii_scrub"         -> Pii.piiScrubSql,
     "quality_filter"    -> Quality.qualityFilterSql,
   )

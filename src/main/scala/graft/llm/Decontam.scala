@@ -116,6 +116,35 @@ object Decontam {
           .as("containment"))
   }
 
+  /** Decontamination APPLIED — the kept corpus after dropping every doc
+    * the 13-gram screen flags (the step that actually ships: the pair
+    * list is the audit artifact, this is the training set). A left-anti
+    * join against the distinct flagged ids; the flagged side is
+    * contamination-sized, so AQE broadcasts it and the corpus never
+    * shuffles. Text is dropped from the output projection (IDs +
+    * metadata are what the artifact needs); the scan still prunes to
+    * exactly the columns used. */
+  def decontamApply(spark: SparkSession, dir: String, n: Int = 13,
+      benchMod: Int = 20, benchRem: Int = 7): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+      .filter(col("doc_id") % benchMod =!= benchRem)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val flagged = decontaminate(spark, dir, n, benchMod, benchRem)
+      .select(col("doc_id")).distinct()
+    docs.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
+  def decontamApplySql(n: Int = 13, benchMod: Int = 20, benchRem: Int = 7): String =
+    s"""WITH tk AS (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(${ngramsSql(n)}) AS gram FROM tk),
+       |c AS (SELECT doc_id, gram FROM g WHERE doc_id % $benchMod != $benchRem),
+       |b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % $benchMod = $benchRem),
+       |hits AS (SELECT DISTINCT c.doc_id FROM c JOIN b USING (gram))
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |WHERE d.doc_id % $benchMod != $benchRem
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin
+
   def decontaminateFingerprint(spark: SparkSession, dir: String,
       k: Int = 8, window: Int = 4, benchMod: Int = 20, benchRem: Int = 7,
       minShared: Int = 2): DataFrame = {

@@ -124,6 +124,43 @@ object Sampling {
       |       ELSE 'test' END AS split
       |FROM documents""".stripMargin
 
+  /** Per-source document cap — the per-domain quota every web-scale
+    * corpus applies (C4 / Gopher keep at most N pages per domain so one
+    * crawler-friendly site can't dominate the mix): keep the top `cap`
+    * docs per source, ranked by a deterministic quality proxy (here
+    * n_chars desc, doc_id tiebreak — a learned quality score slots into
+    * the same ORDER BY).
+    *
+    * Exact and skew-proof in two phases: phase 1 ranks inside
+    * (source, doc_id % fanout) sub-buckets and keeps each bucket's top
+    * `cap` — the global per-source top `cap` is contained in the union
+    * of bucket top-`cap`s, so nothing true is lost — and phase 2 ranks
+    * the ≤ cap·fanout survivors per source. A single hot domain with
+    * 10⁹ pages hits phase 1 as `fanout` independent partitions of a
+    * bounded window, never one giant sorted partition. */
+  def sourceCap(spark: SparkSession, dir: String, cap: Int = 15,
+      fanout: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val w1 = Window.partitionBy(col("source"), pmod(col("doc_id"), lit(fanout)))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val pruned = docs.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= cap).drop("r1")
+    val w2 = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    pruned.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= cap)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rank"))
+  }
+
+  def sourceCapSql(cap: Int = 15): String =
+    s"""WITH r AS (SELECT doc_id, source, n_chars,
+       |  CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+       |FROM documents)
+       |SELECT doc_id, source, n_chars, rank FROM r WHERE rank <= $cap""".stripMargin
+
   val resampleTemperatureSql: String =
     """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS grp_cnt
       |           FROM documents GROUP BY lang),

@@ -108,6 +108,41 @@ class PiiQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("source cap: <= cap per source, dense ranks, two-phase == plain window truth") {
+    val cap = 15
+    val got = Sampling.sourceCap(spark, sf, cap = cap).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val bySrc = got.groupBy(_._2)
+    assert(bySrc.nonEmpty)
+    for ((src, rows) <- bySrc) {
+      assert(rows.length <= cap, s"$src over cap")
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length), s"$src ranks not dense")
+    }
+    // exactness of the two-phase prune: == driver-side single ranking
+    val all = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = all.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      rows.sortBy(r => (-r._3, r._1)).take(cap).zipWithIndex
+        .map { case ((id, _, n), i) => (id, src, n, i + 1) }
+    }.toSet
+    assert(got.toSet == want)
+  }
+
+  test("decontam apply: kept == corpus minus flagged ids; no benchmark docs") {
+    import graft.llm.Decontam
+    val flagged = Decontam.decontaminate(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val corpus = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 20 =!= 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = Decontam.decontamApply(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == corpus -- flagged)
+    assert(kept.forall(_ % 20 != 7))
+    assert(flagged.nonEmpty, "fixture should contain planted contamination")
+  }
+
   test("temperature resampling: min stratum kept whole, others near √ rate, deterministic") {
     val out = Sampling.resampleTemperature(spark, sf)
     val kept = out.groupBy("lang").agg(
