@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.llm.{Dedup, DedupIndex, Pii, Quality}
+import graft.llm.{Decontam, Dedup, DedupIndex, Pii, Quality, TextOps}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -18,10 +18,15 @@ import org.apache.spark.sql.types._
   *      over the micro-batch ([[Dedup.ngramJaccardFromSets]] — a batch
   *      is small, exactness is cheap here), keeping the smaller doc_id
   *      of each near-dup pair;
-  *   3. PII scrub ([[Pii.scrub]]) then the Gopher-style quality gate
+  *   3. benchmark decontamination (optional): docs sharing a 13-gram
+  *      with the holdout set are dropped ([[Decontam]]'s screen) — the
+  *      benchmark posting list is built ONCE at pipeline construction
+  *      and broadcast into every batch, so the per-batch cost is one
+  *      broadcast-hash join over the batch's grams;
+  *   4. PII scrub ([[Pii.scrub]]) then the Gopher-style quality gate
   *      ([[Quality.gate]]) over the SCRUBBED text — what gets published
   *      is what gets judged;
-  *   4. survivors append to `outDir/kept` and fold into the index
+  *   5. survivors append to `outDir/kept` and fold into the index
   *      ([[DedupIndex.foldIn]] — an O(batch) append, never a rebuild),
   *      so the NEXT batch's probe sees them.
   *
@@ -43,13 +48,27 @@ class CurationPipeline(
     spark: SparkSession,
     indexPath: String,
     outDir: String,
-    threshold: Double = 0.6) {
+    threshold: Double = 0.6,
+    benchmark: Option[DataFrame] = None,
+    decontamN: Int = 13) {
 
   import CurationPipeline._
 
   private def indexExists: Boolean = {
     val p = new Path(s"$indexPath/buckets")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The standing benchmark posting list: distinct decontamN-grams of
+    * the holdout, built once per pipeline (benchmarks are small and
+    * static) and broadcast into every batch's screen. */
+  private val benchGrams: Option[DataFrame] = benchmark.map { b =>
+    graft.Caches.memo(spark, s"curationBenchGrams:$indexPath:$decontamN") {
+      b.select(TextOps.tokens(col("text")).as("toks"))
+        .select(explode(Decontam.ngramsFromTokens(col("toks"), decontamN))
+          .as("gram"))
+        .distinct()
+    }
   }
 
   /** One micro-batch of (doc_id, text) through the curation gauntlet.
@@ -72,9 +91,21 @@ class CurationPipeline(
       val selfDups = Dedup.ngramJaccardFromSets(Dedup.shingleSets(fresh), threshold)
         .select(col("idb").as("doc_id")).distinct()
       val unique = fresh.join(selfDups, Seq("doc_id"), "left_anti")
-      // 3. scrub, then gate the scrubbed text
+      // 3. benchmark screen: any shared decontamN-gram disqualifies
+      val clean = benchGrams match {
+        case Some(bg) =>
+          val flagged = unique
+            .select(col("doc_id"),
+              explode(Decontam.ngramsFromTokens(TextOps.tokens(col("text")),
+                decontamN)).as("gram"))
+            .join(broadcast(bg), Seq("gram"))
+            .select(col("doc_id")).distinct()
+          unique.join(flagged, Seq("doc_id"), "left_anti")
+        case None => unique
+      }
+      // 4. scrub, then gate the scrubbed text
       val kept = Quality.gate(
-          Pii.scrub(unique, "text")
+          Pii.scrub(clean, "text")
             .select(col("doc_id"), col("clean_text").as("text")))
         .filter(col("keep") === 1)
         .select(col("doc_id"), col("text"))

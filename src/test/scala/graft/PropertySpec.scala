@@ -84,6 +84,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bpe token count laws over random text: bounds, whitespace additivity, case folding") {
+    import graft.functions.BpeTokenCount
+    val wordGen = Gen.oneOf(
+      Gen.listOfN(5, Gen.alphaChar).map(_.mkString),
+      Gen.oneOf("the", "theater", "printing", "nation", "zzzz", "a", "Aa"),
+      Gen.listOfN(3, Gen.oneOf('0' to '9')).map(_.mkString),
+      Gen.const("don't"), Gen.const("x;y"))
+    val textGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
+    for (seed <- 1L to 10L) {
+      val s = sample(textGen, seed)
+      val n = BpeTokenCount.count(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val nonWs = s.count(!_.isWhitespace)
+      val words = s.split("\\s+").count(_.nonEmpty)
+      assert(n >= words && n <= nonWs, s"seed $seed: $n outside [$words, $nonWs]")
+      // whitespace additivity: a document counts as the sum of its words
+      val parts = s.split("\\s+").filter(_.nonEmpty).map(w =>
+        BpeTokenCount.count(
+          org.apache.spark.unsafe.types.UTF8String.fromString(w))).sum
+      assert(n == parts, s"seed $seed: not additive over whitespace")
+      // case folding: counts are case-insensitive
+      val upper = BpeTokenCount.count(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s.toUpperCase))
+      assert(n == upper, s"seed $seed: case changed the count")
+    }
+  }
+
+  test("dHash laws on random payloads: resample invariance, locality, determinism") {
+    import graft.llm.Multimodal.MediaCodec
+    val payloadGen = Gen.listOfN(300, Gen.choose(0, 255)).map(_.map(_.toByte).toArray)
+    for (seed <- 1L to 10L) {
+      val b = sample(payloadGen, seed)
+      val h = MediaCodec.dHash64(b)
+      assert(h == MediaCodec.dHash64(b.clone()), "not deterministic")
+      // integer-factor upsampling preserves the pooled grid (exact box
+      // filter) — allow a tiny FP slack at exact-tie cells
+      for (f <- Seq(2, 3)) {
+        val up = b.flatMap(x => Array.fill(f)(x))
+        val d = java.lang.Long.bitCount(h ^ MediaCodec.dHash64(up))
+        assert(d <= 1, s"seed $seed: upsample x$f moved $d bits")
+      }
+      // locality: flipping one low bit of one byte moves few cells
+      val noisy = b.clone(); noisy(137) = (noisy(137) ^ 1).toByte
+      assert(java.lang.Long.bitCount(h ^ MediaCodec.dHash64(noisy)) <= 4,
+        s"seed $seed: 1-byte noise not local")
+    }
+  }
+
   test("asof join: native == composed == brute force on random keyed timelines") {
     import graft.ops.TemporalOps
     import graft.plans.AsofJoinPlan

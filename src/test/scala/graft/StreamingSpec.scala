@@ -261,6 +261,12 @@ class StreamingSpec extends AnyFunSuite {
     val textC = "please send a note to alice@example.com and the team will reply in a day or two with detailed answers"
     val textD = "a small boat drifts slowly across the calm blue lake while distant mountains rise sharply against clear skies"
     val textE = "old books line the wooden shelves of a dusty library where scholars read ancient pages in silence"
+    // holdout item for the decontam stage; doc 22 embeds a verbatim
+    // 13-gram of it inside otherwise-keepable text
+    val benchText = "seventeen golden lanterns swing above the narrow harbor " +
+      "street while fishermen mend their long nets before the evening tide arrives"
+    val contaminated = "a tourist wrote that seventeen golden lanterns swing " +
+      "above the narrow harbor street while fishermen mend their nets happily"
     val batches = Seq(
       // batch 0: two keepers + a too-short doc the quality gate drops
       Seq((1L, textA), (2L, textB), (3L, "zzz qqq xxx")),
@@ -268,12 +274,15 @@ class StreamingSpec extends AnyFunSuite {
       // PII doc (kept, scrubbed), and a within-batch near-dup pair
       // (13 appends one word to 12 → exact Jaccard 16/17; 12 survives)
       Seq((10L, textA), (11L, textC), (12L, textD), (13L, textD + " everywhere")),
-      // batch 2: a cross-batch copy of batch 1's kept doc 12 + a keeper
-      Seq((20L, textD), (21L, textE)))
+      // batch 2: a cross-batch copy of batch 1's kept doc 12, a keeper,
+      // and a benchmark-contaminated doc the decontam screen drops
+      Seq((20L, textD), (21L, textE), (22L, contaminated)))
     val wantKept = Set(1L, 2L, 11L, 12L, 21L)
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
 
     // batch mode: drive processBatch by hand
-    val bm = new CurationPipeline(spark, s"$base/idxA", s"$base/outA")
+    val bm = new CurationPipeline(spark, s"$base/idxA", s"$base/outA",
+      benchmark = Some(bench))
     batches.zipWithIndex.foreach { case (b, i) =>
       bm.processBatch(b.toDF("doc_id", "text"), i.toLong)
     }
@@ -290,7 +299,8 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Files.move(part.toPath, dst.toPath)
       dst.setLastModified(1700000000000L + i * 60000L)
     }
-    val sm = new CurationPipeline(spark, s"$base/idxB", s"$base/outB")
+    val sm = new CurationPipeline(spark, s"$base/idxB", s"$base/outB",
+      benchmark = Some(bench))
     val q = sm.start(inDir.toString, s"$base/cp")
     q.processAllAvailable()
     q.stop()
