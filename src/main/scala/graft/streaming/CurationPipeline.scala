@@ -26,9 +26,11 @@ import org.apache.spark.sql.types._
   *   4. PII scrub ([[Pii.scrub]]) then the Gopher-style quality gate
   *      ([[Quality.gate]]) over the SCRUBBED text — what gets published
   *      is what gets judged;
-  *   5. survivors append to `outDir/kept` and fold into the index
-  *      ([[DedupIndex.foldIn]] — an O(batch) append, never a rebuild),
-  *      so the NEXT batch's probe sees them.
+  *   5. survivors land in `outDir/kept/epoch=<id>` (overwrite — a
+  *      replayed batch replaces its own partition, see processBatch's
+  *      exactly-once note) and fold into the index ([[DedupIndex.foldIn]]
+  *      — an O(batch) append fenced by a per-epoch marker), so the NEXT
+  *      batch's probe sees them.
   *
   * The per-batch body is deterministic (hash-based signatures, exact
   * verification, min-id keeper rule), so N streamed micro-batches produce
@@ -112,10 +114,23 @@ class CurationPipeline(
         .persist()
       try {
         if (kept.count() > 0) {
-          kept.withColumn("epoch", lit(epochId))
-            .write.mode("append").parquet(s"$outDir/kept")
-          if (haveIndex) DedupIndex.foldIn(kept, indexPath)
-          else DedupIndex.build(kept, indexPath)
+          // EXACTLY-ONCE under foreachBatch's at-least-once replay: the
+          // kept output is one partition dir per epoch, overwritten —
+          // not appended — so a replayed batch replaces its own rows
+          // (the deterministic per-batch body re-derives the same kept
+          // set); the index fold is fenced by a per-epoch marker file so
+          // a replay doesn't fold the same rows twice. Crash between
+          // fold and marker degrades to at-least-once for that one
+          // epoch's index rows — duplicate bucket entries, which probes
+          // tolerate (candidates are distinct()ed) and compaction packs.
+          kept.write.mode("overwrite").parquet(s"$outDir/kept/epoch=$epochId")
+          val marker = new Path(s"$indexPath/_folded_epoch_$epochId")
+          val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(marker)) {
+            if (haveIndex) DedupIndex.foldIn(kept, indexPath)
+            else DedupIndex.build(kept, indexPath)
+            fs.create(marker, true).close()
+          }
         }
       } finally kept.unpersist()
     } finally batch.unpersist()

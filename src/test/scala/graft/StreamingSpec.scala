@@ -286,6 +286,9 @@ class StreamingSpec extends AnyFunSuite {
     batches.zipWithIndex.foreach { case (b, i) =>
       bm.processBatch(b.toDF("doc_id", "text"), i.toLong)
     }
+    // at-least-once replay (a crash between foreachBatch and checkpoint
+    // commit re-delivers a batch): re-processing must be a no-op
+    bm.processBatch(batches(1).toDF("doc_id", "text"), 1L)
 
     // streaming mode: same batches as one parquet file each, mtimes
     // spaced so the file source's timestamp order IS the batch order
@@ -317,9 +320,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(t11.contains("[EMAIL]") && !t11.contains("alice@example.com"))
     // the index grew by exactly the kept docs
     for (idx <- Seq(s"$base/idxA", s"$base/idxB")) {
-      val indexed = spark.read.parquet(s"$idx/sets")
-        .select("doc_id").collect().map(_.getLong(0)).toSet
-      assert(indexed == wantKept)
+      val ids = spark.read.parquet(s"$idx/sets")
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(ids.toSet == wantKept)
+      // the replay folded nothing twice: one set row per kept doc
+      assert(ids.length == wantKept.size, s"$idx has duplicate index rows")
     }
   }
 }
