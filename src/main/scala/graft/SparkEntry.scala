@@ -92,6 +92,7 @@ object SparkEntry {
     // LLM-pipeline: multimodal plumbing + perceptual near-dup
     "media_features"    -> (Multimodal.mediaFeaturesQuery(_, _)),
     "media_neardup"     -> (Multimodal.mediaNearDup(_, _)),
+    "media_framesample" -> (Multimodal.mediaFrameSample(_, _)),
     // LLM-pipeline: reproducible sampling
     "sample_hash"       -> (Sampling.sampleHash(_, _)),
     "sample_stratified" -> (Sampling.sampleStratified(_, _)),
@@ -159,6 +160,7 @@ object SparkEntry {
     "repetition_stats"  -> TextOps.repetitionStatsSql,
     "corpus_mix"        -> TextOps.corpusMixSql(),
     "media_features"    -> Multimodal.mediaFeaturesSql,
+    "media_framesample" -> Multimodal.mediaFrameSampleSql(),
     "sample_hash"       -> Sampling.sampleHashSql,
     "sample_stratified" -> Sampling.sampleStratifiedSql,
     "resample_temperature" -> Sampling.resampleTemperatureSql,

@@ -164,6 +164,68 @@ object Multimodal {
   def mediaNearDupPairs(spark: SparkSession, media: DataFrame, maxDist: Int = 6): DataFrame =
     Dedup.bandedHammingPairs(mediaHashesOf(spark, media), maxDist)
 
+  /** One sampled frame: offset/length locate it in the payload, `frame`
+    * carries the bytes a real model would embed, `luma` is the stub
+    * feature (mean byte value standing in for mean luminance). */
+  final case class FrameSample(doc_id: Long, frame_idx: Int, frame_off: Long,
+      frame_len: Int, frame: Array[Byte], luma: Double)
+
+  /** Video-style frame sampling: treat the payload as a sequence of
+    * fixed-size frames (`frameBytes` each — a real container's frames
+    * come from the demuxer; fixed-size chunks keep the stub
+    * deterministic and oracle-checkable) and keep every `stride`-th
+    * frame — the standard decode-cost reducer for video corpora (a
+    * model trains on sampled frames, not all of them).
+    *
+    * Same batched mapPartitions shape as [[mediaFeatures]]: a narrow
+    * per-partition pass, no shuffle, no driver collect; emitted frames
+    * are `stride`× smaller than the input, which is the point — at
+    * 100 TB of video the sampler is the first stage precisely because
+    * everything downstream sees only the kept frames. Offsets/lengths
+    * are ANSI-expressible (DuckDB oracle); the frame bytes and luma are
+    * engine-side, spec-checked (LlmOpsSpec reassembles payloads from
+    * stride-1 frames and refolds luma in plain Scala). */
+  def frameSamples(spark: SparkSession, media: DataFrame,
+      frameBytes: Int = 64, stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = r.payload.length
+        if (n == 0) Iterator.empty
+        else {
+          val lastFrame = (n - 1) / frameBytes
+          Iterator.range(0, lastFrame + 1, stride).map { i =>
+            val off = i * frameBytes
+            val len = math.min(frameBytes, n - off)
+            val frame = java.util.Arrays.copyOfRange(r.payload, off, off + len)
+            var s = 0L
+            var j = 0
+            while (j < frame.length) { s += frame(j) & 0xFF; j += 1 }
+            FrameSample(r.doc_id, i, off.toLong, len, frame, s.toDouble / len)
+          }
+        }
+      }
+    }.toDF()
+  }
+
+  /** Registered query: the oracle-checkable locator projection (the
+    * frame bytes and stub feature stay engine-side, like
+    * [[mediaFeatures]]' checksum). */
+  def mediaFrameSample(spark: SparkSession, dir: String): DataFrame =
+    frameSamples(spark, mediaTable(spark, dir))
+      .select(col("doc_id"), col("frame_idx"), col("frame_off"), col("frame_len"))
+
+  def mediaFrameSampleSql(frameBytes: Int = 64, stride: Int = 2): String =
+    s"""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+       |f AS (SELECT doc_id, n,
+       |        unnest(generate_series(0, CAST((n - 1) // $frameBytes AS BIGINT),
+       |                               $stride)) AS i
+       |      FROM d WHERE n > 0)
+       |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       |  CAST(i * $frameBytes AS BIGINT) AS frame_off,
+       |  CAST(least($frameBytes, n - i * $frameBytes) AS INT) AS frame_len
+       |FROM f""".stripMargin
+
   val mediaFeaturesSql: String =
     """SELECT doc_id,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -368,6 +368,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(crossDup < brute.size / 2, s"$crossDup spurious cross-document pairs")
   }
 
+  test("frame sampling: stride-1 frames reassemble the payload; luma refolds; stride law") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val payloads = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)).toMap
+    // stride 1: concatenating a doc's frames in frame_idx order must
+    // reproduce the payload byte-for-byte — nothing lost, nothing torn
+    val all = Multimodal.frameSamples(spark, media, frameBytes = 64, stride = 1)
+      .collect().groupBy(_.getLong(0))
+    assert(all.keySet == payloads.keySet.filter(payloads(_).nonEmpty))
+    for ((id, rows) <- all) {
+      val rebuilt = rows.sortBy(_.getInt(1))
+        .flatMap(_.getAs[Array[Byte]]("frame")).toArray
+      assert(java.util.Arrays.equals(rebuilt, payloads(id)), s"doc $id torn")
+      for (r <- rows) {
+        val frame = r.getAs[Array[Byte]]("frame")
+        val want = frame.map(_ & 0xFF).sum.toDouble / frame.length
+        assert(r.getDouble(5) == want, s"doc $id frame ${r.getInt(1)} luma")
+      }
+    }
+    // stride 2 keeps exactly the even frames of the stride-1 set
+    val sampled = Multimodal.frameSamples(spark, media, frameBytes = 64, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val want2 = all.toSeq.flatMap { case (id, rows) =>
+      rows.map(_.getInt(1)).filter(_ % 2 == 0).map(id -> _)
+    }.toSet
+    assert(sampled == want2)
+  }
+
   test("decontam: planted 13-gram contamination is caught, clean docs are not") {
     import spark.implicits._
     val benchText = "alpha bravo charlie delta echo foxtrot golf hotel india " +
