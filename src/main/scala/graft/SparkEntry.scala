@@ -102,6 +102,7 @@ object SparkEntry {
     // LLM-pipeline: PII scrub + quality gating
     "pii_scrub"         -> (Pii.piiScrub(_, _)),
     "quality_filter"    -> (Quality.qualityFilter(_, _)),
+    "compression_ratio" -> (Quality.compressionRatio(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

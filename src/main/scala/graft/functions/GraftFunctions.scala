@@ -34,6 +34,10 @@ object GraftFunctions {
     "bpe_token_count" -> { exprs =>
       require(exprs.length == 1, "bpe_token_count(text)")
       BpeTokenCount(exprs.head)
+    },
+    "deflate_ratio" -> { exprs =>
+      require(exprs.length == 1, "deflate_ratio(text)")
+      DeflateRatio(exprs.head)
     })
 
   def register(spark: SparkSession): Unit =
@@ -65,6 +69,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
       (exprs: Seq[Expression]) => BpeTokenCount(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+      (exprs: Seq[Expression]) => DeflateRatio(exprs.head)))
     // whole-operator tier: plan AsofJoin logical nodes natively in any
     // session built with this extension (the imperative path is
     // AsofJoinPlan.install / implicit in AsofJoinPlan.asof)

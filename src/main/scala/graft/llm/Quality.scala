@@ -74,6 +74,18 @@ object Quality {
       .select("doc_id", "word_count", "r_nwords", "r_awl", "r_stop",
         "r_alpha", "r_repeat", "keep")
 
+  /** Compression-ratio screen ([[graft.functions.DeflateRatio]] — the
+    * CCNet-style redundancy detector): deflate(text)/|text| with the
+    * doc's word count for context. Repetitive machine junk compresses
+    * far below prose; random blobs don't compress at all — both tails
+    * are drop candidates the word-level rules miss. Zero-shuffle scan
+    * projection; engine-specific codec ⇒ no SQL oracle (FunctionsSpec
+    * refolds the ratio in plain Scala and pins the ordering law). */
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.DeflateRatio.deflate_ratio(col("text")).as("deflate_ratio"))
+
   val qualityFilterSql: String = {
     val stopList = stopwords.map("'" + _ + "'").mkString(", ")
     s"""WITH t AS (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),

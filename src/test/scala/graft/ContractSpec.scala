@@ -18,7 +18,8 @@ class ContractSpec extends AnyFunSuite {
     "decontam_fp",        // LlmOpsSpec: planted contamination caught; clean doc not flagged
     "quantile_sketch",    // FunctionsSpec: rank error <= 2% vs exact sorted truth
     "token_count_bpe",    // FunctionsSpec: == independent plain-Scala BPE merge count
-    "media_neardup")      // LlmOpsSpec: planted re-encoded/resized dups recalled
+    "media_neardup",      // LlmOpsSpec: planted re-encoded/resized dups recalled
+    "compression_ratio")  // FunctionsSpec: == plain-Scala Deflater refold + ordering law
 
   test("every oracle entry has a query") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -137,6 +137,46 @@ class FunctionsSpec extends AnyFunSuite {
       == docCount("the thing"))
   }
 
+  test("deflate_ratio == plain-Scala refold; ordering law repetitive < prose < random") {
+    import graft.functions.DeflateRatio
+    def refold(s: String): Double = {
+      val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (raw.isEmpty) return 0.0
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end()
+      n.toDouble / raw.length
+    }
+    // engine == refold over real corpus docs, through codegen
+    val got = Tables.documents(spark, sf).limit(40)
+      .select(col("doc_id"), DeflateRatio.deflate_ratio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val texts = Tables.documents(spark, sf).limit(40).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.nonEmpty)
+    for ((id, t) <- texts) assert(got(id) == refold(t), s"doc $id")
+    // ordering law: the tails the screen exists to catch
+    val repetitive = Array.fill(80)("buy now click here").mkString(" ")
+    val prose = texts.values.maxBy(_.length)
+    val rng = new scala.util.Random(42)
+    val random = Array.fill(1200)((33 + rng.nextInt(94)).toChar).mkString
+    assert(refold(repetitive) < refold(prose) && refold(prose) < refold(random))
+    val viaEngine = Seq(repetitive, prose, random).map { s =>
+      spark.range(1).select(DeflateRatio.deflate_ratio(lit(s))).head().getDouble(0)
+    }
+    assert(viaEngine == Seq(repetitive, prose, random).map(refold))
+    // empty input is defined
+    assert(spark.range(1).select(DeflateRatio.deflate_ratio(lit("")))
+      .head().getDouble(0) == 0.0)
+    // callable from SQL
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT deflate_ratio('aaaa aaaa aaaa') AS r")
+      .head().getDouble(0) == refold("aaaa aaaa aaaa"))
+  }
+
   test("approx_count_distinct tracks exact within 5%") {
     val joined = RelOps.countDistinctUsers(spark, sf)
       .join(Tables.events(spark, sf).groupBy(col("event_type"))
