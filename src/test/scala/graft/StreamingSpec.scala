@@ -251,6 +251,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally store.close()
   }
 
+  test("jsonl source: documents round-trip losslessly; corrupt lines quarantine, not fail") {
+    import graft.ingest.JsonlSource
+    val base = Files.createTempDirectory("graft-jsonl").toString
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "text", "lang", "source", "n_chars").collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toMap
+    // round-trip the real documents table
+    val docs = Tables.documents(spark, sf)
+    JsonlSource.writeDocuments(docs, s"$base/docs")
+    val back = JsonlSource.goodDocuments(spark, s"$base/docs")
+    assert(key(back) == key(docs) && key(docs).nonEmpty)
+    // a crawler batch with a torn line: good rows parse, the bad line
+    // lands in quarantine verbatim, nothing throws
+    val mixed = Seq(
+      """{"doc_id": 1, "text": "fine", "lang": "en", "source": "s", "n_chars": 4}""",
+      """{"doc_id": 2, "text": "also fine", "lang": "en", "source": "s", "n_chars": 9}""",
+      """{"doc_id": 3, "text": "torn""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/mixed.jsonl"),
+      mixed.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val good = JsonlSource.goodDocuments(spark, s"$base/mixed.jsonl")
+    assert(good.count() == 2 &&
+      key(good) == Map(1L -> ("fine", "en", "s", 4L), 2L -> ("also fine", "en", "s", 9L)))
+    val bad = JsonlSource.corruptLines(spark, s"$base/mixed.jsonl")
+      .collect().map(_.getString(0))
+    assert(bad.toSeq == Seq(mixed(2)))
+  }
+
   test("curation loop: streamed micro-batches == batch-mode pipeline; index grows only by kept docs") {
     import graft.streaming.CurationPipeline
     import spark.implicits._
