@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Engine-wide physical-plan guardrails: every registered query's plan
+  * is screened for the shapes that do not survive scale, so a plan
+  * regression (a lost equi-join key turning into a cartesian, a window
+  * losing its partitioning) fails CI instead of surfacing as a 100×
+  * slowdown on a cluster. Deliberate exceptions are pinned per query
+  * with the reason — the list can only shrink or be consciously grown.
+  */
+class PlanGuardrailSpec extends AnyFunSuite {
+  import SparkTestSession.{sf, spark}
+
+  /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+    * a tiny broadcast side crossed/non-equi-joined by design. */
+  private val bnljAllowed = Set(
+    "similarity_topk",     // nQueries rows broadcast, joined vec_id =!= query_id
+    "similarity_topk_ivf") // nQueries × nCells centroid ranking cross, both tiny
+
+  /** Queries with a deliberate single-partition exchange feeding a
+    * window: the window input is an aggregate of bounded size. */
+  private val singlePartitionWindowAllowed = Set(
+    "resample_temperature") // window over the |strata|-row rate frame
+
+  test("no registered query plans a cartesian product") {
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product — an all-pairs shuffle at scale")
+    }
+  }
+
+  test("nested-loop joins only where a tiny broadcast side is by design") {
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      val has = plan.contains("BroadcastNestedLoopJoin")
+      assert(!has || bnljAllowed(name),
+        s"$name plans an unexpected BroadcastNestedLoopJoin")
+      if (bnljAllowed(name))
+        assert(has, s"stale allowlist entry: $name no longer plans a BNLJ")
+    }
+  }
+
+  test("windows keep their partitioning except over bounded aggregates") {
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      val has = plan.contains("Window") && plan.contains("SinglePartition")
+      assert(!has || singlePartitionWindowAllowed(name),
+        s"$name plans a window over a single partition")
+      if (singlePartitionWindowAllowed(name))
+        assert(has, s"stale allowlist entry: $name")
+    }
+  }
+}
