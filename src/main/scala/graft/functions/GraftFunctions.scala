@@ -77,5 +77,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // session built with this extension (the imperative path is
     // AsofJoinPlan.install / implicit in AsofJoinPlan.asof)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinPlan.AsofJoinStrategy)
+    // optimizer-rule tier: bounded levenshtein predicates run the banded
+    // O(len·k) DP instead of the full O(len²) matrix
+    ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRule)
   }
 }

@@ -25,4 +25,11 @@ object GraftBridge {
   def plannerStrategies(ext: SparkSessionExtensions,
       spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
     ext.buildPlannerStrategies(spark)
+
+  /** Same for injected optimizer rules (`buildOptimizerRules` is
+    * private[sql]). */
+  def optimizerRules(ext: SparkSessionExtensions, spark: SparkSession):
+      Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
 }

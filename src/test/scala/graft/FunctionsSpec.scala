@@ -177,6 +177,57 @@ class FunctionsSpec extends AnyFunSuite {
       .head().getDouble(0) == refold("aaaa aaaa aaaa"))
   }
 
+  test("banded levenshtein rule: injected, rewrites all four forms, result parity") {
+    import graft.plans.BandedLevenshteinRule
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Levenshtein
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import spark.implicits._
+    // config-driven injection product (static conf can't re-apply in-JVM)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    assert(GraftBridge.optimizerRules(ext, spark).contains(BandedLevenshteinRule))
+
+    // fixture: random strings + mutated twins, distances straddling k
+    val rng = new scala.util.Random(7)
+    def randStr(n: Int) = (1 to n).map(_ => ('a' + rng.nextInt(4)).toChar).mkString
+    val pairs = (1 to 60).map { i =>
+      val s = randStr(20 + rng.nextInt(30))
+      val edits = rng.nextInt(8)
+      val t = (1 to edits).foldLeft(s)((x, _) =>
+        x.updated(rng.nextInt(x.length), ('a' + rng.nextInt(6)).toChar))
+      (i.toLong, s, if (i % 5 == 0) randStr(25) else t)
+    }.toDF("id", "a", "b")
+
+    def hasBanded(p: LogicalPlan): Boolean = p.expressions.exists(_.exists {
+      case Levenshtein(_, _, Some(_)) => true
+      case _ => false
+    })
+    val forms: Seq[org.apache.spark.sql.Column] = Seq(
+      levenshtein(col("a"), col("b")) <= 3,
+      levenshtein(col("a"), col("b")) < 4,
+      lit(3) >= levenshtein(col("a"), col("b")),
+      lit(4) > levenshtein(col("a"), col("b")),
+      levenshtein(col("a"), col("b")) <= 0) // boundary k = 0
+    for (f <- forms) {
+      val analyzed = pairs.filter(f).queryExecution.analyzed
+      assert(!hasBanded(analyzed))
+      val rewritten = BandedLevenshteinRule(analyzed)
+      assert(hasBanded(rewritten), s"rule did not fire on $f")
+      val got = GraftBridge.ofRows(spark, rewritten)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = pairs.filter(f).select("id").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"parity broken for $f")
+      assert(want.nonEmpty && want.size < 60, s"fixture not straddling for $f")
+    }
+    // out-of-scope shapes are left alone: lower bounds and non-literal k
+    for (f <- Seq(levenshtein(col("a"), col("b")) > 3,
+        levenshtein(col("a"), col("b")) <= length(col("a")))) {
+      val analyzed = pairs.filter(f).queryExecution.analyzed
+      assert(!hasBanded(BandedLevenshteinRule(analyzed)), s"over-rewrote $f")
+    }
+  }
+
   test("approx_count_distinct tracks exact within 5%") {
     val joined = RelOps.countDistinctUsers(spark, sf)
       .join(Tables.events(spark, sf).groupBy(col("event_type"))
