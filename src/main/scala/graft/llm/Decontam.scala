@@ -60,9 +60,14 @@ object Decontam {
     * hits — contamination-sized, not corpus-sized). */
   def decontaminatePairs(corpus: DataFrame, benchmark: DataFrame,
       n: Int = 13): DataFrame = {
+    // the corpus-side posting stream runs through the native lazy
+    // generator ([[graft.functions.NGramGenerate]]) — the composed
+    // explode(transform(...)) form materializes the whole ~n×-text
+    // n-gram array per row first; same rows, same oracle
     def postings(df: DataFrame, idName: String) = df
       .select(col("doc_id").as(idName), TextOps.tokens(col("text")).as("toks"))
-      .select(col(idName), explode(ngramsFromTokens(col("toks"), n)).as("gram"))
+      .select(col(idName),
+        graft.functions.NGramGenerate.ngram_gen(col("toks"), n).as("gram"))
     postings(corpus, "doc_id")
       .join(broadcast(postings(benchmark, "bench_id").distinct()), Seq("gram"))
       .groupBy(col("doc_id"), col("bench_id"))

@@ -98,8 +98,8 @@ class CurationPipeline(
         case Some(bg) =>
           val flagged = unique
             .select(col("doc_id"),
-              explode(Decontam.ngramsFromTokens(TextOps.tokens(col("text")),
-                decontamN)).as("gram"))
+              graft.functions.NGramGenerate.ngram_gen(
+                TextOps.tokens(col("text")), decontamN).as("gram"))
             .join(broadcast(bg), Seq("gram"))
             .select(col("doc_id")).distinct()
           unique.join(flagged, Seq("doc_id"), "left_anti")

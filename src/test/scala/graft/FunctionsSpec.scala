@@ -177,6 +177,29 @@ class FunctionsSpec extends AnyFunSuite {
       .head().getDouble(0) == refold("aaaa aaaa aaaa"))
   }
 
+  test("ngram_gen generator == composed explode(transform) form, lazily") {
+    import graft.functions.NGramGenerate.ngram_gen
+    import graft.llm.{Decontam, TextOps}
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(60)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    for (n <- Seq(2, 13)) {
+      val gen = docs.select(col("doc_id"), ngram_gen(col("toks"), n).as("gram"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val composed = docs.select(col("doc_id"),
+          explode(Decontam.ngramsFromTokens(col("toks"), n)).as("gram"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(gen.toSeq == composed.toSeq && gen.nonEmpty, s"n=$n")
+    }
+    // short and null inputs produce no rows, not errors
+    val edge = Seq((1L, Seq("only", "two")), (2L, Seq.empty[String]))
+      .toDF("doc_id", "toks")
+      .union(Seq((3L, null.asInstanceOf[Seq[String]])).toDF("doc_id", "toks"))
+    assert(edge.select(ngram_gen(col("toks"), 13)).count() == 0)
+    assert(edge.select(ngram_gen(col("toks"), 2).as("g")).collect()
+      .map(_.getString(0)).toSeq == Seq("only two"))
+  }
+
   test("banded levenshtein rule: injected, rewrites all four forms, result parity") {
     import graft.plans.BandedLevenshteinRule
     import org.apache.spark.sql.GraftBridge
