@@ -93,6 +93,7 @@ object SparkEntry {
     "media_features"    -> (Multimodal.mediaFeaturesQuery(_, _)),
     "media_neardup"     -> (Multimodal.mediaNearDup(_, _)),
     "media_framesample" -> (Multimodal.mediaFrameSample(_, _)),
+    "media_frame_neardup" -> (Multimodal.mediaFrameNearDup(_, _)),
     // LLM-pipeline: reproducible sampling
     "sample_hash"       -> (Sampling.sampleHash(_, _)),
     "sample_stratified" -> (Sampling.sampleStratified(_, _)),

@@ -226,6 +226,40 @@ object Multimodal {
        |  CAST(least($frameBytes, n - i * $frameBytes) AS INT) AS frame_len
        |FROM f""".stripMargin
 
+  /** Frame-level (video) near-dup: dHash-64 per SAMPLED FRAME, then the
+    * shared banded-Hamming self-join — the keyframe screen that catches
+    * a re-encoded clip embedded in a different video, which whole-
+    * payload hashing misses. Frame identity rides the join as
+    * doc_id·2²⁰ + frame_idx (one long — [[Dedup.bandedHammingPairs]]'s
+    * key shape) and is decoded back on output; same-doc pairs are
+    * dropped (adjacent frames of one video are usually similar — the
+    * signal is CROSS-video reuse). Costs: the frame scan (stride-
+    * reduced), 64 bits per frame shuffled, candidates only verified.
+    * Engine-specific hash ⇒ no SQL oracle; LlmOpsSpec plants a
+    * re-encoded clip inside a second video and asserts its frames are
+    * recalled. */
+  def mediaFrameNearDup(spark: SparkSession, dir: String,
+      maxDist: Int = 6): DataFrame =
+    mediaFrameNearDupPairs(spark, mediaTable(spark, dir), maxDist)
+
+  def mediaFrameNearDupPairs(spark: SparkSession, media: DataFrame,
+      maxDist: Int = 6): DataFrame = {
+    import spark.implicits._
+    val sig = frameSamples(spark, media).as[FrameSample]
+      .mapPartitions(_.map(f =>
+        MediaHash((f.doc_id << 20) | f.frame_idx.toLong,
+          MediaCodec.dHash64(f.frame))))
+      .toDF()
+    Dedup.bandedHammingPairs(sig, maxDist)
+      .select(
+        shiftrightunsigned(col("ida"), 20).as("doc_a"),
+        col("ida").bitwiseAND((1L << 20) - 1).cast("int").as("frame_a"),
+        shiftrightunsigned(col("idb"), 20).as("doc_b"),
+        col("idb").bitwiseAND((1L << 20) - 1).cast("int").as("frame_b"),
+        col("hamming"))
+      .filter(col("doc_a") =!= col("doc_b"))
+  }
+
   val mediaFeaturesSql: String =
     """SELECT doc_id,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -19,6 +19,7 @@ class ContractSpec extends AnyFunSuite {
     "quantile_sketch",    // FunctionsSpec: rank error <= 2% vs exact sorted truth
     "token_count_bpe",    // FunctionsSpec: == independent plain-Scala BPE merge count
     "media_neardup",      // LlmOpsSpec: planted re-encoded/resized dups recalled
+    "media_frame_neardup",// LlmOpsSpec: planted re-encoded clip's frames recalled
     "compression_ratio")  // FunctionsSpec: == plain-Scala Deflater refold + ordering law
 
   test("every oracle entry has a query") {

@@ -368,6 +368,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(crossDup < brute.size / 2, s"$crossDup spurious cross-document pairs")
   }
 
+  test("frame-level near-dup: re-encoded clip's frames recalled across videos") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sf).select("doc_id", "text").limit(10)
+      .collect().map { r =>
+        r.getLong(0) -> r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      }
+    def reencoded(b: Array[Byte]): Array[Byte] = {
+      val c = b.clone()
+      var i = 0
+      while (i < c.length) { c(i) = (c(i) ^ 1).toByte; i += 97 }
+      c
+    }
+    val media = base.toSeq.flatMap { case (id, b) =>
+      Seq((id, b, "video/x-stub"), (id + 10000L, reencoded(b), "video/x-stub"))
+    }.toDF("doc_id", "payload", "mime")
+    val got = Multimodal.mediaFrameNearDupPairs(spark, media, maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    // every sampled frame of each original pairs with the twin's same frame
+    for ((id, b) <- base; i <- 0 to (b.length - 1) / 64 by 2) {
+      assert(got.contains((id, i, id + 10000L, i)),
+        s"frame $i of doc $id not recalled against its re-encoded twin")
+    }
+    // same-video frame pairs are excluded by contract
+    assert(got.forall { case (a, _, b, _) => a != b })
+  }
+
   test("frame sampling: stride-1 frames reassemble the payload; luma refolds; stride law") {
     val media = Multimodal.mediaTable(spark, sf)
     val payloads = graft.Tables.documents(spark, sf).select("doc_id", "text")
