@@ -246,9 +246,18 @@ object Multimodal {
       maxDist: Int = 6): DataFrame = {
     import spark.implicits._
     val sig = frameSamples(spark, media).as[FrameSample]
-      .mapPartitions(_.map(f =>
+      .mapPartitions(_.map { f =>
+        // The packed key is doc_id·2²⁰ + frame_idx in one long; out-of-
+        // range ids would silently alias to the WRONG doc/frame, so fail
+        // loudly instead (2^43 docs × 2^20 frames ≈ 8.8e12 × 1e6 — room
+        // for any real corpus, but a corrupt id must not slip through).
+        require(f.frame_idx >= 0 && f.frame_idx < (1 << 20),
+          s"frame_idx ${f.frame_idx} out of packed-key range [0, 2^20) for doc ${f.doc_id}")
+        require(f.doc_id >= 0 && f.doc_id < (1L << 43),
+          s"doc_id ${f.doc_id} out of packed-key range [0, 2^43)")
         MediaHash((f.doc_id << 20) | f.frame_idx.toLong,
-          MediaCodec.dHash64(f.frame))))
+          MediaCodec.dHash64(f.frame))
+      })
       .toDF()
     Dedup.bandedHammingPairs(sig, maxDist)
       .select(

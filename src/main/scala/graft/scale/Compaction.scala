@@ -76,7 +76,13 @@ object Compaction {
             throw e.getCause
         }
       }
-    } finally pool.shutdownNow()
+    } finally {
+      // Stop accepting work but let in-flight bins finish their write —
+      // shutdownNow() would interrupt mid-write threads, the exact torn-
+      // output hazard the cancel(false) above exists to avoid.
+      pool.shutdown()
+      pool.awaitTermination(Long.MaxValue, java.util.concurrent.TimeUnit.NANOSECONDS)
+    }
   }
 
   /** Compact `inDir`'s parquet files into ~`targetBytes` files in

@@ -65,7 +65,13 @@ class CurationPipeline(
     * the holdout, built once per pipeline (benchmarks are small and
     * static) and broadcast into every batch's screen. */
   private val benchGrams: Option[DataFrame] = benchmark.map { b =>
-    graft.Caches.memo(spark, s"curationBenchGrams:$indexPath:$decontamN") {
+    // The memo key must carry the BENCHMARK's identity, not just the
+    // pipeline's: two pipelines on the same index but different holdouts
+    // must not share a posting list. semanticHash is the analyzed plan's
+    // stable fingerprint, so an identical benchmark still reuses the
+    // cache while a different one gets its own entry.
+    val benchId = b.queryExecution.analyzed.semanticHash()
+    graft.Caches.memo(spark, s"curationBenchGrams:$indexPath:$decontamN:$benchId") {
       b.select(TextOps.tokens(col("text")).as("toks"))
         .select(explode(Decontam.ngramsFromTokens(col("toks"), decontamN))
           .as("gram"))
