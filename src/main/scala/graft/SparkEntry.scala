@@ -74,6 +74,7 @@ object SparkEntry {
     // LLM-pipeline: similarity search
     "similarity_topk"   -> (Vectors.simTopK(_, _)),
     "similarity_topk_ivf" -> (Vectors.simTopKIvf(_, _)),
+    "similarity_topk_sq8" -> (Vectors.simTopKSq8(_, _)),
     "emb_neardup"       -> (Vectors.embNearDupPairs(_, _)),
     "emb_neardup_lsh"   -> (Vectors.embNearDupLsh(_, _)),
     "emb_centroids"     -> (Vectors.embCentroids(_, _)),
@@ -104,6 +105,13 @@ object SparkEntry {
     "pii_scrub"         -> (Pii.piiScrub(_, _)),
     "quality_filter"    -> (Quality.qualityFilter(_, _)),
     "compression_ratio" -> (Quality.compressionRatio(_, _)),
+    // LLM-pipeline: retrieval + weighted sampling + span-level dedup
+    "bm25_topk"         -> (graft.llm.Retrieval.bm25TopK(_, _)),
+    "weighted_sample"   -> (Sampling.weightedSample(_, _)),
+    "span_shared"       -> (Dedup.spanSharedPairs(_, _)),
+    // scale techniques as first-class queries
+    "salted_agg"        -> (graft.scale.ScaleTechniques.saltedAggQuery(_, _)),
+    "bloom_join"        -> (graft.scale.ScaleTechniques.bloomJoinQuery(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -170,5 +178,10 @@ object SparkEntry {
     "source_cap"        -> Sampling.sourceCapSql(),
     "pii_scrub"         -> Pii.piiScrubSql,
     "quality_filter"    -> Quality.qualityFilterSql,
+    "bm25_topk"         -> graft.llm.Retrieval.bm25TopKSql(),
+    "weighted_sample"   -> Sampling.weightedSampleSql(),
+    "span_shared"       -> Dedup.spanSharedSql(),
+    "salted_agg"        -> graft.scale.ScaleTechniques.saltedAggSql,
+    "bloom_join"        -> graft.scale.ScaleTechniques.bloomJoinSql,
   )
 }

@@ -608,4 +608,65 @@ object Dedup {
     }.mkString("\nUNION\n")
     s"WITH $ctes\n$passes"
   }
+
+  /** Exact duplicated-SPAN detection (the document-level screens above
+    * miss it): every doc pair sharing a verbatim `n`-token span, with
+    * the count of distinct shared spans — the cross-document verbatim-
+    * reuse scan of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ACL 2022), where partially-copied
+    * documents (quoted boilerplate, syndicated paragraphs) survive
+    * whole-document near-dup but still leak memorizable text.
+    *
+    * Shape for 100 TB: spans stream out of the native lazy generator
+    * and are immediately HASHED to 64 bits — the per-doc distinct, the
+    * document-frequency rollup, and the self-join all shuffle (long,
+    * long) pairs, never span text (~16 bytes/posting vs ~100+ for the
+    * strings). The self-join is gated by a document-frequency band:
+    * df ≥ 2 keeps only shareable spans, df ≤ maxDf drops corpus-wide
+    * boilerplate (license headers, navigation chrome) whose posting
+    * lists would otherwise join quadratically — the same stop-key move
+    * as [[prefixPostings]], and at maxDf the per-span fan-out is
+    * bounded by maxDf², so no reducer ever sees a hot key. Hashing
+    * makes a shared-span count collision-approximate in principle
+    * (2⁻⁶⁴ per span pair); the DuckDB oracle counts the span STRINGS
+    * and hash-matches — at any realistic corpus size the collision
+    * term never surfaces, and a paranoid caller can re-verify survivor
+    * pairs exactly.
+    */
+  def spanSharedPairs(spark: SparkSession, dir: String, n: Int = 13,
+      maxDf: Int = 10): DataFrame =
+    spanSharedFromDocs(Tables.fanOut(Tables.documents(spark, dir)), n, maxDf)
+
+  /** The span join over an explicit (doc_id, text) relation — the
+    * testable core of [[spanSharedPairs]]. */
+  def spanSharedFromDocs(docs: DataFrame, n: Int, maxDf: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        graft.functions.NGramGenerate.ngram_gen(col("toks"), n).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+      .distinct()
+    val shareable = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("g"))
+    val posting = grams.join(shareable, Seq("g"))
+    posting.select(col("g"), col("doc_id").as("doc_a"))
+      .join(posting.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_spans"))
+  }
+
+  def spanSharedSql(n: Int = 13, maxDf: Int = 10): String =
+    s"""WITH tk AS (SELECT doc_id, ${graft.llm.TextOps.tokensSql} AS toks FROM documents),
+       |g0 AS (SELECT doc_id, unnest(${Decontam.ngramsSql(n)}) AS gram FROM tk),
+       |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+       |f AS (SELECT gram FROM g GROUP BY gram
+       |      HAVING count(*) >= 2 AND count(*) <= $maxDf),
+       |p AS (SELECT g.doc_id, g.gram FROM g JOIN f USING (gram))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS shared_spans
+       |FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
 }

@@ -1,0 +1,101 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the documents table: Okapi BM25 (Robertson &
+  * Walker, SIGIR '94; the `(k1+1)`/`+1`-idf shape is the Lucene
+  * variant), the scorer every data-pipeline relevance screen starts
+  * from — "keep documents related to these seed terms" is a BM25 query
+  * over the corpus.
+  *
+  * Shape, chosen for 100 TB rather than translated from a search
+  * engine: the query's terms are a handful of literals, so per-document
+  * term frequencies are ARRAY ops on the token list (`size(filter(…))`,
+  * zero shuffle, whole-stage codegen) — no posting-list explode, no
+  * (doc, term) shuffle at all. The corpus-level constants (N, Σdl, per-
+  * term document frequencies) are ONE scalar-aggregate row broadcast
+  * back over the scan, and the only wide operation in the whole plan is
+  * the final TakeOrdered(k). Two corpus scans total (stats + scoring),
+  * both column-pruned to (doc_id, text).
+  *
+  * Determinism across engines (the oracle hash-matches): tf/df/dl are
+  * exact integers; the score arithmetic is written with identical
+  * association in both engines (each double op is IEEE
+  * correctly-rounded, so identical expression trees give identical
+  * bits); per-document scores sum the per-term components in one fixed
+  * literal order instead of an order-dependent SUM over an exploded
+  * frame; ranking ties break on doc_id.
+  */
+object Retrieval {
+
+  /** The seed-term query every example runs; fixed so the oracle can
+    * mirror it. */
+  val queryTerms: Seq[String] = Seq("query", "join", "vector", "stream")
+
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** BM25 score of one term given its tf/df columns plus the document
+    * and corpus stats. `tf = 0` yields exactly 0.0 in both engines (the
+    * numerator is a multiply by zero), so absent terms need no CASE. */
+  private def termScore(tf: Column, df: Column, dl: Column,
+      nDocs: Column, avgdl: Column): Column = {
+    val idf = log((nDocs - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+    (idf * (tf * lit(K1 + 1))) /
+      (tf + lit(K1) * (lit(1 - B) + lit(B) * (dl / avgdl)))
+  }
+
+  /** Top-k documents by BM25 against [[queryTerms]]. */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 25): DataFrame =
+    bm25TopKFromDocs(Tables.fanOut(Tables.documents(spark, dir)), k)
+
+  /** The scorer over an explicit (doc_id, text) relation — the testable
+    * core of [[bm25TopK]]. */
+  def bm25TopKFromDocs(docs: DataFrame, k: Int): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+          queryTerms.map(t =>
+            size(filter(col("toks"), x => x === lit(t))).cast("long")
+              .as(s"tf_$t")): _*)
+    val statCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+      queryTerms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("sum_dl") / col("n_docs")
+    val score = queryTerms
+      .map(t => termScore(col(s"tf_$t"), col(s"df_$t"), col("dl"),
+        col("n_docs"), avgdl))
+      .reduceLeft(_ + _) // fixed literal order — no order-dependent SUM
+    perDoc.crossJoin(broadcast(stats)) // 1-row stats frame (PlanGuardrailSpec-pinned)
+      .withColumn("score", score)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("dl"), round(col("score"), 6).as("bm25"))
+  }
+
+  def bm25TopKSql(k: Int = 25): String = {
+    val tfCols = queryTerms.map(t =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n|        ")
+    val dfCols = queryTerms.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n|        ")
+    val scoreExpr = queryTerms.map(t =>
+      s"(ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * (tf_$t * ${K1 + 1})) / " +
+        s"(tf_$t + $K1 * (${1 - B} + $B * (dl / avgdl)))").mkString("\n|          + ")
+    s"""WITH tk AS (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
+       |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |        $tfCols
+       |      FROM tk),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |        $dfCols
+       |      FROM t),
+       |sc AS (SELECT doc_id, dl,
+       |          $scoreExpr AS score
+       |       FROM t CROSS JOIN (SELECT *, sum_dl / n_docs AS avgdl FROM s))
+       |SELECT doc_id, dl, round(score, 6) AS bm25
+       |FROM sc ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+}

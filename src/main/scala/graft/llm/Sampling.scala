@@ -161,6 +161,44 @@ object Sampling {
        |FROM documents)
        |SELECT doc_id, source, n_chars, rank FROM r WHERE rank <= $cap""".stripMargin
 
+  /** Weighted sampling without replacement via PRIORITY SAMPLING
+    * (Duffield, Lund & Thorup, JACM 2007): each row draws a uniform
+    * u ∈ (0,1] and gets priority q = w/u; the k highest-priority rows
+    * are the sample. Inclusion probability is proportional to weight
+    * (up to the threshold clamp), and unlike Efraimidis–Spirakis's
+    * u^(1/w) keys the transform is a single DIVISION — IEEE
+    * correctly-rounded, so Spark and DuckDB compute bit-identical
+    * priorities and the oracle hash-matches (pow/ln differ in the last
+    * ulp across libm implementations; division never does).
+    *
+    * The draw is md5-keyed like every sampler in this file: u is the
+    * first 52 bits of md5(doc_id) scaled to (0,1], so any engine, any
+    * partitioning, any run selects the identical sample. Weight here is
+    * n_chars (longer docs proportionally likelier — the usual
+    * byte-budget sampling); a learned utility column drops into the
+    * same expression.
+    *
+    * Scale: zero-shuffle scan to compute priorities + one
+    * TakeOrdered(k) — no global sort, no state. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 60): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52
+    val q = col("n_chars").cast("double") / u
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), q.as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def weightedSampleSql(k: Int = 60): String =
+    s"""SELECT doc_id, n_chars,
+       |  CAST(n_chars AS DOUBLE) /
+       |    ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+       |     / 4503599627370496.0) AS priority
+       |FROM documents
+       |ORDER BY priority DESC, doc_id LIMIT $k""".stripMargin
+
   val resampleTemperatureSql: String =
     """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS grp_cnt
       |           FROM documents GROUP BY lang),

@@ -78,4 +78,100 @@ object ScaleTechniques {
       case (k, None) => conf.unset(k)
     }
   }
+
+  /** Morton/Z-value: bit-interleave of two dimensions pre-scaled to 16
+    * bits — sorting by it clusters BOTH dimensions at once, so each
+    * output file's (min,max) box is small in every dimension and a
+    * predicate on ANY of them skips most files. The data-skipping move
+    * for multi-dimensional workloads where a linear sort only helps its
+    * leading column (the technique Delta/Iceberg expose as OPTIMIZE
+    * ZORDER BY; Morton 1966). */
+  def zorderValue(a: Column, b: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Write `df` laid out in Z-order on (colA, colB) into ~`nFiles`
+    * range-partitioned files. The min/max normalization stats are a
+    * 4-scalar driver-side aggregate (bounded at any corpus size); the
+    * write is one range shuffle on the z-value — the same cost as any
+    * global sort — and rows are unchanged (the z column is dropped
+    * before write). ScaleTechniquesSpec measures the skipping: a
+    * predicate on the SECOND dimension intersects far fewer z-ordered
+    * files than linearly-sorted ones. */
+  def zorderWrite(df: DataFrame, colA: String, colB: String, path: String,
+      nFiles: Int): Unit = {
+    val s = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    def scaled(c: String, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else ((col(c).cast("double") - lit(lo)) * lit(65535.0) / lit(hi - lo))
+        .cast("long")
+    df.withColumn("_z", zorderValue(
+        scaled(colA, s.getDouble(0), s.getDouble(1)),
+        scaled(colB, s.getDouble(2), s.getDouble(3))))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Registered query over [[saltedCountSum]]: per-category transaction
+    * count + amount sum with the hot category spread over 16 salted
+    * sub-groups. Results are EXACTLY the plain GROUP BY (the oracle is
+    * the unsalted SQL): count/sum compose associatively, and the amount
+    * is summed in DECIMAL through both phases so no floating summation
+    * order can leak into the result. The category column is the skew
+    * case salting exists for — a handful of distinct values over the
+    * whole corpus, so the unsalted final agg sees ≤ |categories|·salts
+    * tiny partial rows while the heavy first phase spreads evenly. */
+  def saltedAggQuery(spark: SparkSession, dir: String): DataFrame =
+    saltedCountSum(graft.Tables.transactions(spark, dir), col("category"),
+      col("amount").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+      .select(col("k").as("category"), col("cnt"),
+        round(col("sum_v").cast("double"), 2).as("sum_amount"))
+
+  val saltedAggSql: String =
+    s"""WITH tx AS (${graft.Tables.transactionsSql})
+       |SELECT category, CAST(count(*) AS BIGINT) AS cnt,
+       |  round(CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_amount
+       |FROM tx GROUP BY 1""".stripMargin
+
+  /** Registered query exercising [[withRuntimeBloomFilter]] end-to-end:
+    * a selective orders filter joined to lineitem as a SHUFFLE join
+    * (broadcast disabled), with Catalyst's runtime bloom filter armed so
+    * the lineitem side is pruned BEFORE its exchange. Built on a CLONED
+    * session: the runtime-filter rule reads session conf at EXECUTION
+    * time, and a registered query is consumed lazily long after a
+    * save/restore block would have reverted the conf — the clone scopes
+    * the arming to this query without perturbing the shared session
+    * (same move as NativeStatePipeline's provider conf). Result parity
+    * with the plain join is the oracle; ScaleTechniquesSpec plan-asserts
+    * the injected might_contain probe. */
+  def bloomJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val sel = graft.Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    graft.Tables.lineitem(s, dir)
+      .join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double"), 2)
+          .as("sum_price"))
+  }
+
+  val bloomJoinSql: String =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1""".stripMargin
 }

@@ -314,6 +314,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert((brute intersect ivf).size.toDouble / brute.size >= 0.4)
   }
 
+  test("SQ8 quantized top-k: high recall vs brute force, exact cosines on survivors") {
+    val brute = Vectors.simTopK(spark, sf, nQueries = 5, k = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val sq8 = Vectors.simTopKSq8(spark, sf, nQueries = 5, k = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    assert(sq8.nonEmpty)
+    // int8 quantization + 4x refine window: recall should be near-total
+    val recall = (brute.keySet intersect sq8.keySet).size.toDouble / brute.size
+    assert(recall >= 0.8, s"SQ8 recall $recall < 0.8")
+    // survivors are re-ranked with the EXACT float kernel — cosines must
+    // match brute force bit-for-bit on the common pairs
+    (brute.keySet intersect sq8.keySet).foreach { key =>
+      assert(brute(key) == sq8(key), s"$key: ${brute(key)} != ${sq8(key)}")
+    }
+  }
+
   test("media features checksum matches a plain-Scala fold over the bytes") {
     val texts = Tables.documents(spark, sf).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -536,5 +552,81 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     // the heuristic is deterministic; every row gets a prediction
     assert(rows.forall(r => Set("en", "fr", "es", "de", "zh").contains(r.getString(2))))
+  }
+
+  test("span_shared: partial verbatim reuse is caught; boilerplate spans are df-capped out") {
+    import spark.implicits._
+    val span = (1 to 13).map(i => s"tok$i").mkString(" ") // one exact 13-token span
+    val boiler = (1 to 13).map(i => s"b$i").mkString(" ") // a span EVERY doc carries
+    // docs 1 and 2 share `span` inside otherwise-different text (whole-
+    // document near-dup would miss them: jaccard ~ 13/60); all 12 docs
+    // share `boiler`, putting it over maxDf
+    val docs = (Seq(
+      (1L, s"alpha beta $span gamma delta $boiler"),
+      (2L, s"zeta eta theta $boiler iota $span kappa")) ++
+      (3L to 12L).map(i => (i, s"filler${i}a filler${i}b $boiler filler${i}c")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.spanSharedFromDocs(docs, n = 13, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly the planted pair — the boilerplate span (df=12 > 10) never joins
+    assert(pairs.toSeq == Seq((1L, 2L, 1L)),
+      s"expected only the planted span pair, got ${pairs.toSeq}")
+    // sanity: with the cap lifted the boilerplate floods in quadratically
+    val uncapped = Dedup.spanSharedFromDocs(docs, n = 13, maxDf = 100).count()
+    assert(uncapped == 66L, s"12 docs sharing boilerplate => C(12,2)=66 pairs, got $uncapped")
+  }
+
+  test("bm25: scores match a plain-Scala computation; term-stuffed doc ranks first") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "query join vector stream query join vector stream"),
+      (2L, "query alpha beta gamma delta epsilon zeta eta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "join join alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val got = graft.llm.Retrieval.bm25TopKFromDocs(docs, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // independent plain-Scala BM25 over the same corpus
+    val corpus = Map(
+      1L -> "query join vector stream query join vector stream",
+      2L -> "query alpha beta gamma delta epsilon zeta eta",
+      3L -> "alpha beta gamma delta epsilon zeta eta theta",
+      4L -> "join join alpha beta gamma delta epsilon zeta")
+      .map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val n = corpus.size.toDouble
+    val avgdl = corpus.values.map(_.size).sum.toDouble / n
+    def score(toks: Seq[String]): Double =
+      graft.llm.Retrieval.queryTerms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        val df = corpus.values.count(_.contains(t)).toDouble
+        val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (toks.size / avgdl)))
+      }.sum
+    val want = corpus.map { case (id, toks) => id -> score(toks) }
+    got.foreach { case (id, dl, bm25) =>
+      assert(dl == corpus(id).size.toLong)
+      assert(math.abs(bm25 - want(id)) < 1e-6,
+        s"doc $id: engine $bm25 vs scala ${want(id)}")
+    }
+    assert(got.head._1 == 1L, s"term-stuffed doc should rank first, got ${got.head}")
+    assert(got.last._1 == 3L, s"term-free doc should rank last, got ${got.last}")
+  }
+
+  test("weighted_sample: top-k priorities match a plain-Scala md5 recomputation") {
+    val got = graft.llm.Sampling.weightedSample(spark, sf, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def priority(id: Long, w: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 4503599627370496.0
+      w.toDouble / u
+    }
+    val want = docs.map { case (id, w) => (id, priority(id, w)) }
+      .sortBy { case (id, q) => (-q, id) }.take(20)
+    assert(got.toSeq == want.toSeq,
+      s"engine top-20 != scala top-20:\n${got.toSeq}\n${want.toSeq}")
   }
 }

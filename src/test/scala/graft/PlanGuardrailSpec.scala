@@ -16,7 +16,9 @@ class PlanGuardrailSpec extends AnyFunSuite {
     * a tiny broadcast side crossed/non-equi-joined by design. */
   private val bnljAllowed = Set(
     "similarity_topk",     // nQueries rows broadcast, joined vec_id =!= query_id
-    "similarity_topk_ivf") // nQueries × nCells centroid ranking cross, both tiny
+    "similarity_topk_ivf", // nQueries × nCells centroid ranking cross, both tiny
+    "similarity_topk_sq8", // quantized queries broadcast, joined vec_id =!= query_id
+    "bm25_topk")           // 1-row corpus-stats aggregate broadcast over the scan
 
   /** Queries with a deliberate single-partition exchange feeding a
     * window: the window input is an aggregate of bounded size. */

@@ -55,6 +55,35 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(pruned.count() == want)
   }
 
+  test("z-order layout skips files on the non-leading dimension; rows survive") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    // z-order on (partkey, suppkey) vs a linear sort on partkey only
+    ScaleTechniques.zorderWrite(li, "l_partkey", "l_suppkey", s"$base/z", 16)
+    li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.parquet(s"$base/linear")
+    assert(spark.read.parquet(s"$base/z").count() == li.count())
+    // per-file (min,max) of the SECOND dimension: how many files does a
+    // narrow suppkey predicate have to open?
+    val Array(skLo, skHi) = li.agg(min("l_suppkey"), max("l_suppkey"))
+      .head() match { case r => Array(r.getLong(0), r.getLong(1)) }
+    val lo = skLo + (skHi - skLo) / 3
+    val hi = lo + math.max((skHi - skLo) / 8, 1L)
+    def touched(path: String): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min("l_suppkey").as("mn"), max("l_suppkey").as("mx"))
+        .filter(col("mn") <= hi && col("mx") >= lo)
+        .count()
+    val (zTouched, linTouched) = (touched(s"$base/z"), touched(s"$base/linear"))
+    // linear layout scatters suppkey across every partkey-sorted file;
+    // z-order clusters it, so the same predicate opens strictly fewer
+    assert(zTouched < linTouched,
+      s"z-order touched $zTouched files, linear $linTouched — no skipping win")
+  }
+
   test("runtime bloom filter is injected into the probe side and preserves the join result") {
     // selective dim (1 of 25 customers by segment+comment filter) joined
     // to the fact table — the shape where pre-shuffle pruning pays
@@ -167,6 +196,17 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       Compaction.compact(spark, s"$dir/bad", s"$dir/out2", 1L << 20)
     }
     ()
+  }
+
+  test("bloom_join registered query arms the runtime filter on a cloned session") {
+    val before = spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    val df = ScaleTechniques.bloomJoinQuery(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("might_contain"), s"no bloom probe injected:\n$optimized")
+    assert(optimized.contains("bloom_filter_agg"), s"no bloom creation side:\n$optimized")
+    assert(df.count() > 0)
+    // the shared session's conf must be untouched by the clone
+    assert(spark.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.enabled") == before)
   }
 
   test("salted aggregation equals plain aggregation") {
