@@ -210,6 +210,52 @@ object Vectors {
         col("cos").as("cosine"))
   }
 
+  /** Scalar-quantized (SQ8) top-k: quantize every vector to int8 with a
+    * per-vector scale (s = max|x|/127, the symmetric linear quantizer
+    * every production ANN store ships — FAISS SQ8, Lucene/Elasticsearch
+    * int8 HNSW), run the approximate scan as INTEGER dot products over
+    * 1/4 the bytes, keep `refine·k` candidates per query, and re-rank
+    * only those with the exact float cosine.
+    *
+    * The 100 TB shape: the quantized corpus is the only thing the scan
+    * reads (4× less IO than float32, integer MACs via the native
+    * [[graft.functions.Int8Dot]] kernel); float vectors are touched for
+    * ~refine·k rows per query, not the corpus. Queries stay broadcast —
+    * the corpus never shuffles. Approximate by construction (the
+    * refine window can miss a true neighbor whose quantized score falls
+    * below the cut) ⇒ no SQL oracle; LlmOpsSpec measures recall@k vs
+    * the exact [[simTopK]] and pins the quantization error bound.
+    */
+  def simTopKSq8(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, refine: Int = 4): DataFrame = {
+    import graft.functions.Int8Dot.int8_dot
+    val emb = withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
+      "embedding", "nrm")
+      .withColumn("s",
+        array_max(transform(col("embedding"), x => abs(x))) / lit(127.0))
+      .withColumn("q8", transform(col("embedding"), x =>
+        greatest(least(round(x / col("s")), lit(127L)), lit(-127L)).cast("byte")))
+    // broadcast the quantized queries; the corpus side carries q8 only
+    val qq = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("nrm").as("qnrm"), col("s").as("qs"), col("q8").as("qq8"))
+    val approx = emb.join(broadcast(qq), col("vec_id") =!= col("query_id"))
+      .withColumn("ascore",
+        col("qs") * col("s") * int8_dot(col("qq8"), col("q8")) /
+          (col("qnrm") * col("nrm")))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ascore").desc, col("vec_id"))))
+      .filter(col("ark") <= k * refine)
+    approx
+      .withColumn("cos", round(
+        dotF32(col("qvec"), col("embedding")) / (col("qnrm") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos").as("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for plane j, dim i
     * (splitmix64-flavored integer mix → (−0.5, 0.5] float). */
   private def planeComponent(j: Int, i: Int): Double = {

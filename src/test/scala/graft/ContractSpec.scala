@@ -14,6 +14,7 @@ class ContractSpec extends AnyFunSuite {
     "dedup_incremental",  // LlmOpsSpec: subset of brute cross pairs + recall at j>=0.9
     "emb_neardup_lsh",    // LlmOpsSpec: subset + recall bound vs exact
     "similarity_topk_ivf",// LlmOpsSpec: recall vs brute force
+    "similarity_topk_sq8",// LlmOpsSpec: recall vs brute force + quantized-score error bound
     "fingerprint",        // LlmOpsSpec: == plain-Scala winnowing
     "decontam_fp",        // LlmOpsSpec: planted contamination caught; clean doc not flagged
     "quantile_sketch",    // FunctionsSpec: rank error <= 2% vs exact sorted truth
