@@ -51,6 +51,7 @@ object SparkEntry {
     "sessionize"        -> (TemporalOps.sessionize(_, _)),
     "topk_amounts"      -> (graft.functions.TopKAggregator.topAmounts(_, _)),
     "quantile_sketch"   -> (graft.functions.KllSketch.quantileSketch(_, _)),
+    "hll_distinct"      -> (graft.functions.HllSketch.hllDistinct(_, _)),
     "events_window"     -> (RelOps.eventsWindow(_, _)),
     "count_distinct_users" -> (RelOps.countDistinctUsers(_, _)),
     // §2.11 the three pattern queries + §2.6 union fold

@@ -18,6 +18,7 @@ class ContractSpec extends AnyFunSuite {
     "fingerprint",        // LlmOpsSpec: == plain-Scala winnowing
     "decontam_fp",        // LlmOpsSpec: planted contamination caught; clean doc not flagged
     "quantile_sketch",    // FunctionsSpec: rank error <= 2% vs exact sorted truth
+    "hll_distinct",       // FunctionsSpec: error <= 5% vs exact distinct; bit-identical merge law
     "token_count_bpe",    // FunctionsSpec: == independent plain-Scala BPE merge count
     "media_neardup",      // LlmOpsSpec: planted re-encoded/resized dups recalled
     "media_frame_neardup",// LlmOpsSpec: planted re-encoded clip's frames recalled

@@ -73,6 +73,40 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sk.finish(build(vals)) == sk.finish(build(vals)))
   }
 
+  test("HLL sketch: error within 5% of exact distinct, merge is bit-identical") {
+    import graft.functions.HllSketch
+    // registered query vs the exact distinct-count sibling
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val est = HllSketch.hllDistinct(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(est.keySet == exact.keySet)
+    for ((k, n) <- exact) {
+      val e = est(k)
+      assert(math.abs(e - n).toDouble <= math.max(0.05 * n, 2.0),
+        s"$k: est $e vs exact $n")
+    }
+    // merge law on raw registers: sketch(A ++ B) == merge(sketch(A),
+    // sketch(B)) REGISTER-FOR-REGISTER, any split point — the property
+    // that makes per-day sketches foldable into rolling uniques
+    val sk = HllSketch(12)
+    val vals = (1L to 20000L).map(_ * 7919L)
+    def build(xs: Seq[Long]) = xs.foldLeft(sk.zero)(sk.reduce)
+    for (cut <- Seq(0, 1, 5000, 19999, 20000)) {
+      val merged = sk.merge(build(vals.take(cut)), build(vals.drop(cut)))
+      assert(java.util.Arrays.equals(merged, build(vals)),
+        s"registers diverge at split $cut")
+    }
+    // idempotent union: folding the same day twice changes nothing
+    val a = build(vals.take(10000))
+    assert(java.util.Arrays.equals(sk.merge(build(vals.take(10000)), a), a))
+    // error on a known large cardinality
+    val e20k = sk.finish(build(vals))
+    assert(math.abs(e20k - 20000L) <= 1000, s"20k est $e20k")
+  }
+
   test("bpe_token_count == independent plain-Scala greedy merge count") {
     import graft.functions.BpeTokenCount
     // independent reimplementation: immutable Lists + recursion, sharing
