@@ -162,4 +162,37 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  final case class HllEstimate(event_type: String, est_users: Long)
+
+  /** Rolling distinct users per event type via the mergeable
+    * [[graft.functions.HllSketch]] held in keyed stream state: each
+    * micro-batch REDUCES its user_ids into the group's persisted
+    * registers and emits the updated estimate. This is the sketch's
+    * production shape — state is m bytes per group FOREVER (not
+    * O(users)), restarts recover it from the checkpoint, and because
+    * merge is idempotent element-max, the streamed registers are
+    * BIT-IDENTICAL to a batch sketch over the same rows no matter how
+    * the stream was chunked (EventStreamsSpec pins exactly that).
+    * Update mode: every batch re-emits the affected groups' estimates. */
+  def streamingDistinctUsers(events: DataFrame, p: Int = 12): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val sk = graft.functions.HllSketch(p)
+    val typed = events.select(col("event_type"), col("user_id"))
+      .as[(String, Long)]
+
+    def update(eventType: String, batch: Iterator[(String, Long)],
+        state: GroupState[Array[Byte]]): HllEstimate = {
+      val regs = batch.foldLeft(state.getOption.getOrElse(sk.zero)) {
+        case (r, (_, uid)) => sk.reduce(r, uid)
+      }
+      state.update(regs)
+      HllEstimate(eventType, sk.finish(regs))
+    }
+
+    typed.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
 }

@@ -47,6 +47,28 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("streaming HLL rolling uniques converge to the batch sketch exactly") {
+    val stream = EventStreams.eventsStream(spark, sf)
+    runToMemory(EventStreams.streamingDistinctUsers(stream), "hll_stream",
+      "update")
+    // update mode re-emits a group's estimate every batch; the LAST
+    // emission per group is the converged rolling estimate. The memory
+    // sink appends in batch order, so dedup by taking the max batch row
+    // via a monotonically increasing sink index isn't available — but
+    // estimates are monotone non-decreasing (register max), so per-group
+    // max(emission) IS the final emission.
+    val got = spark.table("hll_stream")
+      .groupBy("event_type").agg(max("est_users").as("est_users"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // estimates are a deterministic function of the registers, and the
+    // element-max merge makes registers independent of chunking
+    // (FunctionsSpec pins that law) — so the streamed fold must land on
+    // the batch sketch EXACTLY, not merely nearby
+    val want = graft.functions.HllSketch.hllDistinct(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want, s"streamed $got vs batch $want")
+  }
+
   test("stream-stream interval join matches batch truth up to the watermark tail") {
     val stream = EventStreams.eventsStream(spark, sf)
     runToMemory(EventStreams.purchaseClickJoin(stream), "ssj", "append")
