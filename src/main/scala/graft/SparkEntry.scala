@@ -89,6 +89,7 @@ object SparkEntry {
     "pack_bins"         -> (TextOps.packBins(_, _)),
     "bigram_topk"       -> (TextOps.bigramTopK(_, _)),
     "repetition_stats"  -> (TextOps.repetitionStats(_, _)),
+    "lm_score"          -> (TextOps.lmScore(_, _)),
     "corpus_mix"        -> (TextOps.corpusMix(_, _)),
     "fingerprint"       -> (TextOps.fingerprints(_, _)),
     // LLM-pipeline: multimodal plumbing + perceptual near-dup
@@ -169,6 +170,7 @@ object SparkEntry {
     "pack_bins"         -> TextOps.packBinsSql(),
     "bigram_topk"       -> TextOps.bigramTopKSql(),
     "repetition_stats"  -> TextOps.repetitionStatsSql,
+    "lm_score"          -> TextOps.lmScoreSql(),
     "corpus_mix"        -> TextOps.corpusMixSql(),
     "media_features"    -> Multimodal.mediaFeaturesSql,
     "media_framesample" -> Multimodal.mediaFrameSampleSql(),

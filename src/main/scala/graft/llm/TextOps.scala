@@ -303,6 +303,77 @@ object TextOps {
        |FROM b GROUP BY bigram
        |ORDER BY cnt DESC, bigram LIMIT $k""".stripMargin
 
+  /** Bigram language-model quality score — the perplexity filter every
+    * web-scale corpus runs (CCNet, Wenzek et al. LREC 2020, scores
+    * documents with a KenLM n-gram model and drops the worst tail; the
+    * add-α-smoothed bigram form is the self-contained engine-owned
+    * version, trained on the corpus itself in the same job): each
+    * document's score is the mean log-probability of its token bigrams,
+    * ln((c(w1,w2)+α) / (c(w1)+α·V)). Low score = improbable token
+    * transitions = boilerplate/garbled/machine-generated text.
+    *
+    * Scale: the model IS two aggregates — unigram and bigram counts,
+    * vocabulary-sized, broadcast back over the corpus stream (at web
+    * scale a frequency floor keeps the bigram table broadcastable; the
+    * join degrades gracefully to a shuffle join if not). The corpus
+    * explodes once into the posting stream that feeds BOTH the counts
+    * and the scoring join.
+    *
+    * Determinism across engines: the per-bigram log terms round to 9
+    * decimals and sum as DECIMAL — decimal addition is exact and
+    * associative, so Spark's partial aggregates and DuckDB's single
+    * thread reach the identical sum no matter the order; only the final
+    * mean divides in double. This is the general recipe for
+    * hash-matching a floating-point SUM across engines. */
+  def lmScore(spark: SparkSession, dir: String, alpha: Double = 0.1): DataFrame =
+    lmScoreFromDocs(Tables.fanOut(Tables.documents(spark, dir)), alpha)
+
+  /** The scorer over an explicit (doc_id, text) relation — the testable
+    * core of [[lmScore]]. */
+  def lmScoreFromDocs(docs: DataFrame, alpha: Double): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val big = base
+      .select(col("doc_id"), explode(bigrams(col("toks"))).as("big"))
+      .withColumn("w1", substring_index(col("big"), " ", 1))
+    val uni = base.select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val bi = big.groupBy(col("big")).agg(count(lit(1)).as("c2"))
+    val vocab = uni.agg(count(lit(1)).as("v")) // 1 row (PlanGuardrailSpec-pinned)
+    big
+      .join(broadcast(bi), Seq("big"))
+      .join(broadcast(uni), col("w1") === col("term"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", round(
+        log((col("c2") + lit(alpha)) / (col("c1") + lit(alpha) * col("v"))), 9))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("lp").cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+          .as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("slp").cast("double") / col("n_bigrams"), 6).as("lm_score"))
+  }
+
+  def lmScoreSql(alpha: Double = 0.1): String =
+    s"""WITH t AS (SELECT doc_id, ${tokensSql} AS toks FROM documents),
+       |b AS (SELECT doc_id, unnest(list_transform(
+       |        list_zip(toks[1:len(toks)-1], toks[2:]),
+       |        x -> x[1] || ' ' || x[2])) AS big
+       |      FROM t),
+       |bw AS (SELECT doc_id, big, split_part(big, ' ', 1) AS w1 FROM b),
+       |u AS (SELECT unnest(toks) AS term FROM t),
+       |uc AS (SELECT term, CAST(count(*) AS BIGINT) AS c1 FROM u GROUP BY 1),
+       |bc AS (SELECT big, CAST(count(*) AS BIGINT) AS c2 FROM bw GROUP BY 1),
+       |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  round(CAST(sum(CAST(round(ln((c2 + $alpha) / (c1 + $alpha * v)), 9)
+       |        AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS lm_score
+       |FROM bw
+       |JOIN bc USING (big)
+       |JOIN uc ON bw.w1 = uc.term
+       |CROSS JOIN v
+       |GROUP BY doc_id""".stripMargin
+
   /** Per-document repetition metrics (adjacent-duplicate token runs —
     * the degenerate-text signal quality filters cut on: "batch batch
     * batch" inflates perplexity-free repetition). Zero-shuffle narrow

@@ -173,4 +173,34 @@ class PiiQualitySpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b)
   }
+
+  test("lm score matches a plain-Scala bigram LM; repetitive text scores higher") {
+    val alpha = 0.1
+    val corpus = Map(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat on the mat again and again",
+      3L -> "zx qv wk jm pf td bg")         // transitions seen nowhere else
+    val docs = corpus.toSeq.toDF("doc_id", "text")
+    val got = graft.llm.TextOps.lmScoreFromDocs(docs, alpha)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // independent recomputation
+    val toks = corpus.view.mapValues(_.split("\\s+").toSeq).toMap
+    val uni = toks.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val bigs = toks.view.mapValues(ts => ts.zip(ts.tail)).toMap
+    val bi = bigs.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val v = uni.size
+    for ((id, ts) <- bigs) {
+      val lps = ts.map { case (w1, w2) =>
+        BigDecimal(math.log((bi((w1, w2)) + alpha) / (uni(w1) + alpha * v)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val want = math.rint(lps.sum.toDouble / ts.size * 1e6) / 1e6
+      val (n, score) = got(id)
+      assert(n == ts.size.toLong)
+      assert(math.abs(score - want) < 1e-6, s"doc $id: $score vs $want")
+    }
+    // the doc whose transitions appear nowhere else scores below the doc
+    // built of corpus-frequent bigrams — the direction the filter cuts on
+    assert(got(3L)._2 < got(1L)._2)
+  }
 }
