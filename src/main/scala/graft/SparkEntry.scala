@@ -90,6 +90,7 @@ object SparkEntry {
     "bigram_topk"       -> (TextOps.bigramTopK(_, _)),
     "repetition_stats"  -> (TextOps.repetitionStats(_, _)),
     "lm_score"          -> (TextOps.lmScore(_, _)),
+    "cdc_chunks"        -> (TextOps.cdcChunks(_, _)),
     "corpus_mix"        -> (TextOps.corpusMix(_, _)),
     "fingerprint"       -> (TextOps.fingerprints(_, _)),
     // LLM-pipeline: multimodal plumbing + perceptual near-dup

@@ -303,6 +303,33 @@ object TextOps {
        |FROM b GROUP BY bigram
        |ORDER BY cnt DESC, bigram LIMIT $k""".stripMargin
 
+  /** Content-defined chunking over the documents table: Gear-hash
+    * boundaries from the native [[graft.functions.CdcBoundaries]]
+    * expression, chunk bytes sliced out of the BINARY cast (boundaries
+    * are byte offsets; character substring would shear on multibyte
+    * text), each chunk identified by its md5 for chunk-level dedup
+    * joins. Unlike [[docChunks]]'s fixed token windows, an insertion
+    * disturbs only the chunk it lands in — every later chunk hash
+    * survives, so cross-document chunk dedup keeps matching
+    * (FunctionsSpec pins that law). Zero-shuffle narrow pass: the
+    * boundary scan, the zip to (off,len) pairs, the explode, and the
+    * md5 all ride the document scan. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunksFromDocs(Tables.documents(spark, dir))
+
+  def cdcChunksFromDocs(docs: DataFrame): DataFrame = {
+    val b = docs.select(col("doc_id"), col("text").cast("binary").as("tb"),
+      graft.functions.CdcBoundaries.cdc_boundaries(col("text")).as("bnds"))
+    b.select(col("doc_id"), col("tb"),
+        posexplode(zip_with(
+          slice(col("bnds"), lit(1), greatest(size(col("bnds")) - 1, lit(0))),
+          slice(col("bnds"), lit(2), greatest(size(col("bnds")) - 1, lit(0))),
+          (a, z) => struct(a.as("off"), (z - a).as("len")))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        col("col.off").as("off"), col("col.len").as("len"),
+        md5(expr("substring(tb, col.off + 1, col.len)")).as("chunk_md5"))
+  }
+
   /** Bigram language-model quality score — the perplexity filter every
     * web-scale corpus runs (CCNet, Wenzek et al. LREC 2020, scores
     * documents with a KenLM n-gram model and drops the worst tail; the

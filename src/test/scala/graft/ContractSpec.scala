@@ -20,6 +20,7 @@ class ContractSpec extends AnyFunSuite {
     "quantile_sketch",    // FunctionsSpec: rank error <= 2% vs exact sorted truth
     "hll_distinct",       // FunctionsSpec: error <= 5% vs exact distinct; bit-identical merge law
     "token_count_bpe",    // FunctionsSpec: == independent plain-Scala BPE merge count
+    "cdc_chunks",         // FunctionsSpec: == plain-Scala gear roll; prefix-shift chunk survival law
     "media_neardup",      // LlmOpsSpec: planted re-encoded/resized dups recalled
     "media_frame_neardup",// LlmOpsSpec: planted re-encoded clip's frames recalled
     "compression_ratio")  // FunctionsSpec: == plain-Scala Deflater refold + ordering law

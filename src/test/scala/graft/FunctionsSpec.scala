@@ -73,6 +73,54 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sk.finish(build(vals)) == sk.finish(build(vals)))
   }
 
+  test("CDC chunks: boundaries match a plain-Scala gear roll; edits don't propagate") {
+    import graft.functions.CdcBoundaries
+    import spark.implicits._
+    // independent roll over the same published recurrence
+    def scalaBoundaries(s: String, avgBits: Int = 6, minLen: Int = 16,
+        maxLen: Int = 256): Vector[Int] = {
+      val bytes = s.getBytes("UTF-8")
+      val mask = (1L << avgBits) - 1
+      var out = Vector(0); var h = 0L; var last = 0
+      for (i <- bytes.indices) {
+        h = (h << 1) + CdcBoundaries.gear(bytes(i) & 0xff)
+        val len = i - last + 1
+        if ((len >= minLen && (h & mask) == 0L) || len >= maxLen) {
+          out :+= i + 1; last = i + 1; h = 0L
+        }
+      }
+      if (out.last != bytes.length) out :+= bytes.length
+      out
+    }
+    // varied sentences: a short-period repetitive string has only ~period
+    // distinct 6-byte gear windows, and if none masks to zero every cut
+    // degrades to the maxLen fallback (observed: 10/12 forced cuts) —
+    // entropy like real text is what content-defined cuts key on
+    val base = (1 to 80).map(i =>
+      s"sentence ${java.util.UUID.nameUUIDFromBytes(i.toString.getBytes).toString.take(8)} marker ${i * i}")
+      .mkString(" ")
+    val shifted = "INSERTED-BOILERPLATE-PREFIX " + base
+    val docs = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    // 1. engine boundaries == plain Scala, both docs
+    val got = docs.select(col("doc_id"),
+        CdcBoundaries.cdc_boundaries(col("text")).as("b")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toVector)).toMap
+    assert(got(1L) == scalaBoundaries(base))
+    assert(got(2L) == scalaBoundaries(shifted))
+    // 2. the CDC law: a prefix insertion leaves the tail chunks' hashes
+    // intact — fixed windows would re-hash EVERYTHING after the edit
+    val hashes = graft.llm.TextOps.cdcChunksFromDocs(docs)
+      .select("doc_id", "chunk_md5").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    val survived = (hashes(1L) intersect hashes(2L)).size.toDouble / hashes(1L).size
+    assert(survived >= 0.8,
+      s"only ${(survived * 100).round}% of chunks survived a prefix edit")
+    // 3. empty doc => zero chunks, no crash
+    assert(graft.llm.TextOps.cdcChunksFromDocs(
+      Seq((3L, "")).toDF("doc_id", "text")).count() == 0L)
+  }
+
   test("HLL sketch: error within 5% of exact distinct, merge is bit-identical") {
     import graft.functions.HllSketch
     // registered query vs the exact distinct-count sibling
