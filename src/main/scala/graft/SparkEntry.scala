@@ -111,6 +111,7 @@ object SparkEntry {
     // LLM-pipeline: retrieval + weighted sampling + span-level dedup
     "bm25_topk"         -> (graft.llm.Retrieval.bm25TopK(_, _)),
     "weighted_sample"   -> (Sampling.weightedSample(_, _)),
+    "weighted_sample_grouped" -> (Sampling.weightedSampleBySource(_, _)),
     "span_shared"       -> (Dedup.spanSharedPairs(_, _)),
     // scale techniques as first-class queries
     "salted_agg"        -> (graft.scale.ScaleTechniques.saltedAggQuery(_, _)),
@@ -184,6 +185,7 @@ object SparkEntry {
     "quality_filter"    -> Quality.qualityFilterSql,
     "bm25_topk"         -> graft.llm.Retrieval.bm25TopKSql(),
     "weighted_sample"   -> Sampling.weightedSampleSql(),
+    "weighted_sample_grouped" -> Sampling.weightedSampleBySourceSql(),
     "span_shared"       -> Dedup.spanSharedSql(),
     "salted_agg"        -> graft.scale.ScaleTechniques.saltedAggSql,
     "bloom_join"        -> graft.scale.ScaleTechniques.bloomJoinSql,

@@ -199,6 +199,45 @@ object Sampling {
        |FROM documents
        |ORDER BY priority DESC, doc_id LIMIT $k""".stripMargin
 
+  /** Per-stratum weighted quota: the same priority draw ranked INSIDE
+    * each source — a weighted random quota per domain (the sampling
+    * counterpart of [[sourceCap]]'s deterministic quality quota; what a
+    * web-corpus build runs when each domain may contribute at most k
+    * docs but the pick within a domain should be weight-proportional
+    * rather than "longest wins"). One shuffle on source for the window;
+    * every other step is scan-side. Skew note: a hot source makes one
+    * window partition large — at a real corpus size the two-phase
+    * sub-bucket trick sourceCap uses applies verbatim to the priority
+    * ranking too. */
+  def weightedSampleBySource(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (col("n_chars").cast("double") / u).as("priority"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("priority"),
+        col("rank"))
+  }
+
+  def weightedSampleBySourceSql(k: Int = 20): String =
+    s"""WITH p AS (SELECT doc_id, source, n_chars,
+       |  CAST(n_chars AS DOUBLE) /
+       |    ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+       |     / 4503599627370496.0) AS priority
+       |FROM documents),
+       |r AS (SELECT doc_id, source, n_chars, priority,
+       |        CAST(row_number() OVER (PARTITION BY source
+       |          ORDER BY priority DESC, doc_id) AS INT) AS rank
+       |      FROM p)
+       |SELECT doc_id, source, n_chars, priority, rank FROM r WHERE rank <= $k""".stripMargin
+
   val resampleTemperatureSql: String =
     """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS grp_cnt
       |           FROM documents GROUP BY lang),

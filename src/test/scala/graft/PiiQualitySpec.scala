@@ -174,6 +174,23 @@ class PiiQualitySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("grouped weighted sample: <=k per source, dense ranks, priority-ordered") {
+    val k = 20
+    val rows = Sampling.weightedSampleBySource(spark, sf, k).collect()
+      .map(r => (r.getString(1), r.getInt(4), r.getDouble(3)))
+    val bySource = rows.groupBy(_._1)
+    assert(bySource.nonEmpty)
+    for ((src, rs) <- bySource) {
+      assert(rs.length <= k, s"$src over quota: ${rs.length}")
+      // dense ranks 1..n, and priority non-increasing along them
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rs.length),
+        s"$src ranks not dense: ${sorted.map(_._2).toSeq}")
+      assert(sorted.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        s"$src priorities not ordered")
+    }
+  }
+
   test("lm score matches a plain-Scala bigram LM; repetitive text scores higher") {
     val alpha = 0.1
     val corpus = Map(
