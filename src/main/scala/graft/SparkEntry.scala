@@ -113,6 +113,7 @@ object SparkEntry {
     "weighted_sample"   -> (Sampling.weightedSample(_, _)),
     "weighted_sample_grouped" -> (Sampling.weightedSampleBySource(_, _)),
     "span_shared"       -> (Dedup.spanSharedPairs(_, _)),
+    "cdc_shared"        -> (Dedup.cdcSharedPairs(_, _)),
     // scale techniques as first-class queries
     "salted_agg"        -> (graft.scale.ScaleTechniques.saltedAggQuery(_, _)),
     "bloom_join"        -> (graft.scale.ScaleTechniques.bloomJoinQuery(_, _)),

@@ -658,6 +658,41 @@ object Dedup {
       .agg(count(lit(1)).as("shared_spans"))
   }
 
+  /** Chunk-level cross-document dedup over CONTENT-DEFINED chunks
+    * ([[TextOps.cdcChunksFromDocs]]): doc pairs sharing verbatim CDC
+    * chunks, with the shared-chunk count. The byte-level sibling of
+    * [[spanSharedPairs]]: token spans shear when an edit moves token
+    * boundaries, while CDC chunks re-synchronize past the edit, so a
+    * paragraph copied into a different document (ahead of different
+    * boilerplate) still matches — LlmOpsSpec plants exactly that and
+    * the spanless variant catches it.
+    *
+    * Same scale spine as span_shared: per-doc distinct chunk md5s, a
+    * document-frequency band (2..maxDf) that keeps template chunks from
+    * joining quadratically, self-join on the 128-bit hash only. CDC
+    * boundaries are engine-specific ⇒ no SQL oracle (ContractSpec pin);
+    * the operator's parts are each verified (CdcBoundaries vs plain
+    * Scala, the pair join by the planted spec). */
+  def cdcSharedPairs(spark: SparkSession, dir: String,
+      maxDf: Int = 10): DataFrame =
+    cdcSharedFromDocs(Tables.fanOut(Tables.documents(spark, dir)), maxDf)
+
+  def cdcSharedFromDocs(docs: DataFrame, maxDf: Int): DataFrame = {
+    val chunks = TextOps.cdcChunksFromDocs(docs)
+      .select(col("doc_id"), col("chunk_md5")).distinct()
+    val shareable = chunks.groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("chunk_md5"))
+    val posting = chunks.join(shareable, Seq("chunk_md5"))
+    posting.select(col("chunk_md5"), col("doc_id").as("doc_a"))
+      .join(posting.select(col("chunk_md5"), col("doc_id").as("doc_b")),
+        Seq("chunk_md5"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+  }
+
   def spanSharedSql(n: Int = 13, maxDf: Int = 10): String =
     s"""WITH tk AS (SELECT doc_id, ${graft.llm.TextOps.tokensSql} AS toks FROM documents),
        |g0 AS (SELECT doc_id, unnest(${Decontam.ngramsSql(n)}) AS gram FROM tk),

@@ -79,6 +79,33 @@ object ScaleTechniques {
     }
   }
 
+  /** Skew diagnostics — the report you read BEFORE reaching for
+    * [[saltedCountSum]], AQE skew settings, or a broadcast: the top-N
+    * heaviest keys with their share of all rows. One aggregation on the
+    * key (map-side combined, so the hot key itself doesn't hurt the
+    * diagnosis) + a TakeOrdered; the 1-row total rides a window over
+    * the aggregated (bounded) frame, not the input. A key with share
+    * ≳ 1/shufflePartitions is the reducer that will run hot. */
+  def skewReport(df: DataFrame, key: Column, topN: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(key.as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("rows"))
+      .withColumn("total", sum(col("rows")).over(Window.partitionBy()))
+      .orderBy(col("rows").desc, col("k"))
+      .limit(topN)
+      .select(col("k"), col("rows"),
+        round(col("rows").cast("double") / col("total"), 6).as("share"))
+  }
+
+  /** Rows per physical partition of `df` as it stands — the direct
+    * reading of whether a repartition/AQE decision balanced the work.
+    * `spark_partition_id` is evaluated per row at scan/compute time, so
+    * this counts the REAL layout, not a planned one. */
+  def partitionSizes(df: DataFrame): DataFrame =
+    df.select(spark_partition_id().as("pid"))
+      .groupBy(col("pid")).agg(count(lit(1)).as("rows"))
+      .orderBy(col("pid"))
+
   /** Morton/Z-value: bit-interleave of two dimensions pre-scaled to 16
     * bits — sorting by it clusters BOTH dimensions at once, so each
     * output file's (min,max) box is small in every dimension and a

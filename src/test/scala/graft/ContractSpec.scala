@@ -21,6 +21,7 @@ class ContractSpec extends AnyFunSuite {
     "hll_distinct",       // FunctionsSpec: error <= 5% vs exact distinct; bit-identical merge law
     "token_count_bpe",    // FunctionsSpec: == independent plain-Scala BPE merge count
     "cdc_chunks",         // FunctionsSpec: == plain-Scala gear roll; prefix-shift chunk survival law
+    "cdc_shared",         // LlmOpsSpec: shifted partial copy caught; template chunks df-capped
     "media_neardup",      // LlmOpsSpec: planted re-encoded/resized dups recalled
     "media_frame_neardup",// LlmOpsSpec: planted re-encoded clip's frames recalled
     "compression_ratio")  // FunctionsSpec: == plain-Scala Deflater refold + ordering law

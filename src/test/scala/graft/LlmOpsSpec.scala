@@ -576,6 +576,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(uncapped == 66L, s"12 docs sharing boilerplate => C(12,2)=66 pairs, got $uncapped")
   }
 
+  test("cdc_shared: a shifted partial copy is caught; template chunks are df-capped") {
+    import spark.implicits._
+    def varied(tag: String, n: Int): String = (1 to n).map(i =>
+      s"$tag ${java.util.UUID.nameUUIDFromBytes(s"$tag$i".getBytes).toString.take(8)} item ${i * 31}")
+      .mkString(" ")
+    val para = varied("shared-paragraph", 30)           // ~1.3 kB reused region
+    val template = varied("site-template", 12)          // boilerplate in EVERY doc
+    val docs = (Seq(
+      (1L, s"${varied("doc-one", 12)} $para ${varied("doc-one-tail", 8)} $template"),
+      // the copy sits after a DIFFERENT-length prefix — fixed windows
+      // would shear every chunk; CDC resynchronizes inside the paragraph
+      (2L, s"shifted! ${varied("doc-two", 20)} $para $template")) ++
+      (3L to 12L).map(i => (i, s"${varied(s"doc-$i", 25)} $template")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.cdcSharedFromDocs(docs, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // only the planted pair survives: the template's chunks sit in all
+    // 12 docs (df=12 > 10) and never join
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)),
+      s"expected only the planted pair, got ${pairs.toSeq}")
+    assert(pairs.head._3 >= 5,
+      s"shifted copy shares too few chunks: ${pairs.head._3} — CDC didn't resync")
+  }
+
   test("bm25: scores match a plain-Scala computation; term-stuffed doc ranks first") {
     import spark.implicits._
     val docs = Seq(

@@ -55,6 +55,20 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(pruned.count() == want)
   }
 
+  test("skew report surfaces a planted hot key with its true share") {
+    import spark.implicits._
+    // one key owns half the rows, the rest spread over 100 keys
+    val df = ((1 to 5000).map(_ => "hot") ++ (1 to 5000).map(i => s"k${i % 100}"))
+      .toDF("key")
+    val top = ScaleTechniques.skewReport(df, col("key"), topN = 3).collect()
+    assert(top.head.getString(0) == "hot")
+    assert(top.head.getLong(1) == 5000L)
+    assert(math.abs(top.head.getDouble(2) - 0.5) < 1e-9)
+    // partition sizes account for every row
+    val sizes = ScaleTechniques.partitionSizes(df).collect()
+    assert(sizes.map(_.getLong(1)).sum == 10000L)
+  }
+
   test("z-order layout skips files on the non-leading dimension; rows survive") {
     val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
     val li = Tables.lineitem(spark, sf)
