@@ -144,4 +144,51 @@ object BpeTokenCount {
   /** Column-level entry point. */
   def bpe_token_count(c: Column): Column =
     GraftBridge.column(BpeTokenCount(GraftBridge.expression(c)))
+
+  /** LEARN a merge table from a corpus (Sennrich et al. ACL 2016, the
+    * original BPE training loop) — making the claim above ("swapping in
+    * learned merges is a data change") operational. The Spark-scale
+    * part is ONE aggregation: the corpus collapses to its (word, freq)
+    * vocabulary, which is many orders smaller than the corpus (Heaps'
+    * law), and the iterative merge selection then runs driver-side over
+    * that bounded vocabulary exactly like every BPE trainer does —
+    * iterating Spark jobs per merge would add a cluster round-trip per
+    * step to save memory nobody needs saved. Ties break
+    * lexicographically so the learned table is deterministic.
+    *
+    * `vocab` is (word, freq) — from something like
+    * `tokens(text) → explode → groupBy count` ([[graft.llm.TextOps]]).
+    */
+  def learnMerges(vocab: Seq[(String, Long)], nMerges: Int): Vector[(String, String)] = {
+    // each word as its symbol sequence, carrying the word's frequency
+    var words: Vector[(Vector[String], Long)] =
+      vocab.iterator.filter(_._1.nonEmpty)
+        .map { case (w, f) => (w.map(String.valueOf(_)).toVector, f) }
+        .toVector
+    val learned = Vector.newBuilder[(String, String)]
+    var k = 0
+    var done = false
+    while (k < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + f))
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        learned += best
+        words = words.map { case (syms, f) =>
+          val next = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+              next += syms(i) + syms(i + 1); i += 2
+            } else { next += syms(i); i += 1 }
+          }
+          (next.result(), f)
+        }
+        k += 1
+      }
+    }
+    learned.result()
+  }
 }

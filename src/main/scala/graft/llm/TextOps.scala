@@ -303,6 +303,32 @@ object TextOps {
        |FROM b GROUP BY bigram
        |ORDER BY cnt DESC, bigram LIMIT $k""".stripMargin
 
+  /** BPE merge-table TRAINING over the corpus
+    * ([[graft.functions.BpeTokenCount.learnMerges]]): the corpus
+    * collapses to its (word, freq) vocabulary in ONE aggregation —
+    * Heaps'-law-bounded, orders smaller than the corpus — and the
+    * iterative merge selection runs driver-side over that vocabulary
+    * like every BPE trainer; the result is the ranked merge table
+    * [[tokenCountBpe]]-style counting consumes ("swapping in learned
+    * merges is a data change", made operational). Deterministic:
+    * frequency ties break lexicographically. Iterative argmax ⇒ not
+    * ANSI-expressible ⇒ ContractSpec-pinned; FunctionsSpec verifies the
+    * learned sequence by hand on a crafted vocabulary and pins
+    * determinism. Memoized per (dir, n): the vocab collect is the
+    * expensive pass and the table is the artifact. */
+  def bpeMerges(spark: SparkSession, dir: String, nMerges: Int = 30): DataFrame =
+    graft.Caches.memo(spark, s"bpeMerges:$dir:$nMerges") {
+      import spark.implicits._
+      val vocab = Tables.fanOut(Tables.documents(spark, dir))
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .as[(String, Long)].collect().toSeq
+      graft.functions.BpeTokenCount.learnMerges(vocab, nMerges)
+        .zipWithIndex
+        .map { case ((a, b), i) => (i + 1, a, b) }
+        .toDF("rank", "left", "right")
+    }
+
   /** Content-defined chunking over the documents table: Gear-hash
     * boundaries from the native [[graft.functions.CdcBoundaries]]
     * expression, chunk bytes sliced out of the BINARY cast (boundaries

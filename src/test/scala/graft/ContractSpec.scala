@@ -22,6 +22,7 @@ class ContractSpec extends AnyFunSuite {
     "token_count_bpe",    // FunctionsSpec: == independent plain-Scala BPE merge count
     "cdc_chunks",         // FunctionsSpec: == plain-Scala gear roll; prefix-shift chunk survival law
     "cdc_shared",         // LlmOpsSpec: shifted partial copy caught; template chunks df-capped
+    "bpe_merges",         // FunctionsSpec: hand-verified learned sequence + determinism
     "media_neardup",      // LlmOpsSpec: planted re-encoded/resized dups recalled
     "media_frame_neardup",// LlmOpsSpec: planted re-encoded clip's frames recalled
     "compression_ratio")  // FunctionsSpec: == plain-Scala Deflater refold + ordering law

@@ -73,6 +73,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sk.finish(build(vals)) == sk.finish(build(vals)))
   }
 
+  test("BPE merge learning: hand-verified sequence, determinism, corpus query shape") {
+    import graft.functions.BpeTokenCount
+    // hand-traceable vocabulary:
+    //   pair counts round 1: (a,a): 2·10=20 from "aaab", (a,b): 10+5=15,
+    //   (l,o): 8, (o,w): 8 → merge 1 = (a,a)
+    //   round 2: "aaab"→[aa,a,b]: (aa,a):10, (a,b):15, (l,o):8 → (a,b)
+    //   round 3: "aaab"→[aa,ab]... wait: [aa,a,b] with (a,b) merged →
+    //   [aa,ab]: (aa,ab):10; "ab"→[ab]; (l,o):8 → merge 3 = (aa,ab)
+    val vocab = Seq(("aaab", 10L), ("ab", 5L), ("low", 8L))
+    val merges = BpeTokenCount.learnMerges(vocab, 3)
+    assert(merges == Vector(("a", "a"), ("a", "b"), ("aa", "ab")),
+      s"unexpected learned sequence: $merges")
+    // determinism (ties break lexicographically)
+    assert(BpeTokenCount.learnMerges(vocab, 3) == merges)
+    // tie case: equal counts pick the lexicographically smallest pair
+    assert(BpeTokenCount.learnMerges(Seq(("ba", 3L), ("cd", 3L)), 1) ==
+      Vector(("b", "a")))
+    // the corpus query: ranked rows, dense from 1, all pairs non-empty
+    val df = graft.llm.TextOps.bpeMerges(spark, sf, nMerges = 10).collect()
+    assert(df.length == 10)
+    assert(df.map(_.getInt(0)).toSeq == (1 to 10))
+    assert(df.forall(r => r.getString(1).nonEmpty && r.getString(2).nonEmpty))
+  }
+
   test("CDC chunks: boundaries match a plain-Scala gear roll; edits don't propagate") {
     import graft.functions.CdcBoundaries
     import spark.implicits._
