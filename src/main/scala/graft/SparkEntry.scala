@@ -85,6 +85,7 @@ object SparkEntry {
     "token_count"       -> (TextOps.tokenCount(_, _)),
     "token_count_bpe"   -> (TextOps.tokenCountBpe(_, _)),
     "bpe_merges"        -> (TextOps.bpeMerges(_, _)),
+    "token_count_learned" -> (TextOps.tokenCountLearned(_, _)),
     "doc_chunks"        -> (TextOps.docChunks(_, _)),
     "tfidf_topterms"    -> (TextOps.tfidfTopTerms(_, _)),
     "pack_bins"         -> (TextOps.packBins(_, _)),

@@ -69,81 +69,21 @@ object BpeTokenCount {
     ("f", "or"), ("th", "at"), ("er", "s"), ("it", "h"), ("w", "ith"),
     ("ing", "s"), ("a", "tion"), ("er", "e"), ("th", "er"), ("es", "s"))
 
-  /** Rank-table key for a candidate merge pair. Symbols are lowercase
-    * alphabetic units, so a plain space can never appear inside one and
-    * is an unambiguous, printable separator; both the put and the get
-    * side MUST build keys through this one helper so they cannot
-    * diverge. */
-  private def pairKey(a: String, b: String): String = a + " " + b
+  /** The default engine-owned counter; [[count]] (the codegen target of
+    * the static-table expression) delegates here. */
+  val defaultCounter: BpeMergeCounter = new BpeMergeCounter(merges)
 
-  private val rank: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer]()
-    merges.zipWithIndex.foreach { case ((a, b), i) =>
-      m.put(pairKey(a, b), Integer.valueOf(i))
-    }
-    m
-  }
-
-  /** Merge-count one lowercased alphabetic run. O(len · merges-applied)
-    * with small constants; words are short so this dominates nothing. */
-  private def countWord(word: String): Long = {
-    var syms = new java.util.ArrayList[String](word.length)
-    var i = 0
-    while (i < word.length) { syms.add(String.valueOf(word.charAt(i))); i += 1 }
-    var done = false
-    while (!done && syms.size > 1) {
-      // best-ranked pair present in the current symbol sequence
-      var best = -1
-      var bestRank = Integer.MAX_VALUE
-      i = 0
-      while (i < syms.size - 1) {
-        val r = rank.get(pairKey(syms.get(i), syms.get(i + 1)))
-        if (r != null && r.intValue() < bestRank) { bestRank = r.intValue(); best = i }
-        i += 1
-      }
-      if (best < 0) done = true
-      else {
-        // merge ALL occurrences of that pair, left to right, non-overlapping
-        val a = syms.get(best)
-        val b = syms.get(best + 1)
-        val next = new java.util.ArrayList[String](syms.size)
-        i = 0
-        while (i < syms.size) {
-          if (i < syms.size - 1 && syms.get(i) == a && syms.get(i + 1) == b) {
-            next.add(a + b); i += 2
-          } else { next.add(syms.get(i)); i += 1 }
-        }
-        syms = next
-      }
-    }
-    syms.size.toLong
-  }
-
-  /** Pre-tokenize + merge-count a whole document. Alphabetic runs are
-    * lowercased and BPE-merged; each digit and each non-alphanumeric,
-    * non-whitespace character is one token (the GPT-2-style pre-token
-    * split, minus the byte-level escapes). Static and allocation-light
-    * so generated code calls straight into it. */
-  def count(text: UTF8String): Long = {
-    val s = text.toString
-    var total = 0L
-    var i = 0
-    val n = s.length
-    while (i < n) {
-      val c = s.charAt(i)
-      if (Character.isWhitespace(c)) i += 1
-      else if (Character.isLetter(c)) {
-        val start = i
-        while (i < n && Character.isLetter(s.charAt(i))) i += 1
-        total += countWord(s.substring(start, i).toLowerCase(java.util.Locale.ROOT))
-      } else { total += 1L; i += 1 }
-    }
-    total
-  }
+  /** Pre-tokenize + merge-count with the engine-owned table. Static so
+    * [[BpeTokenCount]]'s generated code calls straight into it. */
+  def count(text: UTF8String): Long = defaultCounter.count(text)
 
   /** Column-level entry point. */
   def bpe_token_count(c: Column): Column =
     GraftBridge.column(BpeTokenCount(GraftBridge.expression(c)))
+
+  /** Counting under an arbitrary (e.g. corpus-LEARNED) merge table. */
+  def bpe_token_count_with(c: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.column(BpeTokenCountWith(GraftBridge.expression(c), merges))
 
   /** LEARN a merge table from a corpus (Sennrich et al. ACL 2016, the
     * original BPE training loop) — making the claim above ("swapping in
@@ -191,4 +131,111 @@ object BpeTokenCount {
     }
     learned.result()
   }
+}
+
+/** The merge-count engine, parameterized by its rank table — one
+  * instance per table (the static expression uses
+  * [[BpeTokenCount.defaultCounter]]; [[BpeTokenCountWith]] builds one
+  * from learned merges). Serializable: it ships inside the expression
+  * to executors and into generated code as a reference object. */
+final class BpeMergeCounter(mergeTable: Seq[(String, String)])
+    extends Serializable {
+
+  /** Rank-table key for a candidate merge pair. Symbols are lowercase
+    * alphabetic units, so a plain space can never appear inside one and
+    * is an unambiguous, printable separator; both the put and the get
+    * side MUST build keys through this one helper so they cannot
+    * diverge. */
+  private def pairKey(a: String, b: String): String = a + " " + b
+
+  private val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    mergeTable.zipWithIndex.foreach { case ((a, b), i) =>
+      m.put(pairKey(a, b), Integer.valueOf(i))
+    }
+    m
+  }
+
+  /** Merge-count one lowercased alphabetic run. O(len · merges-applied)
+    * with small constants; words are short so this dominates nothing. */
+  private def countWord(word: String): Long = {
+    var syms = new java.util.ArrayList[String](word.length)
+    var i = 0
+    while (i < word.length) { syms.add(String.valueOf(word.charAt(i))); i += 1 }
+    var done = false
+    while (!done && syms.size > 1) {
+      // best-ranked pair present in the current symbol sequence
+      var best = -1
+      var bestRank = Integer.MAX_VALUE
+      i = 0
+      while (i < syms.size - 1) {
+        val r = rank.get(pairKey(syms.get(i), syms.get(i + 1)))
+        if (r != null && r.intValue() < bestRank) { bestRank = r.intValue(); best = i }
+        i += 1
+      }
+      if (best < 0) done = true
+      else {
+        // merge ALL occurrences of that pair, left to right, non-overlapping
+        val a = syms.get(best)
+        val b = syms.get(best + 1)
+        val next = new java.util.ArrayList[String](syms.size)
+        i = 0
+        while (i < syms.size) {
+          if (i < syms.size - 1 && syms.get(i) == a && syms.get(i + 1) == b) {
+            next.add(a + b); i += 2
+          } else { next.add(syms.get(i)); i += 1 }
+        }
+        syms = next
+      }
+    }
+    syms.size.toLong
+  }
+
+  /** Pre-tokenize + merge-count a whole document. Alphabetic runs are
+    * lowercased and BPE-merged; each digit and each non-alphanumeric,
+    * non-whitespace character is one token (the GPT-2-style pre-token
+    * split, minus the byte-level escapes). */
+  def count(text: UTF8String): Long = {
+    val s = text.toString
+    var total = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) i += 1
+      else if (Character.isLetter(c)) {
+        val start = i
+        while (i < n && Character.isLetter(s.charAt(i))) i += 1
+        total += countWord(s.substring(start, i).toLowerCase(java.util.Locale.ROOT))
+      } else { total += 1L; i += 1 }
+    }
+    total
+  }
+}
+
+/** [[BpeTokenCount]] under an ARBITRARY merge table — the counting side
+  * of the train → count loop ([[BpeTokenCount.learnMerges]] /
+  * [[graft.llm.TextOps.bpeMerges]] produce the table; this expression
+  * consumes it). The table can't be a static call target, so the
+  * counter ships into generated code as a codegen reference object —
+  * still one virtual call per row, no boxing, inside whole-stage
+  * codegen. */
+case class BpeTokenCountWith(child: Expression,
+    merges: Seq[(String, String)]) extends UnaryExpression {
+
+  @transient private lazy val counter = new BpeMergeCounter(merges)
+
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    counter.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeCounter", counter,
+      classOf[BpeMergeCounter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.count($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_token_count_with"
 }

@@ -329,6 +329,30 @@ object TextOps {
         .toDF("rank", "left", "right")
     }
 
+  /** The counting side of the train → count loop: per-doc subword
+    * counts under the merges [[bpeMerges]] just LEARNED from this
+    * corpus, beside the fixed engine-table count for contrast. The
+    * learned table reaches executors inside the
+    * [[graft.functions.BpeTokenCountWith]] expression (a codegen
+    * reference object — still one narrow scan, zero shuffle); corpus-
+    * fitted merges compress corpus text harder than any fixed table,
+    * which is exactly what a token-budgeting pass wants. Learned
+    * table ⇒ engine-specific ⇒ ContractSpec-pinned; FunctionsSpec pins
+    * the count against an independent reimplementation driven by the
+    * same learned table. */
+  def tokenCountLearned(spark: SparkSession, dir: String,
+      nMerges: Int = 30): DataFrame = {
+    val table = bpeMerges(spark, dir, nMerges).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.BpeTokenCount
+          .bpe_token_count_with(col("text"), table).as("n_tokens_learned"),
+        graft.functions.BpeTokenCount
+          .bpe_token_count(col("text")).as("n_tokens_fixed"))
+  }
+
   /** Content-defined chunking over the documents table: Gear-hash
     * boundaries from the native [[graft.functions.CdcBoundaries]]
     * expression, chunk bytes sliced out of the BINARY cast (boundaries

@@ -23,6 +23,7 @@ class ContractSpec extends AnyFunSuite {
     "cdc_chunks",         // FunctionsSpec: == plain-Scala gear roll; prefix-shift chunk survival law
     "cdc_shared",         // LlmOpsSpec: shifted partial copy caught; template chunks df-capped
     "bpe_merges",         // FunctionsSpec: hand-verified learned sequence + determinism
+    "token_count_learned",// FunctionsSpec: == independent reimpl under the learned table
     "media_neardup",      // LlmOpsSpec: planted re-encoded/resized dups recalled
     "media_frame_neardup",// LlmOpsSpec: planted re-encoded clip's frames recalled
     "compression_ratio")  // FunctionsSpec: == plain-Scala Deflater refold + ordering law

@@ -97,6 +97,51 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.forall(r => r.getString(1).nonEmpty && r.getString(2).nonEmpty))
   }
 
+  test("learned-table token count == independent reimpl; corpus-fit compresses harder") {
+    import graft.functions.BpeTokenCount
+    val table = graft.llm.TextOps.bpeMerges(spark, sf, nMerges = 30).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    // independent greedy-merge reimpl (list recursion), driven by the
+    // SAME learned table — the contract is the counting semantics
+    val rk = table.zipWithIndex.toMap
+    def mergeOnce(syms: List[String]): Option[List[String]] = {
+      val pairs = syms.zip(syms.drop(1)).filter(rk.contains)
+      if (pairs.isEmpty) None
+      else {
+        val best = pairs.minBy(rk)
+        def go(l: List[String]): List[String] = l match {
+          case a :: b :: rest if (a, b) == best => (a + b) :: go(rest)
+          case x :: rest => x :: go(rest)
+          case Nil => Nil
+        }
+        Some(go(syms))
+      }
+    }
+    def wordCount(w: String): Long = {
+      var syms = w.map(_.toString).toList
+      var next = mergeOnce(syms)
+      while (next.isDefined) { syms = next.get; next = mergeOnce(syms) }
+      syms.length.toLong
+    }
+    def docCount(text: String): Long =
+      "[a-zA-Z]+|[^a-zA-Z\\s]".r.findAllIn(text).map { t =>
+        if (t.head.isLetter) wordCount(t.toLowerCase) else 1L
+      }.sum
+    val docs = Tables.documents(spark, sf).limit(40)
+    val got = graft.llm.TextOps.tokenCountLearned(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> docCount(r.getString(1))).toMap
+    for ((id, n) <- want)
+      assert(got(id)._1 == n, s"doc $id: engine ${got(id)._1}, spec $n")
+    // 30 corpus-fitted merges should compress THIS corpus at least as
+    // hard in aggregate as the 65-entry fixed English table
+    val (sumLearned, sumFixed) = got.values
+      .foldLeft((0L, 0L)) { case ((a, b), (l, f)) => (a + l, b + f) }
+    assert(sumLearned <= sumFixed,
+      s"learned table compresses worse: $sumLearned vs $sumFixed")
+  }
+
   test("CDC chunks: boundaries match a plain-Scala gear roll; edits don't propagate") {
     import graft.functions.CdcBoundaries
     import spark.implicits._
