@@ -448,6 +448,61 @@ object TextOps {
         round(col("slp").cast("double") / col("n_bigrams"), 6).as("lm_score"))
   }
 
+  /** The bigram-LM model tables trained on a REFERENCE corpus:
+    * (unigram counts, bigram counts). Feed them to [[lmScoreUnderModel]]
+    * to score a DIFFERENT corpus — the CCNet shape (score crawl text
+    * under an LM trained on trusted text) that [[lmScore]]'s
+    * self-trained form can't express. Both tables are vocabulary-sized
+    * (broadcastable); the reference is scanned once per table. */
+  def lmModelTables(ref: DataFrame): (DataFrame, DataFrame) = {
+    val base = ref.select(tokens(col("text")).as("toks"))
+    val uni = base.select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val bi = base.select(explode(bigrams(col("toks"))).as("big"))
+      .groupBy(col("big")).agg(count(lit(1)).as("c2"))
+    (uni, bi)
+  }
+
+  /** Score (doc_id, text) docs under a FIXED reference model from
+    * [[lmModelTables]]. Identical per-bigram formula to [[lmScore]],
+    * but the joins are LEFT joins with 0-count backoff: a gram the
+    * reference never saw still scores (its probability falls to
+    * α/(c1+αV) — exactly what add-α smoothing assigns unseen events),
+    * rather than silently vanishing from the doc's mean as an inner
+    * join would make it. Docs with no bigram at all (< 2 tokens) keep a
+    * row with n_bigrams = 0 and lm_score = 0.0, so a gate on the score
+    * never silently drops short docs — the length rules own that call.
+    *
+    * Scale: model tables broadcast; the corpus explodes once; the
+    * aggregation is the same decimal-exact sum as [[lmScore]]. */
+  def lmScoreUnderModel(docs: DataFrame, uni: DataFrame, bi: DataFrame,
+      alpha: Double = 0.1): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val big = base
+      .select(col("doc_id"), explode(bigrams(col("toks"))).as("big"))
+      .withColumn("w1", substring_index(col("big"), " ", 1))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val scored = big
+      .join(broadcast(bi), Seq("big"), "left_outer")
+      .join(broadcast(uni), col("w1") === col("term"), "left_outer")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", round(
+        log((coalesce(col("c2"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("c1"), lit(0L)) + lit(alpha) * col("v"))), 9))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("lp").cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+          .as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("slp").cast("double") / col("n_bigrams"), 6).as("lm_score"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
+  }
+
   def lmScoreSql(alpha: Double = 0.1): String =
     s"""WITH t AS (SELECT doc_id, ${tokensSql} AS toks FROM documents),
        |b AS (SELECT doc_id, unnest(list_transform(

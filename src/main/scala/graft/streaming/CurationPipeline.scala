@@ -25,7 +25,10 @@ import org.apache.spark.sql.types._
   *      broadcast-hash join over the batch's grams;
   *   4. PII scrub ([[Pii.scrub]]) then the Gopher-style quality gate
   *      ([[Quality.gate]]) over the SCRUBBED text — what gets published
-  *      is what gets judged;
+  *      is what gets judged — then (optional) the CCNet-style
+  *      reference-LM gate: docs scoring below `lmScoreFloor` under a
+  *      bigram LM trained once on the trusted `lmRef` corpus
+  *      ([[TextOps.lmScoreUnderModel]], model tables broadcast) drop;
   *   5. survivors land in `outDir/kept/epoch=<id>` (overwrite — a
   *      replayed batch replaces its own partition, see processBatch's
   *      exactly-once note) and fold into the index ([[DedupIndex.foldIn]]
@@ -52,7 +55,10 @@ class CurationPipeline(
     outDir: String,
     threshold: Double = 0.6,
     benchmark: Option[DataFrame] = None,
-    decontamN: Int = 13) {
+    decontamN: Int = 13,
+    lmRef: Option[DataFrame] = None,
+    lmScoreFloor: Double = -10.0,
+    lmAlpha: Double = 0.1) {
 
   import CurationPipeline._
 
@@ -77,6 +83,24 @@ class CurationPipeline(
           .as("gram"))
         .distinct()
     }
+  }
+
+  /** The standing reference language model (CCNet-style: incoming text
+    * is scored under a bigram LM trained ONCE on a trusted corpus, and
+    * reference-unlike docs drop). Model tables are vocabulary-sized and
+    * broadcast into every batch's scoring join; the memo key carries the
+    * REFERENCE's identity for the same reason [[benchGrams]]'s does. */
+  private val lmModel: Option[(DataFrame, DataFrame)] = lmRef.map { ref =>
+    val refId = ref.queryExecution.analyzed.semanticHash()
+    val uni = graft.Caches.memo(spark,
+      s"curationLmUni:$indexPath:$lmAlpha:$refId") {
+      TextOps.lmModelTables(ref)._1
+    }
+    val bi = graft.Caches.memo(spark,
+      s"curationLmBi:$indexPath:$lmAlpha:$refId") {
+      TextOps.lmModelTables(ref)._2
+    }
+    (uni, bi)
   }
 
   /** One micro-batch of (doc_id, text) through the curation gauntlet.
@@ -112,12 +136,20 @@ class CurationPipeline(
         case None => unique
       }
       // 4. scrub, then gate the scrubbed text
-      val kept = Quality.gate(
+      val gated = Quality.gate(
           Pii.scrub(clean, "text")
             .select(col("doc_id"), col("clean_text").as("text")))
         .filter(col("keep") === 1)
         .select(col("doc_id"), col("text"))
-        .persist()
+      // 5. reference-LM perplexity gate: reference-unlike survivors drop
+      val kept = (lmModel match {
+        case Some((uni, bi)) =>
+          val ok = TextOps.lmScoreUnderModel(gated, uni, bi, lmAlpha)
+            .filter(col("lm_score") >= lmScoreFloor)
+            .select(col("doc_id"))
+          gated.join(ok, Seq("doc_id"))
+        case None => gated
+      }).persist()
       try {
         if (kept.count() > 0) {
           // EXACTLY-ONCE under foreachBatch's at-least-once replay: the

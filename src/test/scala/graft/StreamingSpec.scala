@@ -356,4 +356,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids.length == wantKept.size, s"$idx has duplicate index rows")
     }
   }
+
+  test("curation loop: reference-LM gate drops reference-unlike survivors") {
+    import graft.streaming.CurationPipeline
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-curate-lm").toString
+    val refSentences = Seq(
+      "the river flows gently through a green valley where tall trees stand in quiet morning light",
+      "bright stars fill the night sky and a cool wind moves softly over sleeping hills far away",
+      "a small boat drifts slowly across the calm blue lake while distant mountains rise sharply against clear skies",
+      "old books line the wooden shelves of a dusty library where scholars read ancient pages in silence",
+      "warm rain falls on the quiet garden and a soft mist rises over the sleeping flowers at dawn")
+    // x3 sharpens the seen-vs-unseen likelihood gap the floor sits in
+    val ref = (0 until 3).flatMap(r => refSentences.zipWithIndex.map {
+      case (t, i) => (100L + r * 10 + i, t) }).toDF("doc_id", "text")
+    // both pass every hard quality rule (length, stopwords, alpha,
+    // repeats); only the LM can tell them apart
+    val natural =
+      "the river flows gently through a green valley where old books line the wooden shelves in quiet light"
+    val gibberish =
+      "the brumple of zanvik and quorpel to wimbly in frosnak is drentch vexilon morpat and zingle crabnod"
+    val batch = Seq((1L, natural), (2L, gibberish)).toDF("doc_id", "text")
+
+    // separation sanity: the floor sits between the two scores
+    val floor = -3.2
+    val (uni, bi) = graft.llm.TextOps.lmModelTables(ref)
+    val scores = graft.llm.TextOps.lmScoreUnderModel(batch, uni, bi)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(scores(1L) >= floor && scores(2L) < floor,
+      s"floor $floor does not separate $scores")
+
+    val gatedP = new CurationPipeline(spark, s"$base/idxL", s"$base/outL",
+      lmRef = Some(ref), lmScoreFloor = floor)
+    gatedP.processBatch(batch, 0L)
+    val kept = spark.read.parquet(s"$base/outL/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+    // without the reference model, both docs pass — the drop above is
+    // the LM stage's doing, not a hard rule's
+    val openP = new CurationPipeline(spark, s"$base/idxN", s"$base/outN")
+    openP.processBatch(batch, 0L)
+    val keptOpen = spark.read.parquet(s"$base/outN/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptOpen == Set(1L, 2L))
+  }
 }
