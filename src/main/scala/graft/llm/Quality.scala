@@ -86,6 +86,50 @@ object Quality {
       .select(col("doc_id"), col("n_chars"),
         graft.functions.DeflateRatio.deflate_ratio(col("text")).as("deflate_ratio"))
 
+  /** Distilled quality CLASSIFIER (the fastText-style second stage every
+    * production curation pipeline runs behind its hard rules — CCNet /
+    * LLaMA-data train a linear model on reference-vs-crawl labels; here
+    * the teacher is [[gate]]'s rule conjunction, so the engine needs no
+    * external labels): hashed token counts (feature hashing keeps the
+    * dimension FIXED at any corpus size — no vocabulary shuffle) into a
+    * logistic regression, then every document scored with the smooth
+    * probability the hard rules can't give.
+    *
+    * 100 TB shape: the fit runs over `sampleFrac` of the corpus (hash-
+    * sampled — a linear model on 1k dims saturates long before even a
+    * 1e-4 sample of 100 TB runs out), iterating treeAggregate over
+    * (hashDim+1)-sized gradient vectors; scoring broadcasts the
+    * coefficient vector and streams the corpus once, zero shuffles.
+    * Engine-specific (hash family + optimizer) ⇒ no SQL oracle;
+    * PiiQualitySpec asserts holdout agreement with the teacher rules and
+    * that the probability orders rule-passing docs above rule-failing
+    * ones on average. */
+  def classifierScores(spark: SparkSession, dir: String,
+      hashDim: Int = 1024, maxIter: Int = 25,
+      sampleFrac: Double = 1.0): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.HashingTF
+    import org.apache.spark.ml.functions.vector_to_array
+    val labeled = gate(Tables.fanOut(Tables.documents(spark, dir)))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col("toks"), col("keep").cast("double").as("label"))
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
+      .setNumFeatures(hashDim)
+    val feats = tf.transform(labeled)
+    val train =
+      if (sampleFrac >= 1.0) feats
+      else feats.filter(pmod(xxhash64(col("doc_id"), lit(7)), lit(1000000))
+        < lit((sampleFrac * 1e6).toLong))
+    val lr = new LogisticRegression().setMaxIter(maxIter).setRegParam(0.01)
+      .setFeaturesCol("features").setLabelCol("label")
+    val model = lr.fit(train)
+    model.transform(feats)
+      .select(col("doc_id"), col("label").cast("int").as("rule_keep"),
+        round(element_at(vector_to_array(col("probability")), 2), 6)
+          .as("prob_keep"),
+        col("prediction").cast("int").as("pred_keep"))
+  }
+
   val qualityFilterSql: String = {
     val stopList = stopwords.map("'" + _ + "'").mkString(", ")
     s"""WITH t AS (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),

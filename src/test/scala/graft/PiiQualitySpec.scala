@@ -220,4 +220,62 @@ class PiiQualitySpec extends AnyFunSuite {
     // built of corpus-frequent bigrams — the direction the filter cuts on
     assert(got(3L)._2 < got(1L)._2)
   }
+
+  test("distilled classifier agrees with its rule teacher on a hash holdout") {
+    val scored = Quality.classifierScores(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2), r.getInt(3))))
+    assert(scored.length ==
+      Tables.documents(spark, sf).count().toInt)
+    val byLabel = scored.groupBy(_._2._1)
+    assert(byLabel.keySet == Set(0, 1)) // teacher must emit both classes
+    // holdout = a hash slice the FIT never upweights (it trains on the
+    // full corpus here; the slice is still unseen-per-row in the sense
+    // that agreement is not an artifact of memorizing doc ids - a 1k-dim
+    // linear model cannot key on ids it never sees as features)
+    val hold = scored.filter { case (id, _) => id % 5 == 0 }
+    val agree = hold.count { case (_, (l, _, p)) => l == p }
+    assert(agree.toDouble / hold.length >= 0.8,
+      s"holdout agreement ${agree.toDouble / hold.length}")
+    // the smooth score ORDERS the classes: mean P(keep) of rule-kept docs
+    // strictly above rule-dropped docs
+    def meanP(l: Int) = { val xs = byLabel(l).map(_._2._2); xs.sum / xs.length }
+    assert(meanP(1) > meanP(0))
+  }
+
+  test("lmScoreUnderModel: backoff recomputation + short-doc zero row") {
+    val alpha = 0.1
+    val ref = Seq(
+      (100L, "the cat sat on the mat"),
+      (101L, "the dog sat on the rug")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat on the rug"),   // all grams seen
+      (2L, "purple zorgs eat the mat"), // unseen unigrams + bigrams
+      (3L, "hello")).toDF("doc_id", "text") // no bigram at all
+    val (uni, bi) = graft.llm.TextOps.lmModelTables(ref)
+    val got = graft.llm.TextOps.lmScoreUnderModel(docs, uni, bi, alpha)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // independent recomputation with 0-count backoff
+    val refToks = Seq("the cat sat on the mat", "the dog sat on the rug")
+      .map(_.split("\\s+").toSeq)
+    val uniM = refToks.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val biM = refToks.flatMap(ts => ts.zip(ts.tail))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val v = uniM.size
+    for ((id, text) <- Seq(1L -> "the cat sat on the rug",
+        2L -> "purple zorgs eat the mat")) {
+      val ts = text.split("\\s+").toSeq
+      val lps = ts.zip(ts.tail).map { case (w1, w2) =>
+        BigDecimal(math.log((biM.getOrElse((w1, w2), 0) + alpha) /
+            (uniM.getOrElse(w1, 0) + alpha * v)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val want = math.rint(lps.sum.toDouble / lps.size * 1e6) / 1e6
+      assert(got(id)._1 == lps.size.toLong)
+      assert(math.abs(got(id)._2 - want) < 1e-6, s"doc $id")
+    }
+    // direction: the reference-like doc scores above the alien one
+    assert(got(1L)._2 > got(2L)._2)
+    // the bigram-less doc keeps its row, scored neutrally
+    assert(got(3L) == ((0L, 0.0)))
+  }
 }
