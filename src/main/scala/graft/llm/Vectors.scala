@@ -210,6 +210,69 @@ object Vectors {
         col("cos").as("cosine"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): a KMeans coarse quantizer partitions the corpus
+    * into cells; WITHIN each cell, documents whose embeddings are
+    * near-parallel (cosine ≥ threshold) are semantic duplicates, and the
+    * smallest vec_id of each qualifying pair is kept — the same
+    * first-seen keeper rule the text-dedup stages use. Returns every
+    * vector with its cell and a kept flag (kept = 0 iff some lower-id
+    * same-cell vector duplicates it).
+    *
+    * The 100 TB shape: the pair join is cell-local — one shuffle on the
+    * cell id, candidate count Σ_c |c|², never a global all-pairs; the
+    * cell count k is the knob that bounds |c| (SemDeDup runs k≈11k on
+    * its web corpus). Drops are verified with the exact float cosine, so
+    * every drop is justified by a true near-dup pair; what the
+    * clustering costs is RECALL for pairs split across cell boundaries —
+    * approximate by construction ⇒ no SQL oracle; LlmOpsSpec asserts
+    * drop precision against the exact all-pairs truth on the corpus and
+    * total recall on planted near-parallel duplicates (the regime the
+    * operator is FOR — a coarse quantizer owes no co-location promise to
+    * mid-similarity pairs). */
+  def semanticDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.45, nCells: Int = 16): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = graft.Caches.memo(spark, s"ivfEmb:$dir") {
+      withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
+        "embedding", "nrm")
+        .withColumn("v", array_to_vector(col("embedding")))
+    }
+    semanticDedupFromEmb(emb, threshold, nCells)
+  }
+
+  /** The frame-level core of [[semanticDedup]] over any
+    * (vec_id, embedding, nrm, v) frame — the testable unit (LlmOpsSpec
+    * plants near-parallel duplicates and checks they all drop). */
+  def semanticDedupFromEmb(emb: DataFrame,
+      threshold: Double, nCells: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    // identical quantizer config to [[simTopKIvf]] (seed, init, iters) —
+    // the coarse partitioning is shared infrastructure, not per-op tuning
+    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
+      .setInitMode("random")
+      .setFeaturesCol("v").setPredictionCol("cell")
+    val model = km.fit(emb.select(col("v")).coalesce(4))
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    // cell-local near-parallel pairs, exact-cosine verified
+    val a = assigned.select(col("cell"), col("vec_id").as("ida"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("idb"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("ida") < col("idb"))
+      // same 6-decimal rounding as [[embNearDupPairs]] so a drop decision
+      // here and an exact pair there can never disagree at the boundary
+      .filter(round(dotF32(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        >= threshold)
+      .select(col("idb").as("vec_id")).distinct()
+    assigned
+      .join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        when(col("hit").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+  }
+
   /** Scalar-quantized (SQ8) top-k: quantize every vector to int8 with a
     * per-vector scale (s = max|x|/127, the symmetric linear quantizer
     * every production ANN store ships — FAISS SQ8, Lucene/Elasticsearch
@@ -247,6 +310,105 @@ object Vectors {
         Window.partitionBy(col("query_id")).orderBy(col("ascore").desc, col("vec_id"))))
       .filter(col("ark") <= k * refine)
     approx
+      .withColumn("cos", round(
+        dotF32(col("qvec"), col("embedding")) / (col("qnrm") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos").as("cosine"))
+  }
+
+  /** Product-quantized (PQ) top-k — the third rung of the ANN ladder
+    * (IVF prunes WHICH vectors to scan, SQ8 shrinks each dimension to a
+    * byte, PQ shrinks each vector to `m` CODES): the dimension axis is
+    * cut into m subspaces, each subspace gets its own KMeans codebook
+    * (nCodes codewords), and every corpus vector is stored as its m
+    * nearest-codeword ids — m·log2(nCodes) bits per vector (here 8
+    * codes ≈ 4 bytes vs 256 bytes float32, a 64× compression). A query
+    * scans via ADC (asymmetric distance computation, Jégou et al. 2011):
+    * per query, the m×nCodes table of ⟨query_subvector, codeword⟩ dots
+    * is precomputed ONCE, and each corpus vector's approximate dot is m
+    * table lookups — no float multiply touches the corpus row. The top
+    * `refine·k` by approximate score re-rank with the exact float
+    * cosine, so survivors carry true cosines.
+    *
+    * 100 TB shape: codebooks train on a SAMPLE (m tiny iterative fits —
+    * the 2^[m·log2 nCodes] codebook saturates long before the corpus
+    * runs out; here the corpus IS the sample), the encoded corpus is the
+    * only thing the scan reads (codes + norm ≈ 12 bytes/vector), LUTs
+    * ride the broadcast with the queries, and float vectors are fetched
+    * for ~refine·k rows per query. Approximate by construction ⇒ no SQL
+    * oracle; LlmOpsSpec pins recall@k vs [[simTopK]] and bit-exact
+    * survivor cosines (the SQ8 laws, one compression rung further). */
+  def simTopKPq(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, m: Int = 8, nCodes: Int = 16, refine: Int = 8,
+      dim: Int = 64): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    val emb = withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
+      "embedding", "nrm")
+    // one subvector column per subspace, then m tiny codebook fits; the
+    // fit input coalesces for the same scheduling reason as IVF's
+    val withSubs = (0 until m).foldLeft(emb) { (df, j) =>
+      df.withColumn(s"sub$j",
+        array_to_vector(slice(col("embedding"), j * sub + 1, sub)))
+    }
+    val models = (0 until m).map { j =>
+      new KMeans().setK(nCodes).setSeed(42L + j).setMaxIter(5)
+        .setInitMode("random")
+        .setFeaturesCol(s"sub$j").setPredictionCol(s"code$j")
+        .fit(withSubs.select(col(s"sub$j")).coalesce(4))
+    }
+    // encode: m narrow nearest-codeword projections, then pack the codes
+    // — the scan frame carries codes + norm ONLY; float vectors rejoin
+    // for the refine survivors alone
+    val encoded = models.zipWithIndex
+      .foldLeft(withSubs) { case (df, (mod, _)) => mod.transform(df) }
+      .select(col("vec_id"), col("nrm"),
+        array((0 until m).map(j => col(s"code$j")): _*).as("codes"))
+    // ADC lookup tables: queries are a broadcast-sized set, so their
+    // m×nCodes dot tables are computed driver-side from the fitted
+    // codebooks and ride along as one flat literal array per query
+    val queryRows = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"), col("nrm")).collect()
+    import spark.implicits._
+    val luts = queryRows.map { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Float](1).toArray
+      val qnrm = r.getDouble(2)
+      val flat = new Array[Double](m * nCodes)
+      for (j <- 0 until m; c <- 0 until nCodes) {
+        val cw = models(j).clusterCenters(c).toArray
+        var s = 0.0
+        var i = 0
+        while (i < sub) { s += q(j * sub + i) * cw(i); i += 1 }
+        flat(j * nCodes + c) = s
+      }
+      (qid, q, qnrm, flat)
+    }.toSeq.toDF("query_id", "qvec", "qnrm", "lut")
+    // scan: approximate dot = m lookups per row (zip each code with its
+    // subspace index; the LUT is flat-indexed j*nCodes+code)
+    val idx = sequence(lit(0), lit(m - 1))
+    val approx = encoded.join(broadcast(luts),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("ascore",
+        aggregate(
+          zip_with(col("codes"), idx,
+            (c, j) => element_at(col("lut"), (j * nCodes + c + 1).cast("int"))),
+          lit(0.0), (acc, x) => acc + x) / (col("qnrm") * col("nrm")))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ascore").desc, col("vec_id"))))
+      .filter(col("ark") <= k * refine)
+      .select(col("query_id"), col("qvec"), col("qnrm"),
+        col("vec_id"), col("nrm"))
+    // refine: only the survivors touch float vectors (at scale: a
+    // broadcast of ~nQueries·refine·k survivor ids against the vector
+    // store, never a second full scan)
+    approx
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .withColumn("cos", round(
         dotF32(col("qvec"), col("embedding")) / (col("qnrm") * col("nrm")), 6))
       .withColumn("rank", row_number().over(

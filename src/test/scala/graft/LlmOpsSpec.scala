@@ -314,6 +314,67 @@ class LlmOpsSpec extends AnyFunSuite {
     assert((brute intersect ivf).size.toDouble / brute.size >= 0.4)
   }
 
+  test("semantic dedup: corpus drops are justified exactly; planted near-parallel dups all drop") {
+    val threshold = 0.45
+    val sem = Vectors.semanticDedup(spark, sf, threshold = threshold).collect()
+    val total = Tables.embeddings(spark, sf).count()
+    assert(sem.length == total) // one row per vector, kept + dropped partition
+    val cellOf = sem.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dropped = sem.filter(_.getInt(2) == 0).map(_.getLong(0)).toSet
+    // exact all-pairs truth at the same threshold
+    val exact = Vectors.embNearDupPairs(spark, sf, threshold = threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // PRECISION is strict: a dropped id always has a lower-id exact
+    // near-dup — cell-local pairs are exact-cosine verified
+    val dupOfLower = exact.map(_._2)
+    assert(dropped.subsetOf(dupOfLower),
+      s"unjustified drops: ${dropped -- dupOfLower}")
+    // RECALL within cells is total: every exact pair the quantizer
+    // co-located must have dropped its higher id
+    val coLocated = exact.filter { case (a, b) => cellOf(a) == cellOf(b) }
+    assert(coLocated.nonEmpty)
+    coLocated.foreach { case (a, b) =>
+      assert(dropped.contains(b), s"co-located pair ($a,$b) not dropped") }
+
+    // RECALL in the operator's own regime — near-parallel duplicates —
+    // is total: plant a perturbed copy of every 10th corpus vector (cos
+    // vs its original > 0.999, far above any inter-point similarity) and
+    // every plant must drop, whichever cell the quantizer picks
+    import org.apache.spark.ml.functions.array_to_vector
+    val baseEmb = Tables.embeddings(spark, sf)
+    val plants = baseEmb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * lit(1.001f)).cast("float")).as("embedding"))
+    val withPlants = baseEmb.select(col("vec_id"), col("embedding"))
+      .unionByName(plants)
+      .withColumn("nrm", sqrt(Vectors.dotF32(col("embedding"), col("embedding"))))
+      .withColumn("v", array_to_vector(col("embedding")))
+    val sem2 = Vectors.semanticDedupFromEmb(withPlants, 0.99, 8).collect()
+    val dropped2 = sem2.filter(_.getInt(2) == 0).map(_.getLong(0)).toSet
+    val plantIds = plants.collect().map(_.getLong(0)).toSet
+    assert(plantIds.nonEmpty)
+    assert(plantIds.subsetOf(dropped2),
+      s"planted dups not dropped: ${plantIds -- dropped2}")
+  }
+
+  test("PQ (ADC) top-k: recall vs brute force, bit-exact survivor cosines") {
+    val brute = Vectors.simTopK(spark, sf, nQueries = 5, k = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val pq = Vectors.simTopKPq(spark, sf, nQueries = 5, k = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    assert(pq.nonEmpty)
+    // 8 subspaces x 16 codes with an 8x refine window: the exact re-rank
+    // recovers most true neighbors from the ADC candidate pool
+    val recall = (brute.keySet intersect pq.keySet).size.toDouble / brute.size
+    assert(recall >= 0.6, s"PQ recall $recall < 0.6")
+    // survivors re-rank with the EXACT float kernel — cosines match brute
+    // force bit-for-bit on the common pairs (the SQ8 law, one rung on)
+    (brute.keySet intersect pq.keySet).foreach { key =>
+      assert(brute(key) == pq(key), s"$key: ${brute(key)} != ${pq(key)}")
+    }
+  }
+
   test("SQ8 quantized top-k: high recall vs brute force, exact cosines on survivors") {
     val brute = Vectors.simTopK(spark, sf, nQueries = 5, k = 3).collect()
       .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
