@@ -1,0 +1,69 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Count-min-sketch heavy hitters — the third sketch beside HLL (how
+  * many distinct) and KLL (where the quantiles are): HOW OFTEN does
+  * each hot key occur, in sublinear space. The sketch is Spark's own
+  * `util.sketch.CountMinSketch` (the engine ships it; rebuilding the
+  * hash family would be reimplementation for its own sake), built with
+  * one `df.stat.countMinSketch` pass — a treeAggregate of d×w count
+  * tables, so the corpus never shuffles and the merge is the same
+  * cell-wise addition the spec's merge law pins.
+  *
+  * Candidate keys come from a bounded frame (here the distinct user
+  * ids; on a 100 TB stream where even the distinct set is too big, a
+  * hash-sampled candidate slice — the sketch answers any key, the
+  * candidate list only bounds the OUTPUT); the broadcast sketch scores
+  * candidates per-partition, so estimation is distributed too.
+  *
+  * CMS guarantees (Cormode & Muthukrishnan 2005): estimate ≥ true
+  * count always (one-sided), and estimate ≤ true + ε·N with
+  * probability ≥ 1−δ. FunctionsSpec pins both, plus the merge law and
+  * exactness when the table is wide enough that no keys collide.
+  * Engine-specific hash family ⇒ no SQL oracle (`cms_topk` is
+  * ContractSpec-pinned).
+  */
+object CmsSketch {
+
+  /** Serialized CMS of a long column, built in one aggregate pass. */
+  def sketchBytes(df: DataFrame, colName: String,
+      eps: Double, confidence: Double, seed: Int): Array[Byte] = {
+    val cms = df.stat.countMinSketch(colName, eps, confidence, seed)
+    val out = new java.io.ByteArrayOutputStream()
+    cms.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Estimate counts for every key in `candidates` under a broadcast
+    * sketch: per-partition deserialization, no driver-side loop over
+    * keys. */
+  def estimate(candidates: DataFrame, keyCol: String,
+      sketch: Array[Byte]): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(sketch)
+    val keys = candidates.select(col(keyCol).cast("long")).as[Long]
+    keys.mapPartitions { it =>
+      val cms = CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bc.value))
+      it.map(k => (k, cms.estimateCount(k)))
+    }.toDF(keyCol, "est_count")
+  }
+
+  /** Registered query: top-k event-generating users by CMS estimate.
+    * ε=0.005 (est error ≤ 0.5% of stream length), δ=0.01. */
+  def cmsTopK(spark: SparkSession, dir: String, k: Int = 25,
+      eps: Double = 0.005, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val ev = Tables.fanOut(Tables.events(spark, dir))
+    val sk = sketchBytes(ev, "user_id", eps, confidence, seed)
+    val cand = ev.select(col("user_id")).distinct()
+    estimate(cand, "user_id", sk)
+      .orderBy(col("est_count").desc, col("user_id"))
+      .limit(k)
+  }
+}

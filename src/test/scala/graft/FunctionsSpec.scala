@@ -410,4 +410,50 @@ class FunctionsSpec extends AnyFunSuite {
         abs(col("approx") - col("n_users")).cast("double") / col("n_users"))
     assert(joined.filter(col("relerr") > 0.05).count() == 0)
   }
+
+  test("CMS: one-sided estimates within eps*N; merge law; exact when wide enough") {
+    import graft.functions.CmsSketch
+    import spark.implicits._
+    val eps = 0.005
+    val ev = Tables.events(spark, sf).select(col("user_id"))
+    val n = ev.count()
+    val exact = ev.groupBy(col("user_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sk = CmsSketch.sketchBytes(ev, "user_id", eps, 0.99, 42)
+    val est = CmsSketch.estimate(ev.distinct(), "user_id", sk).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (k, e) =>
+      assert(e >= exact(k), s"CMS under-counted key $k")
+      assert(e <= exact(k) + math.ceil(eps * n).toLong,
+        s"key $k: est $e vs exact ${exact(k)} breaches eps*N")
+    }
+    // MERGE LAW: cell-wise addition of two half-stream sketches answers
+    // exactly like one sketch of the whole stream (same seed => same
+    // hash family => identical tables)
+    import org.apache.spark.util.sketch.CountMinSketch
+    val loBytes = CmsSketch.sketchBytes(
+      ev.filter(col("user_id") % 2 === 0), "user_id", eps, 0.99, 42)
+    val hiBytes = CmsSketch.sketchBytes(
+      ev.filter(col("user_id") % 2 === 1), "user_id", eps, 0.99, 42)
+    val merged = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(loBytes))
+    merged.mergeInPlace(
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(hiBytes)))
+    exact.keys.foreach { k =>
+      val full = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(sk))
+      assert(merged.estimateCount(k) == full.estimateCount(k),
+        s"merge law broken for key $k")
+    }
+    // EXACTNESS when the table out-widths the key set: few keys, tiny eps
+    val crafted = Seq(1L, 1L, 1L, 2L, 2L, 3L).toDF("k")
+    val skw = CmsSketch.sketchBytes(crafted, "k", 0.0001, 0.999, 7)
+    val got = CmsSketch.estimate(crafted.distinct(), "k", skw).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    // and the registered query's top-k ORDER matches exact counts where
+    // estimates are separated by more than the error bound
+    val top = CmsSketch.cmsTopK(spark, sf, k = 5).collect()
+    assert(top.length == 5)
+    assert(top.map(_.getLong(1)).sliding(2).forall(p => p(0) >= p(1)))
+  }
 }
