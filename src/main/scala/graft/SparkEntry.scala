@@ -1,5 +1,6 @@
 package graft
 
+import graft.ingest.OrcSource
 import graft.llm.{Decontam, Dedup, Multimodal, Pii, Quality, Sampling, TextOps, Vectors}
 import graft.ops.{Patterns, RelOps, TemporalOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -52,7 +53,10 @@ object SparkEntry {
     "topk_amounts"      -> (graft.functions.TopKAggregator.topAmounts(_, _)),
     "quantile_sketch"   -> (graft.functions.KllSketch.quantileSketch(_, _)),
     "hll_distinct"      -> (graft.functions.HllSketch.hllDistinct(_, _)),
+    "cms_topk"          -> (graft.functions.CmsSketch.cmsTopK(_, _)),
     "events_window"     -> (RelOps.eventsWindow(_, _)),
+    // §2.1/2.2 extension: ORC lang-partitioned mirror + pruned scan
+    "orc_scan"          -> (OrcSource.orcScan(_, _)),
     "count_distinct_users" -> (RelOps.countDistinctUsers(_, _)),
     // §2.11 the three pattern queries + §2.6 union fold
     "patid1"            -> (Patterns.patId1Query(_, _)),
@@ -76,8 +80,11 @@ object SparkEntry {
     "similarity_topk"   -> (Vectors.simTopK(_, _)),
     "similarity_topk_ivf" -> (Vectors.simTopKIvf(_, _)),
     "similarity_topk_sq8" -> (Vectors.simTopKSq8(_, _)),
+    "similarity_topk_pq"  -> (Vectors.simTopKPq(_, _)),
     "emb_neardup"       -> (Vectors.embNearDupPairs(_, _)),
     "emb_neardup_lsh"   -> (Vectors.embNearDupLsh(_, _)),
+    "dedup_semantic"    -> (Vectors.semanticDedup(_, _)),
+    "quality_classifier"-> (Quality.classifierScores(_, _)),
     "emb_centroids"     -> (Vectors.embCentroids(_, _)),
     // LLM-pipeline: text analysis
     "text_stats"        -> (TextOps.textStats(_, _)),
@@ -149,6 +156,7 @@ object SparkEntry {
     "sessionize"        -> TemporalOps.sessionizeSql,
     "topk_amounts"      -> graft.functions.TopKAggregator.topAmountsSql,
     "events_window"     -> RelOps.eventsWindowSql,
+    "orc_scan"          -> OrcSource.orcScanSql(),
     "count_distinct_users" -> RelOps.countDistinctUsersSql,
     "patid1"            -> Patterns.patId1QuerySql,
     "patid2"            -> Patterns.patId2QuerySql,

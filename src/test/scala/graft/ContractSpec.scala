@@ -13,8 +13,12 @@ class ContractSpec extends AnyFunSuite {
     "dedup_simhash",      // LlmOpsSpec: == brute-force Hamming
     "dedup_incremental",  // LlmOpsSpec: subset of brute cross pairs + recall at j>=0.9
     "emb_neardup_lsh",    // LlmOpsSpec: subset + recall bound vs exact
+    "dedup_semantic",     // LlmOpsSpec: drop precision vs exact pairs + in-cell recall
+    "quality_classifier", // PiiQualitySpec: holdout agreement with the rule teacher
     "similarity_topk_ivf",// LlmOpsSpec: recall vs brute force
     "similarity_topk_sq8",// LlmOpsSpec: recall vs brute force + quantized-score error bound
+    "similarity_topk_pq", // LlmOpsSpec: recall vs brute force + bit-exact survivor cosines
+    "cms_topk",           // FunctionsSpec: one-sided bound + merge law + exactness when wide
     "fingerprint",        // LlmOpsSpec: == plain-Scala winnowing
     "decontam_fp",        // LlmOpsSpec: planted contamination caught; clean doc not flagged
     "quantile_sketch",    // FunctionsSpec: rank error <= 2% vs exact sorted truth
