@@ -110,12 +110,17 @@ object Quality {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.feature.HashingTF
     import org.apache.spark.ml.functions.vector_to_array
-    val labeled = gate(Tables.fanOut(Tables.documents(spark, dir)))
-      .withColumn("toks", TextOps.tokens(col("text")))
-      .select(col("doc_id"), col("toks"), col("keep").cast("double").as("label"))
-    val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
-      .setNumFeatures(hashDim)
-    val feats = tf.transform(labeled)
+    // served to every optimizer iteration AND the final scoring pass —
+    // without the memo each treeAggregate step re-tokenizes the corpus
+    val feats = graft.Caches.memo(spark, s"qcFeats:$dir:$hashDim") {
+      val labeled = gate(Tables.fanOut(Tables.documents(spark, dir)))
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"), col("toks"),
+          col("keep").cast("double").as("label"))
+      new HashingTF().setInputCol("toks").setOutputCol("features")
+        .setNumFeatures(hashDim)
+        .transform(labeled)
+    }
     val train =
       if (sampleFrac >= 1.0) feats
       else feats.filter(pmod(xxhash64(col("doc_id"), lit(7)), lit(1000000))

@@ -333,45 +333,59 @@ object Vectors {
     * `refine·k` by approximate score re-rank with the exact float
     * cosine, so survivors carry true cosines.
     *
-    * 100 TB shape: codebooks train on a SAMPLE (m tiny iterative fits —
-    * the 2^[m·log2 nCodes] codebook saturates long before the corpus
-    * runs out; here the corpus IS the sample), the encoded corpus is the
-    * only thing the scan reads (codes + norm ≈ 12 bytes/vector), LUTs
-    * ride the broadcast with the queries, and float vectors are fetched
-    * for ~refine·k rows per query. Approximate by construction ⇒ no SQL
+    * 100 TB shape: codebooks train DRIVER-SIDE on a bounded sample (m
+    * in-memory Lloyd runs — the codebook saturates on thousands of
+    * points however big the corpus is, so training costs zero cluster
+    * barriers), encoding is literal-codeword argmin inside the one scan,
+    * the encoded corpus is the only thing the query scan reads (codes +
+    * norm ≈ 12 bytes/vector), LUTs ride the broadcast with the queries,
+    * and float vectors are fetched for ~refine·k rows per query. Approximate by construction ⇒ no SQL
     * oracle; LlmOpsSpec pins recall@k vs [[simTopK]] and bit-exact
     * survivor cosines (the SQ8 laws, one compression rung further). */
   def simTopKPq(spark: SparkSession, dir: String, nQueries: Int = 10,
       k: Int = 5, m: Int = 8, nCodes: Int = 16, refine: Int = 8,
-      dim: Int = 64): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      dim: Int = 64, trainSample: Int = 2048): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val sub = dim / m
     val emb = withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
       "embedding", "nrm")
-    // one subvector column per subspace, then m tiny codebook fits; the
-    // fit input coalesces for the same scheduling reason as IVF's
-    val withSubs = (0 until m).foldLeft(emb) { (df, j) =>
-      df.withColumn(s"sub$j",
-        array_to_vector(slice(col("embedding"), j * sub + 1, sub)))
+    // codebooks train DRIVER-SIDE on a bounded sample (the FAISS shape:
+    // an m·nCodes codebook saturates on thousands of points however big
+    // the corpus is, and m tiny in-memory Lloyd runs cost no cluster
+    // barriers at all — at 100 TB this is the difference between 0 and
+    // 8·maxIter scheduled jobs before the scan starts). The sample is
+    // the first trainSample ids — deterministic, and id order is
+    // uncorrelated with vector geometry in any hash-sharded corpus.
+    val sample = emb.orderBy(col("vec_id")).limit(trainSample)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val codebooks = Array.tabulate(m) { j =>
+      val pts = sample.map { v =>
+        val p = new Array[Double](sub)
+        var i = 0; while (i < sub) { p(i) = v(j * sub + i); i += 1 }
+        p
+      }
+      lloyd(pts, nCodes, iters = 5)
     }
-    val models = (0 until m).map { j =>
-      new KMeans().setK(nCodes).setSeed(42L + j).setMaxIter(5)
-        .setInitMode("random")
-        .setFeaturesCol(s"sub$j").setPredictionCol(s"code$j")
-        .fit(withSubs.select(col(s"sub$j")).coalesce(4))
+    // encode IN the scan: per subspace, squared distance to each of the
+    // nCodes literal codewords, argmin — all inside codegen, one pass,
+    // and the scan output carries codes + norm ONLY; float vectors
+    // rejoin for the refine survivors alone
+    val codeCols = (0 until m).map { j =>
+      val subCol = slice(col("embedding"), j * sub + 1, sub)
+      val dists = array(codebooks(j).map { cw =>
+        aggregate(
+          zip_with(subCol, array(cw.map(lit): _*),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
     }
-    // encode: m narrow nearest-codeword projections, then pack the codes
-    // — the scan frame carries codes + norm ONLY; float vectors rejoin
-    // for the refine survivors alone
-    val encoded = models.zipWithIndex
-      .foldLeft(withSubs) { case (df, (mod, _)) => mod.transform(df) }
-      .select(col("vec_id"), col("nrm"),
-        array((0 until m).map(j => col(s"code$j")): _*).as("codes"))
+    val encoded = emb.select(col("vec_id"), col("nrm"),
+      array(codeCols: _*).as("codes"))
     // ADC lookup tables: queries are a broadcast-sized set, so their
-    // m×nCodes dot tables are computed driver-side from the fitted
-    // codebooks and ride along as one flat literal array per query
+    // m×nCodes dot tables are computed driver-side from the codebooks
+    // and ride along as one flat literal array per query
     val queryRows = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding"), col("nrm")).collect()
     import spark.implicits._
@@ -381,7 +395,7 @@ object Vectors {
       val qnrm = r.getDouble(2)
       val flat = new Array[Double](m * nCodes)
       for (j <- 0 until m; c <- 0 until nCodes) {
-        val cw = models(j).clusterCenters(c).toArray
+        val cw = codebooks(j)(c)
         var s = 0.0
         var i = 0
         while (i < sub) { s += q(j * sub + i) * cw(i); i += 1 }
@@ -416,6 +430,55 @@ object Vectors {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("cos").as("cosine"))
+  }
+
+  /** Deterministic in-memory Lloyd k-means for PQ codebook training:
+    * farthest-point (maxmin) init — no RNG, the same sample always
+    * learns the same codebook, and centroids can't clump the way a
+    * strided pick over id-sorted points does — then a fixed iteration
+    * count; empty clusters keep their previous centroid. */
+  private def lloyd(pts: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val n = pts.length
+    val d = pts(0).length
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val cents = new Array[Array[Double]](k)
+    cents(0) = pts(0).clone()
+    val minD = pts.map(sq(_, cents(0)))
+    for (c <- 1 until k) {
+      var best = 0; var i = 1
+      while (i < n) { if (minD(i) > minD(best)) best = i; i += 1 }
+      cents(c) = pts(best).clone()
+      i = 0
+      while (i < n) {
+        val dd = sq(pts(i), cents(c)); if (dd < minD(i)) minD(i) = dd
+        i += 1
+      }
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var s = 0.0; var i = 0
+          while (i < d) { val t = p(i) - cents(c)(i); s += t * t; i += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < d) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      for (c <- 0 until k if counts(c) > 0; i <- 0 until d)
+        cents(c)(i) = sums(c)(i) / counts(c)
+    }
+    cents
   }
 
   /** Deterministic pseudo-random hyperplane component for plane j, dim i
