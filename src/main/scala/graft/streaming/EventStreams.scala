@@ -195,4 +195,63 @@ object EventStreams {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
       .toDF()
   }
+
+  final case class HeavyHitter(event_type: String, user_id: Long,
+      est_count: Long, rank: Int, batch_seq: Long)
+
+  /** Rolling top-N heavy hitters per event type: a
+    * [[graft.functions.CmsSketch]]-style count-min sketch held in keyed
+    * stream state (the counting twin of [[streamingDistinctUsers]]),
+    * plus a bounded candidate list — the space-saving compromise every
+    * streaming heavy-hitter tracker makes, since a CMS can answer any
+    * key but cannot enumerate them. Each micro-batch folds its keys
+    * into the group's sketch (cell-wise addition ⇒ the state sketch is
+    * BIT-IDENTICAL to a batch sketch of the same rows however the
+    * stream was chunked), re-estimates the union of retained + newly
+    * seen candidates against the updated sketch, keeps `candidateCap`
+    * of them, and emits the current top `topN` tagged with a
+    * monotonically increasing `batch_seq` so consumers (and the spec)
+    * can identify the final emission per group.
+    *
+    * State is sketch + cap entries per group FOREVER — never O(keys).
+    * `candidateCap` is the recall knob: a true heavy hitter absent from
+    * a batch survives only if it sits within the cap (default 4·topN;
+    * EventStreamsSpec runs an exhaustive cap for exact batch parity and
+    * the default cap for the space bound). */
+  def streamingHeavyHitters(events: DataFrame, topN: Int = 5,
+      candidateCap: Int = 20, eps: Double = 0.005,
+      confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("event_type"), col("user_id"))
+      .as[(String, Long)]
+
+    def update(eventType: String, batch: Iterator[(String, Long)],
+        state: GroupState[(Array[Byte], Map[Long, Long], Long)])
+        : Iterator[HeavyHitter] = {
+      val (skBytes, retained, seq) = state.getOption
+        .getOrElse((Array.empty[Byte], Map.empty[Long, Long], 0L))
+      val cms =
+        if (skBytes.isEmpty) CountMinSketch.create(eps, confidence, seed)
+        else CountMinSketch.readFrom(new java.io.ByteArrayInputStream(skBytes))
+      val batchKeys = scala.collection.mutable.LinkedHashSet.empty[Long]
+      batch.foreach { case (_, uid) => cms.add(uid); batchKeys += uid }
+      val cands = (retained.keySet ++ batchKeys).toSeq
+        .map(k => k -> cms.estimateCount(k))
+        .sortBy { case (k, e) => (-e, k) }
+        .take(candidateCap)
+      val out = new java.io.ByteArrayOutputStream()
+      cms.writeTo(out)
+      state.update((out.toByteArray, cands.toMap, seq + 1))
+      cands.take(topN).zipWithIndex.map { case ((k, e), i) =>
+        HeavyHitter(eventType, k, e, i + 1, seq + 1)
+      }.iterator
+    }
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+      .toDF()
+  }
 }

@@ -69,6 +69,34 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == want, s"streamed $got vs batch $want")
   }
 
+  test("streaming CMS heavy hitters: final emission matches the batch sketch top-N") {
+    import graft.functions.CmsSketch
+    val stream = EventStreams.eventsStream(spark, sf)
+    // exhaustive candidate cap: parity with batch truth must be exact
+    runToMemory(EventStreams.streamingHeavyHitters(stream, topN = 5,
+      candidateCap = 1000000), "hh_stream", "update")
+    val rows = spark.table("hh_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val finalSeq = rows.groupBy(_._1).view.mapValues(_.map(_._5).max).toMap
+    val got = rows.filter { case (t, _, _, _, s) => s == finalSeq(t) }
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    // batch truth: per-type sketch (same eps/conf/seed), all users as
+    // candidates, top-5 by (estimate desc, user asc)
+    val ev = Tables.events(spark, sf)
+    val types = ev.select("event_type").distinct().collect().map(_.getString(0))
+    val want = types.map { t =>
+      val sub = ev.filter(col("event_type") === t).select(col("user_id"))
+      val sk = CmsSketch.sketchBytes(sub, "user_id", 0.005, 0.99, 42)
+      val top = CmsSketch.estimate(sub.distinct(), "user_id", sk).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy { case (k, e) => (-e, k) }.take(5).toSeq
+      t -> top
+    }.toMap
+    assert(got == want, s"streamed $got vs batch $want")
+  }
+
   test("stream-stream interval join matches batch truth up to the watermark tail") {
     val stream = EventStreams.eventsStream(spark, sf)
     runToMemory(EventStreams.purchaseClickJoin(stream), "ssj", "append")
