@@ -50,6 +50,8 @@ object SparkEntry {
     "asof_nearest"      -> (TemporalOps.asofViewNearestPurchase(_, _)),
     "range_join"        -> (TemporalOps.rangeJoinClicks(_, _)),
     "sessionize"        -> (TemporalOps.sessionize(_, _)),
+    "changelog_snapshot"-> (TemporalOps.changelogSnapshot(_, _)),
+    "scd2_history"      -> (TemporalOps.scd2History(_, _)),
     "topk_amounts"      -> (graft.functions.TopKAggregator.topAmounts(_, _)),
     "quantile_sketch"   -> (graft.functions.KllSketch.quantileSketch(_, _)),
     "hll_distinct"      -> (graft.functions.HllSketch.hllDistinct(_, _)),
@@ -81,6 +83,7 @@ object SparkEntry {
     "similarity_topk_ivf" -> (Vectors.simTopKIvf(_, _)),
     "similarity_topk_sq8" -> (Vectors.simTopKSq8(_, _)),
     "similarity_topk_pq"  -> (Vectors.simTopKPq(_, _)),
+    "similarity_topk_pq_idx" -> (Vectors.pqIndexTopK(_, _)),
     "emb_neardup"       -> (Vectors.embNearDupPairs(_, _)),
     "emb_neardup_lsh"   -> (Vectors.embNearDupLsh(_, _)),
     "dedup_semantic"    -> (Vectors.semanticDedup(_, _)),
@@ -154,6 +157,8 @@ object SparkEntry {
     "asof_nearest"      -> TemporalOps.asofViewNearestPurchaseSql,
     "range_join"        -> TemporalOps.rangeJoinClicksSql,
     "sessionize"        -> TemporalOps.sessionizeSql,
+    "changelog_snapshot"-> TemporalOps.changelogSnapshotSql,
+    "scd2_history"      -> TemporalOps.scd2HistorySql,
     "topk_amounts"      -> graft.functions.TopKAggregator.topAmountsSql,
     "events_window"     -> RelOps.eventsWindowSql,
     "orc_scan"          -> OrcSource.orcScanSql(),

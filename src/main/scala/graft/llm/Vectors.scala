@@ -367,10 +367,15 @@ object Vectors {
       }
       lloyd(pts, nCodes, iters = 5)
     }
-    // encode IN the scan: per subspace, squared distance to each of the
-    // nCodes literal codewords, argmin — all inside codegen, one pass,
-    // and the scan output carries codes + norm ONLY; float vectors
-    // rejoin for the refine survivors alone
+    adcQuery(pqEncode(emb, codebooks, m, sub), emb, codebooks,
+      nQueries, k, refine, m, nCodes, sub)
+  }
+
+  /** Encode vectors to PQ codes IN the scan: per subspace, squared
+    * distance to each of the nCodes literal codewords, argmin — all
+    * inside codegen, one pass; the output carries codes + norm ONLY. */
+  private def pqEncode(emb: DataFrame, codebooks: Array[Array[Array[Double]]],
+      m: Int, sub: Int): DataFrame = {
     val codeCols = (0 until m).map { j =>
       val subCol = slice(col("embedding"), j * sub + 1, sub)
       val dists = array(codebooks(j).map { cw =>
@@ -381,8 +386,17 @@ object Vectors {
       }: _*)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
-    val encoded = emb.select(col("vec_id"), col("nrm"),
-      array(codeCols: _*).as("codes"))
+    emb.select(col("vec_id"), col("nrm"), array(codeCols: _*).as("codes"))
+  }
+
+  /** The ADC scan + exact refine shared by the inline and persisted-
+    * index PQ paths: per-query lookup tables ride the broadcast, the
+    * encoded frame is the only full scan, float vectors rejoin for the
+    * refine survivors alone. */
+  private def adcQuery(encoded: DataFrame, emb: DataFrame,
+      codebooks: Array[Array[Array[Double]]], nQueries: Int, k: Int,
+      refine: Int, m: Int, nCodes: Int, sub: Int): DataFrame = {
+    val spark = emb.sparkSession
     // ADC lookup tables: queries are a broadcast-sized set, so their
     // m×nCodes dot tables are computed driver-side from the codebooks
     // and ride along as one flat literal array per query
@@ -430,6 +444,73 @@ object Vectors {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("cos").as("cosine"))
+  }
+
+  /** Build a PERSISTED PQ index: the encoded corpus lands in
+    * `path/codes` (parquet: vec_id, nrm, codes) and the codebooks in
+    * `path/codebooks.txt` (one `j c v,v,…` line per codeword —
+    * Double.toString round-trips exactly, so a reloaded codebook is
+    * bit-identical to the trained one). This is the production ANN
+    * shape [[simTopKPq]]'s inline form only simulates: encode the
+    * corpus ONCE, then every query session reads the ~12-byte/vector
+    * codes table and never re-derives codes — the same build-once/
+    * probe-many contract as [[DedupIndex]]. Idempotent: an existing
+    * index is left untouched. */
+  def buildPqIndex(spark: SparkSession, dir: String, path: String,
+      m: Int = 8, nCodes: Int = 16, dim: Int = 64,
+      trainSample: Int = 2048): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$path/codebooks.txt")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return
+    val sub = dim / m
+    val emb = withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
+      "embedding", "nrm")
+    val sample = emb.orderBy(col("vec_id")).limit(trainSample)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val codebooks = Array.tabulate(m) { j =>
+      val pts = sample.map { v =>
+        val p = new Array[Double](sub)
+        var i = 0; while (i < sub) { p(i) = v(j * sub + i); i += 1 }
+        p
+      }
+      lloyd(pts, nCodes, iters = 5)
+    }
+    pqEncode(emb, codebooks, m, sub)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    val text = (for (j <- 0 until m; c <- 0 until nCodes)
+      yield s"$j $c ${codebooks(j)(c).mkString(",")}").mkString("\n")
+    val out = fs.create(marker, true)
+    out.write(text.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Query a persisted PQ index (building it first if absent): the ADC
+    * scan reads the codes parquet — not the embeddings — and only
+    * refine survivors rejoin the vector table. Same codebooks ⇒ same
+    * results as the inline [[simTopKPq]] (LlmOpsSpec pins equality). */
+  def pqIndexTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, m: Int = 8, nCodes: Int = 16, refine: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq_index/" +
+      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${m}_$nCodes"
+    buildPqIndex(spark, dir, path, m, nCodes, dim)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/codebooks.txt")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(marker)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val sub = dim / m
+    val codebooks = Array.fill(m)(new Array[Array[Double]](nCodes))
+    text.split("\n").foreach { line =>
+      val parts = line.split(" ")
+      codebooks(parts(0).toInt)(parts(1).toInt) =
+        parts(2).split(",").map(_.toDouble)
+    }
+    val emb = withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
+      "embedding", "nrm")
+    val encoded = spark.read.parquet(s"$path/codes")
+    adcQuery(encoded, emb, codebooks, nQueries, k, refine, m, nCodes, sub)
   }
 
   /** Deterministic in-memory Lloyd k-means for PQ codebook training:

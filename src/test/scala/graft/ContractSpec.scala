@@ -18,6 +18,7 @@ class ContractSpec extends AnyFunSuite {
     "similarity_topk_ivf",// LlmOpsSpec: recall vs brute force
     "similarity_topk_sq8",// LlmOpsSpec: recall vs brute force + quantized-score error bound
     "similarity_topk_pq", // LlmOpsSpec: recall vs brute force + bit-exact survivor cosines
+    "similarity_topk_pq_idx", // LlmOpsSpec: == inline PQ results from the persisted index
     "cms_topk",           // FunctionsSpec: one-sided bound + merge law + exactness when wide
     "fingerprint",        // LlmOpsSpec: == plain-Scala winnowing
     "decontam_fp",        // LlmOpsSpec: planted contamination caught; clean doc not flagged

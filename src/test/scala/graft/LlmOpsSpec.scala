@@ -375,6 +375,24 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted PQ index answers identically to the inline PQ path") {
+    val inline = Vectors.simTopKPq(spark, sf, nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaIdx = Vectors.pqIndexTopK(spark, sf, nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // same sample -> same codebooks -> same codes -> same ADC ordering;
+    // round-tripping codebooks through text must not perturb a bit
+    assert(viaIdx == inline && inline.nonEmpty)
+    // and the second call reuses the index rather than rebuilding it
+    val path = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_pq_index/" +
+        s"${sf.replaceAll("[^A-Za-z0-9]", "_")}_8_16/codebooks.txt")
+    assert(path.exists())
+    val mtime = path.lastModified()
+    Vectors.pqIndexTopK(spark, sf, nQueries = 5, k = 3).collect()
+    assert(path.lastModified() == mtime, "index was rebuilt on re-query")
+  }
+
   test("SQ8 quantized top-k: high recall vs brute force, exact cosines on survivors") {
     val brute = Vectors.simTopK(spark, sf, nQueries = 5, k = 3).collect()
       .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap

@@ -19,6 +19,7 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "similarity_topk_ivf", // nQueries × nCells centroid ranking cross, both tiny
     "similarity_topk_sq8", // quantized queries broadcast, joined vec_id =!= query_id
     "similarity_topk_pq",  // per-query ADC lookup tables broadcast, joined vec_id =!= query_id
+    "similarity_topk_pq_idx", // same ADC scan, reading the persisted codes table
     "bm25_topk",           // 1-row corpus-stats aggregate broadcast over the scan
     "lm_score")            // 1-row vocabulary-size aggregate broadcast over the scoring join
 
