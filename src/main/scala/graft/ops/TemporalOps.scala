@@ -356,6 +356,75 @@ object TemporalOps {
         RelOps.moneySum(col("value")).as("sum_value"))
   }
 
+  /** Merge-on-read changelog snapshot — the core apply of every
+    * upsert-capable lakehouse table format (Delta/Hudi/Iceberg MERGE,
+    * Paimon changelog compaction): the events stream is read as a
+    * changelog keyed by user (each event upserts the user's row;
+    * `error` events are tombstones), and the snapshot is the LATEST
+    * surviving row per key. One shuffle on the key, a per-key window
+    * max — never a sort of the whole log, never a pairwise self-join;
+    * at 100 TB the same plan runs per key-range partition, which is
+    * exactly how the formats' compaction services shard it.
+    * (event_id breaks ts ties so the snapshot is total-order
+    * deterministic even where timestamps collide.) */
+  def changelogSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.fanOut(Tables.events(spark, dir))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("as_of"),
+        col("event_type").as("last_op"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .as("last_value"))
+  }
+
+  val changelogSnapshotSql: String =
+    """WITH r AS (
+      |  SELECT user_id, ts, event_type, value,
+      |    CAST(row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS BIGINT) AS rn
+      |  FROM events)
+      |SELECT user_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS as_of,
+      |  event_type AS last_op,
+      |  CAST(value AS DECIMAL(18,2)) AS last_value
+      |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+
+  /** SCD type-2 history build — the warehouse-canonical "versions with
+    * validity intervals" derivation: each event opens a version of its
+    * user's row valid from its own timestamp until the next event's
+    * (lead), the newest version open-ended and flagged current. Same
+    * single-shuffle-one-window shape as [[changelogSnapshot]]; the
+    * interval columns come from lead() inside the sorted partition, so
+    * history for a 100 TB log builds without any self-join. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.fanOut(Tables.events(spark, dir))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .as("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("next_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        when(col("next_ts").isNull, 1).otherwise(0).as("is_current"))
+  }
+
+  val scd2HistorySql: String =
+    """WITH l AS (
+      |  SELECT user_id, event_type, value, ts,
+      |    lead(ts) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_ts
+      |  FROM events)
+      |SELECT user_id, event_type,
+      |  CAST(value AS DECIMAL(18,2)) AS value,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |  strftime(next_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
+      |  CAST(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+      |FROM l""".stripMargin
+
   val sessionizeSql: String =
     """WITH l AS (
       |  SELECT user_id, ts, value,
