@@ -29,7 +29,10 @@ import org.apache.spark.sql.types._
   *      reference-LM gate: docs scoring below `lmScoreFloor` under a
   *      bigram LM trained once on the trusted `lmRef` corpus
   *      ([[TextOps.lmScoreUnderModel]], model tables broadcast) drop;
-  *   5. survivors land in `outDir/kept/epoch=<id>` (overwrite — a
+  *   5. a per-epoch drop-attribution metrics row (docs in, drops per
+  *      stage, docs kept) lands in `outDir/metrics/epoch=<id>` — the
+  *      observability surface a production curation loop is operated
+  *      by — and survivors land in `outDir/kept/epoch=<id>` (overwrite — a
   *      replayed batch replaces its own partition, see processBatch's
   *      exactly-once note) and fold into the index ([[DedupIndex.foldIn]]
   *      — an O(batch) append fenced by a per-epoch marker), so the NEXT
@@ -151,24 +154,43 @@ class CurationPipeline(
         case None => gated
       }).persist()
       try {
-        if (kept.count() > 0) {
-          // EXACTLY-ONCE under foreachBatch's at-least-once replay: the
-          // kept output is one partition dir per epoch, overwritten —
-          // not appended — so a replayed batch replaces its own rows
-          // (the deterministic per-batch body re-derives the same kept
-          // set); the index fold is fenced by a per-epoch marker file so
-          // a replay doesn't fold the same rows twice. Crash between
-          // fold and marker degrades to at-least-once for that one
-          // epoch's index rows — duplicate bucket entries, which probes
-          // tolerate (candidates are distinct()ed) and compaction packs.
-          kept.write.mode("overwrite").parquet(s"$outDir/kept/epoch=$epochId")
-          val marker = new Path(s"$indexPath/_folded_epoch_$epochId")
-          val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(marker)) {
+        // EXACTLY-ONCE under foreachBatch's at-least-once replay: the
+        // WHOLE epoch — metrics row, kept output, index fold — is
+        // fenced by one per-epoch marker. An immediate replay (crash
+        // before the marker landed) re-derives the same decisions from
+        // the same index state and overwrites its own partition dirs; a
+        // LATE replay (marker present) must be a full no-op, because
+        // later epochs have since folded into the index and a re-run
+        // would re-derive DIFFERENT drops. Crash between fold and
+        // marker degrades to at-least-once for that one epoch's index
+        // rows — duplicate bucket entries, which probes tolerate
+        // (candidates are distinct()ed) and compaction packs.
+        val marker = new Path(s"$indexPath/_folded_epoch_$epochId")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          val nKept = kept.count()
+          // per-stage drop attribution — the observability row a
+          // curation operator actually watches (a silent 90%
+          // quality-drop epoch is an incident, not a statistic). Stage
+          // counts re-run only the short post-persist chains.
+          val nIn = batch.count()
+          val nFresh = fresh.count()
+          val nUnique = unique.count()
+          val nClean = clean.count()
+          val nGated = gated.count()
+          import spark.implicits._
+          Seq((nIn, nIn - nFresh, nFresh - nUnique, nUnique - nClean,
+              nClean - nGated, nGated - nKept, nKept))
+            .toDF("n_in", "drop_index_dup", "drop_self_dup",
+              "drop_contaminated", "drop_quality", "drop_lm", "n_kept")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/metrics/epoch=$epochId")
+          if (nKept > 0) {
+            kept.write.mode("overwrite").parquet(s"$outDir/kept/epoch=$epochId")
             if (haveIndex) DedupIndex.foldIn(kept, indexPath)
             else DedupIndex.build(kept, indexPath)
-            fs.create(marker, true).close()
           }
+          fs.create(marker, true).close()
         }
       } finally kept.unpersist()
     } finally batch.unpersist()

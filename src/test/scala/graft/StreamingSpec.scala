@@ -347,6 +347,19 @@ class StreamingSpec extends AnyFunSuite {
     // the PII doc was scrubbed before publication
     val t11 = keptBatch.find(_._1 == 11L).get._2
     assert(t11.contains("[EMAIL]") && !t11.contains("alice@example.com"))
+    // drop attribution: every drop lands on the stage that caused it,
+    // in both batch and streaming mode
+    for (out <- Seq(s"$base/outA", s"$base/outB")) {
+      val m = spark.read.parquet(s"$out/metrics")
+        .select("epoch", "n_in", "drop_index_dup", "drop_self_dup",
+          "drop_contaminated", "drop_quality", "drop_lm", "n_kept")
+        .collect().map(r => r.getInt(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+      assert(m(0) == ((3L, 0L, 0L, 0L, 1L, 0L, 2L)), s"$out epoch 0: ${m(0)}")
+      assert(m(1) == ((4L, 1L, 1L, 0L, 0L, 0L, 2L)), s"$out epoch 1: ${m(1)}")
+      assert(m(2) == ((3L, 1L, 0L, 1L, 0L, 0L, 1L)), s"$out epoch 2: ${m(2)}")
+    }
     // the index grew by exactly the kept docs
     for (idx <- Seq(s"$base/idxA", s"$base/idxB")) {
       val ids = spark.read.parquet(s"$idx/sets")
