@@ -1,6 +1,6 @@
 package graft
 
-import graft.ingest.OrcSource
+import graft.ingest.{OrcSource, SchemaEvolution}
 import graft.llm.{Decontam, Dedup, Multimodal, Pii, Quality, Sampling, TextOps, Vectors}
 import graft.ops.{Patterns, RelOps, TemporalOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -59,6 +59,7 @@ object SparkEntry {
     "events_window"     -> (RelOps.eventsWindow(_, _)),
     // §2.1/2.2 extension: ORC lang-partitioned mirror + pruned scan
     "orc_scan"          -> (OrcSource.orcScan(_, _)),
+    "schema_evolution"  -> (SchemaEvolution.schemaEvolutionScan(_, _)),
     "count_distinct_users" -> (RelOps.countDistinctUsers(_, _)),
     // §2.11 the three pattern queries + §2.6 union fold
     "patid1"            -> (Patterns.patId1Query(_, _)),
@@ -162,6 +163,7 @@ object SparkEntry {
     "topk_amounts"      -> graft.functions.TopKAggregator.topAmountsSql,
     "events_window"     -> RelOps.eventsWindowSql,
     "orc_scan"          -> OrcSource.orcScanSql(),
+    "schema_evolution"  -> SchemaEvolution.schemaEvolutionScanSql,
     "count_distinct_users" -> RelOps.countDistinctUsersSql,
     "patid1"            -> Patterns.patId1QuerySql,
     "patid2"            -> Patterns.patId2QuerySql,
