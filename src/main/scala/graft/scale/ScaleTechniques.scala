@@ -97,6 +97,37 @@ object ScaleTechniques {
         round(col("rows").cast("double") / col("total"), 6).as("share"))
   }
 
+  /** Pre-flight inner-join cardinality estimate from two count-min
+    * sketches — the check you run BEFORE a join that might explode:
+    * |A ⋈ B| = Σ_k f_A(k)·f_B(k), estimated as Σ est_A(k)·est_B(k)
+    * over the probe side's distinct keys. Both sketches build in one
+    * treeAggregate pass each and broadcast; the candidate scan is
+    * distributed ([[graft.functions.CmsSketch.estimate]]'s shape). CMS
+    * estimates are one-sided (≥ true frequency), so the estimate NEVER
+    * under-predicts the blow-up — exactly the direction a pre-flight
+    * guard must err (ScaleTechniquesSpec pins the bound and the
+    * ≤(1+ε·heft) slack on real join keys). At 100 TB this replaces a
+    * dry-run join with two scans and a key-list pass. */
+  def joinCardinalityEstimate(a: DataFrame, aKey: String,
+      b: DataFrame, bKey: String, eps: Double = 0.0001,
+      confidence: Double = 0.99, seed: Int = 42): Long = {
+    import graft.functions.CmsSketch
+    val spark = a.sparkSession
+    val skA = spark.sparkContext.broadcast(
+      CmsSketch.sketchBytes(a.select(col(aKey)), aKey, eps, confidence, seed))
+    val skB = spark.sparkContext.broadcast(
+      CmsSketch.sketchBytes(b.select(col(bKey)), bKey, eps, confidence, seed))
+    import spark.implicits._
+    val keys = b.select(col(bKey).cast("long")).distinct().as[Long]
+    keys.mapPartitions { it =>
+      val cmsA = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skA.value))
+      val cmsB = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skB.value))
+      it.map(k => cmsA.estimateCount(k) * cmsB.estimateCount(k))
+    }.reduce(_ + _)
+  }
+
   /** Rows per physical partition of `df` as it stands — the direct
     * reading of whether a repartition/AQE decision balanced the work.
     * `spark_partition_id` is evaluated per row at scan/compute time, so

@@ -232,4 +232,17 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 4).as("sum_v"))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("CMS join-cardinality estimate never under-predicts and stays tight") {
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"))
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"))
+    val exact = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+    val est = ScaleTechniques.joinCardinalityEstimate(
+      li, "l_orderkey", o, "o_orderkey")
+    // one-sided: the pre-flight guard must never say "safe" about a
+    // join that is bigger than predicted
+    assert(est >= exact, s"est $est under-predicts exact $exact")
+    // and with eps=1e-4 on these key counts the estimate is tight
+    assert(est <= (exact * 1.05).toLong + 1, s"est $est vs exact $exact")
+  }
 }
