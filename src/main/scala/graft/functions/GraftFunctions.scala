@@ -38,6 +38,17 @@ object GraftFunctions {
     "deflate_ratio" -> { exprs =>
       require(exprs.length == 1, "deflate_ratio(text)")
       DeflateRatio(exprs.head)
+    },
+    "unicode_normalize" -> { exprs =>
+      exprs match {
+        case Seq(c) => UnicodeNormalize(c, java.text.Normalizer.Form.NFC)
+        case Seq(c, f) => UnicodeNormalize(c,
+          java.text.Normalizer.Form.valueOf(
+            f.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+              .toString))
+        case _ => throw new IllegalArgumentException(
+          "unicode_normalize(text[, form])")
+      }
     })
 
   def register(spark: SparkSession): Unit =

@@ -275,6 +275,30 @@ object TextOps {
       (a, b) => concat(a, lit(" "), b))
   }
 
+  /** NFC-normalized corpus text with a changed flag — the very first
+    * pass of the curation pipeline (composed vs decomposed codepoints
+    * silently fracture every downstream hash equality: exact-dedup
+    * md5s, shingles, stopword matches). The native codegen'd
+    * [[graft.functions.UnicodeNormalize]] fast-paths already-normalized
+    * (e.g. pure-ASCII) rows with zero allocations; zero-shuffle scan
+    * projection. NFC semantics are byte-identical to the DuckDB
+    * oracle's `nfc_normalize`; NFKC (compatibility folding, the
+    * tokenizer-training choice) is the same expression with
+    * `form = "NFKC"`, spec-gated on crafted strings. */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UnicodeNormalize.unicode_normalize
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        unicode_normalize(col("text")).as("text_nfc"),
+        (unicode_normalize(col("text")) =!= col("text")).cast("int")
+          .as("changed"))
+  }
+
+  val textNormalizeSql: String =
+    """SELECT doc_id, nfc_normalize(text) AS text_nfc,
+      |  CAST(nfc_normalize(text) <> text AS INT) AS changed
+      |FROM documents""".stripMargin
+
   /** Corpus-wide top-k bigrams (the n-gram statistics pass every
     * pre-training corpus gets: contamination screens, boilerplate
     * detection, tokenizer health checks).

@@ -456,4 +456,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(top.length == 5)
     assert(top.map(_.getLong(1)).sliding(2).forall(p => p(0) >= p(1)))
   }
+
+  test("unicode_normalize: NFC composes, NFKC folds compatibility forms, SQL path works") {
+    import graft.functions.UnicodeNormalize.unicode_normalize
+    import spark.implicits._
+    val decomposed = "e\u0301te\u0301"       // e + COMBINING ACUTE, twice
+    val composed = "\u00e9t\u00e9"           // été in NFC
+    val ligature = "\uFB01le \uFF41\uFF42"  // ﬁle + fullwidth ab
+    val df = Seq((1L, decomposed), (2L, composed), (3L, ligature), (4L, "plain"))
+      .toDF("id", "t")
+    val got = df.select(col("id"),
+        unicode_normalize(col("t")).as("nfc"),
+        unicode_normalize(col("t"), "NFKC").as("nfkc"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got(1L)._1 == composed)         // NFC composes the pair
+    assert(got(2L)._1 == composed)         // already-NFC is untouched
+    assert(got(3L)._2 == "file ab")        // NFKC folds ligature + width
+    assert(got(3L)._1 == ligature)         // NFC alone does NOT fold them
+    assert(got(4L)._1 == "plain" && got(4L)._2 == "plain")
+    // SQL registration path
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("norm_tmp")
+    val viaSql = spark.sql(
+      "SELECT id, unicode_normalize(t) AS nfc, unicode_normalize(t, 'NFKC') AS nfkc FROM norm_tmp")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(viaSql == got)
+  }
 }
