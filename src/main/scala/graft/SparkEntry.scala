@@ -77,6 +77,7 @@ object SparkEntry {
     "dedup_apply"       -> (Dedup.dedupApply(_, _)),
     // LLM-pipeline: benchmark decontamination
     "decontam"          -> (Decontam.decontaminate(_, _)),
+    "split_leakage"     -> (Decontam.splitLeakage(_, _)),
     "decontam_fp"       -> (Decontam.decontaminateFingerprint(_, _)),
     "decontam_apply"    -> (Decontam.decontamApply(_, _)),
     // LLM-pipeline: similarity search
@@ -92,6 +93,7 @@ object SparkEntry {
     "emb_centroids"     -> (Vectors.embCentroids(_, _)),
     // LLM-pipeline: text analysis
     "text_stats"        -> (TextOps.textStats(_, _)),
+    "text_normalize"    -> (TextOps.textNormalize(_, _)),
     "lang_id"           -> (TextOps.langId(_, _)),
     "token_count"       -> (TextOps.tokenCount(_, _)),
     "token_count_bpe"   -> (TextOps.tokenCountBpe(_, _)),
@@ -175,6 +177,7 @@ object SparkEntry {
     "dedup_editdist"    -> Dedup.dedupEditDistanceSql(),
     "dedup_apply"       -> Dedup.dedupApplySql(),
     "decontam"          -> Decontam.decontaminateSql(),
+    "split_leakage"     -> Decontam.splitLeakageSql(),
     "decontam_apply"    -> Decontam.decontamApplySql(),
     // dedup_minhash / dedup_simhash / emb_neardup_lsh / fingerprint:
     // engine-specific hash families — not ANSI-SQL-expressible; covered
@@ -183,6 +186,7 @@ object SparkEntry {
     "emb_neardup"       -> Vectors.embNearDupSql(),
     "emb_centroids"     -> Vectors.embCentroidsSql,
     "text_stats"        -> TextOps.textStatsSql,
+    "text_normalize"    -> TextOps.textNormalizeSql,
     "lang_id"           -> TextOps.langIdSql,
     "token_count"       -> TextOps.tokenCountSql,
     "doc_chunks"        -> TextOps.docChunksSql(),

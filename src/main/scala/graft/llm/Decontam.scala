@@ -84,6 +84,42 @@ object Decontam {
     decontaminatePairs(docs.filter(!isBench), docs.filter(isBench), n)
   }
 
+  /** Cross-split leakage audit — the check run AFTER
+    * [[graft.llm.Sampling.splitCorpus]] carves train/val/test: a val
+    * doc sharing a long n-gram with a train doc means the held-out set
+    * leaks into training and every eval on it is inflated. Same
+    * broadcast-postings shape as [[decontaminatePairs]] with the val
+    * side as the (small) benchmark; the split rule is the EXACT md5
+    * bucketing splitCorpus ships, so this composes two shipped
+    * operators rather than inventing a third. */
+  def splitLeakage(spark: SparkSession, dir: String, n: Int = 13): DataFrame = {
+    val split = Sampling.splitCorpus(spark, dir).select(col("doc_id"), col("split"))
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+      .join(split, Seq("doc_id"))
+    decontaminatePairs(
+        docs.filter(col("split") === "train"),
+        docs.filter(col("split") === "val"), n)
+      .select(col("doc_id").as("train_id"), col("bench_id").as("val_id"),
+        col("n_shared"))
+  }
+
+  def splitLeakageSql(n: Int = 13): String =
+    s"""WITH s AS (SELECT doc_id,
+       |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'e6' THEN 'train'
+       |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'f3' THEN 'val'
+       |       ELSE 'test' END AS split
+       |  FROM documents),
+       |tk AS (SELECT d.doc_id, s.split, ${TextOps.tokensSql} AS toks
+       |       FROM documents d JOIN s ON d.doc_id = s.doc_id),
+       |g AS (SELECT doc_id, split, unnest(${ngramsSql(n)}) AS gram FROM tk),
+       |t AS (SELECT doc_id AS train_id, gram FROM g WHERE split = 'train'),
+       |v AS (SELECT doc_id AS val_id, gram FROM g WHERE split = 'val')
+       |SELECT t.train_id, v.val_id,
+       |  CAST(count(DISTINCT t.gram) AS BIGINT) AS n_shared
+       |FROM t JOIN v USING (gram)
+       |GROUP BY 1, 2""".stripMargin
+
   def decontaminateSql(n: Int = 13, benchMod: Int = 20, benchRem: Int = 7): String =
     s"""WITH tk AS (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
        |g AS (SELECT doc_id, unnest(${ngramsSql(n)}) AS gram FROM tk),
