@@ -11,6 +11,8 @@ import org.apache.spark.sql.types._
   * LLM-data surface was built for, finally assembled: a standing
   * [[graft.llm.DedupIndex]] plus per-micro-batch
   *
+  *   0. NFC normalization at ingest ([[graft.functions.UnicodeNormalize]])
+  *      so hash equalities downstream see one byte form per glyph;
   *   1. `probe`: batch docs near-duplicating the already-curated corpus
   *      are dropped (MinHash-LSH banded probe, partition-pruned index
   *      scan — per-batch cost O(batch + candidates), never O(corpus));
@@ -111,7 +113,13 @@ class CurationPipeline(
     * without a streaming query. */
   def processBatch(batch0: DataFrame, epochId: Long): Unit = {
     if (batch0.isEmpty) return
-    val batch = batch0.select(col("doc_id"), col("text")).persist()
+    // stage 0: NFC-normalize at ingest — composed vs decomposed
+    // codepoints would otherwise fracture every downstream hash
+    // equality (index probe signatures, self-dedup shingles, decontam
+    // grams), and what gets published is the normalized form
+    val batch = batch0.select(col("doc_id"),
+      graft.functions.UnicodeNormalize.unicode_normalize(col("text"))
+        .as("text")).persist()
     try {
       val haveIndex = indexExists
       // 1. standing-index probe: near-dups of the curated corpus drop out

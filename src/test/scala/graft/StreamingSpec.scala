@@ -370,6 +370,31 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("curation loop: NFC ingest unifies composed and decomposed duplicate docs") {
+    import graft.llm.Dedup
+    import graft.streaming.CurationPipeline
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-curate-nfc").toString
+    val composed = "the café stands in a quiet résumé valley " +
+      "where naïve travelers walk to the old stone bridge daily"
+    val decomposed = composed
+      .replace("é", "e\u0301").replace("ï", "i\u0308")
+    assert(decomposed != composed) // different bytes, same visible text
+    // WITHOUT normalization the byte forms share too few shingles to
+    // count as duplicates — the drop below is normalization's doing
+    val rawPairs = Dedup.ngramJaccardFromSets(Dedup.shingleSets(
+      Seq((1L, composed), (2L, decomposed)).toDF("doc_id", "text")), 0.6)
+    assert(rawPairs.isEmpty)
+    val p = new CurationPipeline(spark, s"$base/idx", s"$base/out")
+    p.processBatch(Seq((1L, composed), (2L, decomposed)).toDF("doc_id", "text"), 0L)
+    val kept = spark.read.parquet(s"$base/out/kept")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // doc 2 normalized to the same bytes as doc 1 -> exact self-dup,
+    // min-id keeper; the published form is NFC
+    assert(kept.keySet == Set(1L))
+    assert(kept(1L) == composed)
+  }
+
   test("curation loop: reference-LM gate drops reference-unlike survivors") {
     import graft.streaming.CurationPipeline
     import spark.implicits._
