@@ -120,22 +120,29 @@ class CurationPipeline(
     val batch = batch0.select(col("doc_id"),
       graft.functions.UnicodeNormalize.unicode_normalize(col("text"))
         .as("text")).persist()
+    // every stage frame is persisted: the next stage, its metrics
+    // count, and the kept chain all read it — without the persists
+    // each downstream action re-executes the whole upstream gauntlet
+    // (probe join, shingle self-join, decontam join) per action,
+    // measured ~5× the per-batch cost in CurationDemo
+    val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def stage(df: DataFrame): DataFrame = { staged += df.persist(); df }
     try {
       val haveIndex = indexExists
       // 1. standing-index probe: near-dups of the curated corpus drop out
-      val fresh =
+      val fresh = stage(
         if (haveIndex) {
           val dups = DedupIndex.probe(spark, indexPath, batch, threshold)
             .select(col("new_id").as("doc_id")).distinct()
           batch.join(dups, Seq("doc_id"), "left_anti")
-        } else batch
+        } else batch)
       // 2. within-batch self-dedup; ida < idb by construction, so
       //    dropping every idb keeps the first-seen (smallest) id
       val selfDups = Dedup.ngramJaccardFromSets(Dedup.shingleSets(fresh), threshold)
         .select(col("idb").as("doc_id")).distinct()
-      val unique = fresh.join(selfDups, Seq("doc_id"), "left_anti")
+      val unique = stage(fresh.join(selfDups, Seq("doc_id"), "left_anti"))
       // 3. benchmark screen: any shared decontamN-gram disqualifies
-      val clean = benchGrams match {
+      val clean = stage(benchGrams match {
         case Some(bg) =>
           val flagged = unique
             .select(col("doc_id"),
@@ -145,13 +152,13 @@ class CurationPipeline(
             .select(col("doc_id")).distinct()
           unique.join(flagged, Seq("doc_id"), "left_anti")
         case None => unique
-      }
+      })
       // 4. scrub, then gate the scrubbed text
-      val gated = Quality.gate(
+      val gated = stage(Quality.gate(
           Pii.scrub(clean, "text")
             .select(col("doc_id"), col("clean_text").as("text")))
         .filter(col("keep") === 1)
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("text")))
       // 5. reference-LM perplexity gate: reference-unlike survivors drop
       val kept = (lmModel match {
         case Some((uni, bi)) =>
@@ -200,7 +207,10 @@ class CurationPipeline(
           }
           fs.create(marker, true).close()
         }
-      } finally kept.unpersist()
+      } finally {
+        kept.unpersist()
+        staged.foreach(_.unpersist())
+      }
     } finally batch.unpersist()
   }
 
