@@ -52,6 +52,7 @@ object SparkEntry {
     "sessionize"        -> (TemporalOps.sessionize(_, _)),
     "changelog_snapshot"-> (TemporalOps.changelogSnapshot(_, _)),
     "scd2_history"      -> (TemporalOps.scd2History(_, _)),
+    "lag_features"      -> (TemporalOps.lagFeatures(_, _)),
     "topk_amounts"      -> (graft.functions.TopKAggregator.topAmounts(_, _)),
     "quantile_sketch"   -> (graft.functions.KllSketch.quantileSketch(_, _)),
     "hll_distinct"      -> (graft.functions.HllSketch.hllDistinct(_, _)),
@@ -162,6 +163,7 @@ object SparkEntry {
     "sessionize"        -> TemporalOps.sessionizeSql,
     "changelog_snapshot"-> TemporalOps.changelogSnapshotSql,
     "scd2_history"      -> TemporalOps.scd2HistorySql,
+    "lag_features"      -> TemporalOps.lagFeaturesSql,
     "topk_amounts"      -> graft.functions.TopKAggregator.topAmountsSql,
     "events_window"     -> RelOps.eventsWindowSql,
     "orc_scan"          -> OrcSource.orcScanSql(),

@@ -425,6 +425,43 @@ object TemporalOps {
       |  CAST(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
       |FROM l""".stripMargin
 
+  /** Per-entity lag features — the feature-engineering pass every
+    * sequence model trains on (time-since-previous, value delta):
+    * one shuffle on the entity key, lag() inside the sorted partition,
+    * exact arithmetic (epoch-second BIGINT difference; DECIMAL value
+    * delta — float subtraction would be engine-order-dependent). Same
+    * single-window shape as [[scd2History]]. */
+  def lagFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    Tables.fanOut(Tables.events(spark, dir))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("prev_value", lag(col("value").cast(dec), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("at"),
+        // microsecond-exact difference then integer division: second-
+        // truncating each endpoint first (unix_timestamp) disagrees
+        // with the oracle by ±1 s whenever the fractional parts
+        // straddle a second boundary
+        expr("(unix_micros(ts) - unix_micros(prev_ts)) div 1000000")
+          .as("secs_since_prev"),
+        (col("value").cast(dec) - col("prev_value")).as("delta_value"))
+  }
+
+  val lagFeaturesSql: String =
+    """WITH l AS (
+      |  SELECT user_id, event_id, event_type, ts, value,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+      |    lag(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_value
+      |  FROM events)
+      |SELECT user_id, event_id, event_type,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS at,
+      |  (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS secs_since_prev,
+      |  CAST(CAST(value AS DECIMAL(18,2)) - prev_value AS DECIMAL(19,2)) AS delta_value
+      |FROM l""".stripMargin
+
   val sessionizeSql: String =
     """WITH l AS (
       |  SELECT user_id, ts, value,
