@@ -54,9 +54,14 @@ object SparkEntry {
     "scd2_history"      -> (TemporalOps.scd2History(_, _)),
     "lag_features"      -> (TemporalOps.lagFeatures(_, _)),
     "topk_amounts"      -> (graft.functions.TopKAggregator.topAmounts(_, _)),
-    "quantile_sketch"   -> (graft.functions.KllSketch.quantileSketch(_, _)),
+    // exact-when-wide registrations (k ≥ n / ε=1e-4): oracle-checkable
+    // against plain SQL; the approximate production configs keep their
+    // error-envelope contracts in FunctionsSpec
+    "quantile_sketch"   -> ((s, d) =>
+      graft.functions.KllSketch.quantileSketch(s, d, k = 1 << 20)),
     "hll_distinct"      -> (graft.functions.HllSketch.hllDistinct(_, _)),
-    "cms_topk"          -> (graft.functions.CmsSketch.cmsTopK(_, _)),
+    "cms_topk"          -> ((s, d) =>
+      graft.functions.CmsSketch.cmsTopK(s, d, eps = 1e-4)),
     "events_window"     -> (RelOps.eventsWindow(_, _)),
     // §2.1/2.2 extension: ORC lang-partitioned mirror + pruned scan
     "orc_scan"          -> (OrcSource.orcScan(_, _)),
@@ -213,5 +218,7 @@ object SparkEntry {
     "span_shared"       -> Dedup.spanSharedSql(),
     "salted_agg"        -> graft.scale.ScaleTechniques.saltedAggSql,
     "bloom_join"        -> graft.scale.ScaleTechniques.bloomJoinSql,
+    "cms_topk"          -> graft.functions.CmsSketch.cmsTopKSql,
+    "quantile_sketch"   -> graft.functions.KllSketch.quantileSketchSql,
   )
 }

@@ -31,19 +31,41 @@ object Tables {
     spark.read.parquet(s"$dir/nation.parquet")
   def region(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/region.parquet")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; read nanos as long and convert (µs truncation —
-    * sub-second precision beyond µs is irrelevant to every consumer
-    * here, which bucket by minutes/hours). */
+  /** Schema-drift-tolerant events loader. The generator has shipped `ts`
+    * both as TIMESTAMP(NANOS) (which Spark's parquet reader surfaces as
+    * LongType only under the legacy nanosAsLong flag) and as plain
+    * timestamp[us]; branch on what the file actually declares instead of
+    * assuming a layout. The reference pins explicit schemas for the same
+    * reason ("Mechanism Y.py":35-64). µs truncation of the nanos path is
+    * harmless — every consumer buckets by minutes/hours; the session
+    * runs UTC, so casting an NTZ timestamp changes no wall-clock value. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as raw nanos
+        df.withColumn("ts",
+          timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      case TimestampType => df
+      case _ => // TimestampNTZType or future drift: normalize to TIMESTAMP
+        df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Length+mtime fingerprint of a source file, for keying derived
+    * artifacts (ORC mirrors, PQ/dedup indexes) so a REGENERATED source
+    * never silently serves a stale derivation — the events-table schema
+    * drift showed the generator does rewrite tables between rounds. */
+  def fileStamp(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p)
+    s"${st.getLen}_${st.getModificationTime}"
+  }
 
   /** Fan a small-file scan out to every core — but ONLY when the scan
     * actually under-parallelizes. The testdata doc/embedding tables
@@ -69,20 +91,28 @@ object Tables {
     * or zero times if the tables are bucketed by orderkey. No driver-side
     * materialization.
     */
-  def transactions(spark: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(spark, dir)
-    val o  = orders(spark, dir)
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .select(
-        o("o_custkey").as("customer"),
-        li("l_suppkey").as("merchant"),
-        li("l_returnflag").as("category"),
-        li("l_extendedprice").as("amount"),
-        when(o("o_custkey") % 2 === 0, lit("M")).otherwise(lit("F")).as("gender"))
-    // deliberately NOT cached: caching an AQE-coalesced join output pins
-    // its (often single-partition) layout and serializes every consumer;
-    // recomputing the co-partitioned join is cheaper at every scale
-  }
+  def transactions(spark: SparkSession, dir: String): DataFrame =
+    // Memoized behind Caches: seven registered queries re-derive this
+    // join, so in warm (suite) mode the persisted frame amortizes the
+    // lineitem⋈orders shuffle across all of them. Cold/cluster mode
+    // keeps the no-cache behavior — Bench's cold pass calls
+    // Caches.release before every query, so each rebuild recomputes the
+    // co-partitioned join instead of pinning executor memory. The
+    // repartition inside the memo un-pins the AQE-coalesced join layout
+    // (often 1-2 partitions at test SFs) BEFORE persist, so cached
+    // consumers scan in parallel instead of serializing on one slice.
+    Caches.memo(spark, s"transactions:$dir") {
+      val li = lineitem(spark, dir)
+      val o  = orders(spark, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(
+          o("o_custkey").as("customer"),
+          li("l_suppkey").as("merchant"),
+          li("l_returnflag").as("category"),
+          li("l_extendedprice").as("amount"),
+          when(o("o_custkey") % 2 === 0, lit("M")).otherwise(lit("F")).as("gender"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
 
   /** SQL text of [[transactions]] as a DuckDB CTE body, reused by oracle
     * queries so Spark and the oracle derive from the identical view. */

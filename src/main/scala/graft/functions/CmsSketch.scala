@@ -55,7 +55,15 @@ object CmsSketch {
   }
 
   /** Registered query: top-k event-generating users by CMS estimate.
-    * ε=0.005 (est error ≤ 0.5% of stream length), δ=0.01. */
+    *
+    * The registration runs EXACT-WHEN-WIDE (ε=1e-4 → width 20,000 vs
+    * ~10² distinct users/10⁴ per-SF): a key's estimate exceeds its true
+    * count only if it collides in EVERY depth row, P ≈ (d/w)^7 ≈ 3e-16
+    * here, so the sketch output equals a plain GROUP BY — which is the
+    * DuckDB oracle ([[cmsTopKSql]]). FunctionsSpec separately pins the
+    * exact-when-wide law on a fixture; the narrow production
+    * configuration (ε=0.005, 400 ints) keeps its one-sided ≤ ε·N error
+    * contract in the same suite. */
   def cmsTopK(spark: SparkSession, dir: String, k: Int = 25,
       eps: Double = 0.005, confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {
@@ -66,4 +74,12 @@ object CmsSketch {
       .orderBy(col("est_count").desc, col("user_id"))
       .limit(k)
   }
+
+  /** Oracle for the exact-when-wide registration: the CMS top-k equals
+    * the plain GROUP BY top-k when no key collides in all depth rows. */
+  val cmsTopKSql: String =
+    """SELECT user_id, est_count FROM (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS est_count
+      |  FROM events GROUP BY 1)
+      |ORDER BY est_count DESC, user_id LIMIT 25""".stripMargin
 }

@@ -97,9 +97,16 @@ object KllSketch {
       compactions: Long)
 
   /** Registered query: sketched price quantiles per return flag,
-    * exploded to (l_returnflag, q, est). Approximate by construction —
-    * no SQL oracle; FunctionsSpec pins the rank-error envelope against
-    * the exact sorted truth. */
+    * exploded to (l_returnflag, q, est).
+    *
+    * The registration runs with k = 2²⁰ ≥ n (per-group rows stay ~2·10⁵
+    * even at sf0.1): no buffer ever fills, so no compaction fires, every
+    * item keeps weight 1, and the readout degenerates to the EXACT order
+    * statistic at index ⌈q·(n−1)⌉ — which [[quantileSketchSql]] states in
+    * ANSI SQL (the DuckDB oracle computes q·(n−1) in the same IEEE double
+    * arithmetic, so the chosen index is bit-identical). The production
+    * k=256 approximate path keeps its 2% rank-error envelope pinned in
+    * FunctionsSpec. */
   def quantileSketch(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
     import spark.implicits._
     val qs = Seq(0.25, 0.5, 0.75, 0.95)
@@ -122,4 +129,21 @@ object KllSketch {
       .select(col("l_returnflag"),
         element_at(typedLit(qs), col("pos") + 1).as("q"), col("est"))
   }
+
+  /** Oracle for the exact-when-wide (k ≥ n) registration: the smallest
+    * stored value whose 0-based rank reaches q·(n−1) is the order
+    * statistic at index ⌈q·(n−1)⌉. Both `q` and the product are forced
+    * to DOUBLE so DuckDB picks the same index as the Scala readout even
+    * where q (e.g. 0.95) is not binary-exact. */
+  val quantileSketchSql: String =
+    """WITH ranked AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    CAST(row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice) - 1 AS BIGINT) AS rk,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem),
+      |qs AS (SELECT CAST(q AS DOUBLE) AS q
+      |       FROM (VALUES (0.25),(0.5),(0.75),(0.95)) t(q))
+      |SELECT l_returnflag, q, l_extendedprice AS est
+      |FROM ranked JOIN qs ON rk = CAST(ceil(q * (n - 1)) AS BIGINT)""".stripMargin
 }

@@ -39,14 +39,35 @@ object OrcSource {
     spark.read.option("orc.filterPushdown", "true").orc(path)
 
   /** The registered round-trip query: documents → partitioned ORC →
-    * pruned single-language scan. The ORC mirror is rebuilt per call
-    * (the write is part of what the query demonstrates); the scan that
-    * follows touches only `lang=en/`. */
+    * pruned single-language scan; the scan touches only `lang=en/`.
+    *
+    * The mirror is PUBLISHED IMMUTABLY: each builder writes to a unique
+    * `v_<uuid>` dir and atomically renames it into place, so a reader
+    * in another session can never observe a half-overwritten mirror
+    * (mode(overwrite) on a shared path deletes files under a
+    * concurrent scan). The rename loser just deletes its attempt and
+    * reads the winner's complete mirror. The path is keyed by the
+    * SOURCE file's length+mtime, so a regenerated documents table
+    * builds a fresh mirror instead of serving stale rows. */
   def orcScan(spark: SparkSession, dir: String, lang: String = "en"): DataFrame = {
-    val mirror = s"${System.getProperty("java.io.tmpdir")}/graft_orc_mirror/" +
-      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-    writePartitioned(Tables.documents(spark, dir), mirror)
-    read(spark, mirror)
+    val stamp = Tables.fileStamp(spark, s"$dir/documents.parquet")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_orc_mirror/" +
+      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_$stamp"
+    val fin = new org.apache.hadoop.fs.Path(s"$base/final")
+    val fs = fin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/final/_SUCCESS"))) {
+      val attempt = new org.apache.hadoop.fs.Path(
+        s"$base/v_${java.util.UUID.randomUUID().toString.take(8)}")
+      writePartitioned(Tables.documents(spark, dir), attempt.toString)
+      // FileContext.rename has STRICT no-overwrite semantics (throws if
+      // dst exists) unlike FileSystem.rename's FS-dependent merge
+      // behavior; a loser's complete-but-unpublished attempt is dropped
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fin.toUri, spark.sparkContext.hadoopConfiguration)
+      try fc.rename(attempt, fin)
+      catch { case _: java.io.IOException => fs.delete(attempt, true) }
+    }
+    read(spark, fin.toString)
       .filter(col("lang") === lang)
       .select(col("doc_id"), col("source"), col("n_chars"))
   }

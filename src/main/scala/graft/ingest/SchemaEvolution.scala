@@ -26,20 +26,33 @@ object SchemaEvolution {
 
   /** Write the documents table as a two-epoch history: epoch 0 predates
     * the `lang` column (an early crawl), epoch 1 carries it. Idempotent
-    * per mirror path. */
-  def writeEpochs(spark: SparkSession, dir: String, path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_done"))) return
+    * per mirror path, and SAFE UNDER CONCURRENT BUILDERS: each writer
+    * assembles its history under a unique `v_<uuid>` dir and atomically
+    * renames it to `<path>/final` (FileContext's strict no-overwrite
+    * rename) — the old check-`_done`-then-overwrite-in-place had a
+    * window where a second session clobbered epoch files mid-scan.
+    * Returns the published history path. */
+  def writeEpochs(spark: SparkSession, dir: String, path: String): String = {
+    val fin = new org.apache.hadoop.fs.Path(s"$path/final")
+    val fs = fin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/final/_done")))
+      return fin.toString
+    val attempt = new org.apache.hadoop.fs.Path(
+      s"$path/v_${java.util.UUID.randomUUID().toString.take(8)}")
     val docs = Tables.documents(spark, dir)
     docs.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
-      .write.mode("overwrite").parquet(s"$path/epoch=0")
+      .write.mode("overwrite").parquet(s"$attempt/epoch=0")
     docs.filter(col("doc_id") % 2 === 1)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))
-      .write.mode("overwrite").parquet(s"$path/epoch=1")
-    fs.create(new org.apache.hadoop.fs.Path(s"$path/_done"), true).close()
+      .write.mode("overwrite").parquet(s"$attempt/epoch=1")
+    fs.create(new org.apache.hadoop.fs.Path(s"$attempt/_done"), true).close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fin.toUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(attempt, fin)
+    catch { case _: java.io.IOException => fs.delete(attempt, true) }
+    fin.toString
   }
 
   /** Union-schema scan over the full history: files written before
@@ -52,10 +65,13 @@ object SchemaEvolution {
     * aggregate a curation dashboard keeps running across the schema
     * change. */
   def schemaEvolutionScan(spark: SparkSession, dir: String): DataFrame = {
+    // keyed by the source file's stamp: a regenerated documents table
+    // rebuilds the history instead of serving stale epochs
+    val stamp = Tables.fileStamp(spark, s"$dir/documents.parquet")
     val mirror = s"${System.getProperty("java.io.tmpdir")}/graft_evo_mirror/" +
-      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-    writeEpochs(spark, dir, mirror)
-    readMerged(spark, mirror)
+      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_$stamp"
+    val published = writeEpochs(spark, dir, mirror)
+    readMerged(spark, published)
       .select(col("doc_id"), coalesce(col("lang"), lit("unknown")).as("lang_eff"),
         col("n_chars"))
       .groupBy(col("lang_eff"))

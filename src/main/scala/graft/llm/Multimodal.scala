@@ -155,8 +155,17 @@ object Multimodal {
     * payloads never shuffle); the join shuffles only (id, sig, band)
     * rows. Engine-specific hash ⇒ no SQL oracle; LlmOpsSpec plants
     * re-encoded/resized duplicates and asserts recall + brute-force
-    * Hamming parity. */
-  def mediaNearDup(spark: SparkSession, dir: String, maxDist: Int = 6): DataFrame =
+    * Hamming parity.
+    *
+    * The registered query runs at maxDist=14: the synthetic payloads
+    * (document text bytes) sit ~32 bits apart in expectation with the
+    * closest organic pairs at Hamming ~10-14 (probed over sf0.01), so
+    * the real-image default of 6 finds nothing to report on this data.
+    * Pigeonhole banding stays EXACT at any maxDist (15 bands × 4 bits:
+    * ≤14 differing bits cannot touch all 15 bands); the cost is a
+    * denser candidate join, which is the correct trade only where the
+    * duplicate radius genuinely is that wide. */
+  def mediaNearDup(spark: SparkSession, dir: String, maxDist: Int = 14): DataFrame =
     mediaNearDupPairs(spark, mediaTable(spark, dir), maxDist)
 
   /** [[mediaNearDup]] over an arbitrary media frame (spec entry point for

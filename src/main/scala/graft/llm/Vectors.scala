@@ -289,15 +289,23 @@ object Vectors {
     * below the cut) ⇒ no SQL oracle; LlmOpsSpec measures recall@k vs
     * the exact [[simTopK]] and pins the quantization error bound.
     */
+  /** Symmetric int8 quantization columns (`s` scale + `q8` codes) for a
+    * frame with an `embedding` array column. The scale is clamped away
+    * from zero: an all-zero vector has max|x| = 0, and an unguarded
+    * x/s would be 0/0 = null codes (null-poisoning every downstream
+    * int8 dot) instead of the correct all-zero code vector. */
+  def sq8Codes(emb: DataFrame): DataFrame = emb
+    .withColumn("s",
+      greatest(array_max(transform(col("embedding"), x => abs(x))) / lit(127.0),
+        lit(java.lang.Float.MIN_NORMAL.toDouble)))
+    .withColumn("q8", transform(col("embedding"), x =>
+      greatest(least(round(x / col("s")), lit(127L)), lit(-127L)).cast("byte")))
+
   def simTopKSq8(spark: SparkSession, dir: String, nQueries: Int = 10,
       k: Int = 5, refine: Int = 4): DataFrame = {
     import graft.functions.Int8Dot.int8_dot
-    val emb = withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
-      "embedding", "nrm")
-      .withColumn("s",
-        array_max(transform(col("embedding"), x => abs(x))) / lit(127.0))
-      .withColumn("q8", transform(col("embedding"), x =>
-        greatest(least(round(x / col("s")), lit(127L)), lit(-127L)).cast("byte")))
+    val emb = sq8Codes(withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
+      "embedding", "nrm"))
     // broadcast the quantized queries; the corpus side carries q8 only
     val qq = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
@@ -491,10 +499,16 @@ object Vectors {
     * results as the inline [[simTopKPq]] (LlmOpsSpec pins equality). */
   def pqIndexTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
       k: Int = 5, m: Int = 8, nCodes: Int = 16, refine: Int = 8,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, trainSample: Int = 2048): DataFrame = {
+    // the path key carries EVERY codebook-shaping parameter — a cached
+    // index built under a different dim/trainSample must never be
+    // silently reused (wrong-shape codebooks would crash the ADC scan) —
+    // plus the source file's stamp, so a regenerated embeddings table
+    // re-encodes instead of serving codes for rows that no longer exist
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq_index/" +
-      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${m}_$nCodes"
-    buildPqIndex(spark, dir, path, m, nCodes, dim)
+      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${m}_${nCodes}_${dim}_${trainSample}_" +
+      graft.Tables.fileStamp(spark, s"$dir/embeddings.parquet")
+    buildPqIndex(spark, dir, path, m, nCodes, dim, trainSample)
     val marker = new org.apache.hadoop.fs.Path(s"$path/codebooks.txt")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(marker)

@@ -376,8 +376,11 @@ object TemporalOps {
       .select(col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("as_of"),
         col("event_type").as("last_op"),
+        // decimal-quantize then back to DOUBLE (RelOps.moneySum recipe):
+        // raw DECIMAL output hashes differently between engines' wire
+        // canonicalizations; a 2-decimal double is bit-identical in both
         col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
-          .as("last_value"))
+          .cast("double").as("last_value"))
   }
 
   val changelogSnapshotSql: String =
@@ -389,7 +392,7 @@ object TemporalOps {
       |SELECT user_id,
       |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS as_of,
       |  event_type AS last_op,
-      |  CAST(value AS DECIMAL(18,2)) AS last_value
+      |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value
       |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin
 
   /** SCD type-2 history build — the warehouse-canonical "versions with
@@ -406,7 +409,7 @@ object TemporalOps {
       .withColumn("next_ts", lead(col("ts"), 1).over(w))
       .select(col("user_id"), col("event_type"),
         col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
-          .as("value"),
+          .cast("double").as("value"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
         date_format(col("next_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
         when(col("next_ts").isNull, 1).otherwise(0).as("is_current"))
@@ -419,7 +422,7 @@ object TemporalOps {
       |      ORDER BY ts, event_id) AS next_ts
       |  FROM events)
       |SELECT user_id, event_type,
-      |  CAST(value AS DECIMAL(18,2)) AS value,
+      |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value,
       |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
       |  strftime(next_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
       |  CAST(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
@@ -446,7 +449,9 @@ object TemporalOps {
         // straddle a second boundary
         expr("(unix_micros(ts) - unix_micros(prev_ts)) div 1000000")
           .as("secs_since_prev"),
-        (col("value").cast(dec) - col("prev_value")).as("delta_value"))
+        // exact decimal subtraction, then DOUBLE for cross-engine hashing
+        (col("value").cast(dec) - col("prev_value")).cast("double")
+          .as("delta_value"))
   }
 
   val lagFeaturesSql: String =
@@ -459,7 +464,7 @@ object TemporalOps {
       |SELECT user_id, event_id, event_type,
       |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS at,
       |  (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS secs_since_prev,
-      |  CAST(CAST(value AS DECIMAL(18,2)) - prev_value AS DECIMAL(19,2)) AS delta_value
+      |  CAST(CAST(value AS DECIMAL(18,2)) - prev_value AS DOUBLE) AS delta_value
       |FROM l""".stripMargin
 
   val sessionizeSql: String =

@@ -119,13 +119,17 @@ object ScaleTechniques {
       CmsSketch.sketchBytes(b.select(col(bKey)), bKey, eps, confidence, seed))
     import spark.implicits._
     val keys = b.select(col(bKey).cast("long")).distinct().as[Long]
-    keys.mapPartitions { it =>
+    val terms = keys.mapPartitions { it =>
       val cmsA = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(skA.value))
       val cmsB = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(skB.value))
       it.map(k => cmsA.estimateCount(k) * cmsB.estimateCount(k))
-    }.reduce(_ + _)
+    }
+    // agg(sum), not Dataset.reduce: reduce throws on an EMPTY probe side
+    // (no keys ⇒ no partial results), where the correct estimate is 0
+    terms.toDF("est")
+      .agg(coalesce(sum(col("est")), lit(0L))).head().getLong(0)
   }
 
   /** Rows per physical partition of `df` as it stands — the direct

@@ -28,27 +28,25 @@ object EventStreams {
 
   /** Streaming source over the events parquet in the sf dir (the file
     * stream source wants a directory, so the sf dir is the base path
-    * with a glob pinned to the events table; nanos → µs conversion
-    * mirrors [[Tables.events]]). */
+    * with a glob pinned to the events table). A file stream needs its
+    * schema declared up front, but the generator has shipped `ts` as
+    * both TIMESTAMP(NANOS)→Long and plain timestamp[us]; probe the
+    * actual file schema with a (metadata-only) batch read and declare
+    * THAT, then normalize `ts` exactly as [[Tables.events]] does. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value",
-        org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props",
-        org.apache.spark.sql.types.StringType)))
-    spark.readStream.schema(schema)
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+    fileSchema("ts").dataType match {
+      case LongType => // raw nanos
+        raw.withColumn("ts",
+          timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Watermarked tumbling-window aggregation: 10-minute lateness bound,

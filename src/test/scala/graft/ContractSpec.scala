@@ -19,10 +19,11 @@ class ContractSpec extends AnyFunSuite {
     "similarity_topk_sq8",// LlmOpsSpec: recall vs brute force + quantized-score error bound
     "similarity_topk_pq", // LlmOpsSpec: recall vs brute force + bit-exact survivor cosines
     "similarity_topk_pq_idx", // LlmOpsSpec: == inline PQ results from the persisted index
-    "cms_topk",           // FunctionsSpec: one-sided bound + merge law + exactness when wide
+    // cms_topk / quantile_sketch graduated to DuckDB-oracled: their
+    // registrations run exact-when-wide (ε=1e-4 / k ≥ n); the narrow
+    // approximate configs keep their FunctionsSpec error envelopes
     "fingerprint",        // LlmOpsSpec: == plain-Scala winnowing
     "decontam_fp",        // LlmOpsSpec: planted contamination caught; clean doc not flagged
-    "quantile_sketch",    // FunctionsSpec: rank error <= 2% vs exact sorted truth
     "hll_distinct",       // FunctionsSpec: error <= 5% vs exact distinct; bit-identical merge law
     "token_count_bpe",    // FunctionsSpec: == independent plain-Scala BPE merge count
     "cdc_chunks",         // FunctionsSpec: == plain-Scala gear roll; prefix-shift chunk survival law

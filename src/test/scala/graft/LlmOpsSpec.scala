@@ -384,13 +384,28 @@ class LlmOpsSpec extends AnyFunSuite {
     // round-tripping codebooks through text must not perturb a bit
     assert(viaIdx == inline && inline.nonEmpty)
     // and the second call reuses the index rather than rebuilding it
+    val stamp = Tables.fileStamp(spark, s"$sf/embeddings.parquet")
     val path = new java.io.File(
       s"${System.getProperty("java.io.tmpdir")}/graft_pq_index/" +
-        s"${sf.replaceAll("[^A-Za-z0-9]", "_")}_8_16/codebooks.txt")
+        s"${sf.replaceAll("[^A-Za-z0-9]", "_")}_8_16_64_2048_$stamp/codebooks.txt")
     assert(path.exists())
     val mtime = path.lastModified()
     Vectors.pqIndexTopK(spark, sf, nQueries = 5, k = 3).collect()
     assert(path.lastModified() == mtime, "index was rebuilt on re-query")
+  }
+
+  test("SQ8 quantization maps a zero vector to all-zero codes, not nulls") {
+    import SparkTestSession.spark.implicits._
+    val rows = Vectors.sq8Codes(Seq(
+        (0L, Array(0f, 0f, 0f, 0f)),
+        (1L, Array(1f, -2f, 0.5f, 0f)))
+      .toDF("vec_id", "embedding")).collect()
+    val zero = rows.find(_.getLong(0) == 0L).get
+    assert(zero.getDouble(rows.head.fieldIndex("s")) > 0.0)
+    val codes = zero.getSeq[Byte](zero.fieldIndex("q8"))
+    assert(codes != null && codes.forall(_ == 0.toByte))
+    val nz = rows.find(_.getLong(0) == 1L).get
+    assert(nz.getSeq[Byte](nz.fieldIndex("q8")).exists(_ != 0.toByte))
   }
 
   test("SQ8 quantized top-k: high recall vs brute force, exact cosines on survivors") {
@@ -461,6 +476,25 @@ class LlmOpsSpec extends AnyFunSuite {
     // distinct source docs don't collapse into one blob: most cross pairs are far
     val crossDup = brute.count { case (a, b) => a % 10000 != b % 10000 }
     assert(crossDup < brute.size / 2, s"$crossDup spurious cross-document pairs")
+  }
+
+  test("registered media_neardup is non-empty on gate data and equals brute Hamming at its radius") {
+    import Multimodal.MediaCodec
+    // the gate ran 0 rows for three rounds at the old radius: the
+    // synthetic payloads' closest organic pairs sit at Hamming 10-14,
+    // so the registered radius must see them — pin non-emptiness AND
+    // exactness at that radius
+    val got = Multimodal.mediaNearDup(spark, sf)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "registered media_neardup returns 0 rows on gate data")
+    val sig = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> MediaCodec.dHash64(
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val brute = (for {
+      (a, ha) <- sig; (b, hb) <- sig if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 14
+    } yield (a, b)).toSet
+    assert(got == brute)
   }
 
   test("frame-level near-dup: re-encoded clip's frames recalled across videos") {

@@ -48,4 +48,14 @@ class OrcSourceSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(got == want && want.nonEmpty)
   }
+
+  test("a second orcScan never invalidates an earlier scan's files") {
+    // the old overwrite-in-place mirror deleted the files an already-
+    // planned DataFrame had listed; the immutable publish keeps every
+    // reader valid however many builders run
+    val first = OrcSource.orcScan(spark, sf)
+    val n2 = OrcSource.orcScan(spark, sf).count()
+    val n1 = first.count() // executed AFTER the second build
+    assert(n1 == n2 && n1 > 0)
+  }
 }

@@ -47,6 +47,25 @@ class PlanGuardrailSpec extends AnyFunSuite {
     }
   }
 
+  test("every registered query analyzes against every generated SF dir") {
+    // testdata-drift guard: the driver regenerates /root/testdata between
+    // rounds and has changed table schemas doing so (events.ts went
+    // TIMESTAMP(NANOS) → timestamp[us] in round 9, silently breaking 15
+    // queries). Analyzing — not executing — every query against every SF
+    // catches a layout change in `sbt test` before the driver's gate does.
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
+      .filter(d => new java.io.File(d).isDirectory)
+    assert(dirs.nonEmpty)
+    for (dir <- dirs; (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      try fn(spark, dir).queryExecution.analyzed
+      catch { case e: Exception =>
+        fail(s"$name fails analysis at $dir: " +
+          e.toString.linesIterator.take(2).mkString(" "))
+      }
+    }
+  }
+
   test("windows keep their partitioning except over bounded aggregates") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val plan = fn(spark, sf).queryExecution.executedPlan.toString

@@ -245,4 +245,14 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     // and with eps=1e-4 on these key counts the estimate is tight
     assert(est <= (exact * 1.05).toLong + 1, s"est $est vs exact $exact")
   }
+
+  test("CMS join-cardinality estimate is 0 on an empty probe side") {
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"))
+    val empty = Tables.orders(spark, sf).select(col("o_orderkey"))
+      .filter(col("o_orderkey") < 0)
+    // Dataset.reduce used to throw UnsupportedOperationException here
+    // (no partial results on an empty distinct-key set)
+    assert(ScaleTechniques.joinCardinalityEstimate(
+      li, "l_orderkey", empty, "o_orderkey") == 0L)
+  }
 }

@@ -11,8 +11,8 @@ class SchemaEvolutionSpec extends AnyFunSuite {
 
   test("mergeSchema surfaces the evolved column; pre-evolution rows read null") {
     val base = Files.createTempDirectory("graft-evo").toString
-    SchemaEvolution.writeEpochs(spark, sf, base)
-    val merged = SchemaEvolution.readMerged(spark, base)
+    val published = SchemaEvolution.writeEpochs(spark, sf, base)
+    val merged = SchemaEvolution.readMerged(spark, published)
     val docs = Tables.documents(spark, sf)
     assert(merged.count() == docs.count())
     // epoch-0 files predate lang: null there, populated after
@@ -26,17 +26,28 @@ class SchemaEvolutionSpec extends AnyFunSuite {
 
   test("an explicit union schema reads the history identically without footer merging") {
     val base = Files.createTempDirectory("graft-evo-schema").toString
-    SchemaEvolution.writeEpochs(spark, sf, base)
-    val merged = SchemaEvolution.readMerged(spark, base)
+    val published = SchemaEvolution.writeEpochs(spark, sf, base)
+    val merged = SchemaEvolution.readMerged(spark, published)
       .select("doc_id", "lang", "n_chars")
     // the 100 TB alternative: declare the union schema up front — no
     // per-file footer listing at plan time, same null semantics
     val declared = spark.read.schema(
         "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-      .parquet(base).select("doc_id", "lang", "n_chars")
+      .parquet(published).select("doc_id", "lang", "n_chars")
     val a = merged.collect().map(_.toSeq).toSet
     val b = declared.collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty)
+  }
+
+  test("writeEpochs publishes once: a rebuilt attempt never disturbs the published history") {
+    val base = Files.createTempDirectory("graft-evo-pub").toString
+    val p1 = SchemaEvolution.writeEpochs(spark, sf, base)
+    val marker = new java.io.File(s"$p1/_done")
+    assert(marker.exists())
+    val mtime = marker.lastModified()
+    val p2 = SchemaEvolution.writeEpochs(spark, sf, base)
+    assert(p1 == p2)
+    assert(marker.lastModified() == mtime, "published history was rewritten")
   }
 
   test("schema_evolution query equals the direct computation on the source table") {
