@@ -495,8 +495,12 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup shuffle: candidates are quadratic in
+      // bucket size (12M rows at sf0.1 under a wide radius) while
+      // survivors are a handful — the distinct only ever needs to see
+      // survivors, and the popcount filter is codegen'd in the scan
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** Edit-distance near-dup via the MULTI-PASS sorted-neighborhood
