@@ -23,6 +23,11 @@ for p in glob.glob(f"{sf}/*.parquet"):
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = 0
+errpath = f"{out}/errors.json"
+if os.path.exists(errpath):
+    for name, err in sorted(json.load(open(errpath)).items()):
+        print(f"FAIL {name}: query threw {err}")
+        fails += 1
 for name, sql in sorted(oracle.items()):
     spark_dir = f"{out}/{name}"
     if not os.path.isdir(spark_dir):
