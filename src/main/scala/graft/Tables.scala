@@ -129,18 +129,25 @@ object Tables {
     * Sum is computed over DECIMAL so Spark and the oracle agree bit-for-bit
     * (double summation order is engine-specific; decimal addition is exact).
     */
-  def importance(spark: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(spark, dir)
-    val o  = orders(spark, dir)
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .groupBy(
-        o("o_custkey").as("customer"),
-        li("l_suppkey").as("merchant"),
-        li("l_returnflag").as("category"))
-      .agg(
-        round(sum(li("l_discount").cast(DecimalType(18, 6))).cast("double") /
-          count(lit(1)), 6).as("weight"))
-  }
+  def importance(spark: SparkSession, dir: String): DataFrame =
+    // memoized like [[transactions]]: agg_percentile / enrich_join /
+    // low_weight_pairs and the pattern tree all re-derive this aggregate;
+    // warm mode builds the grouped dim once. Same repartition-before-
+    // persist as transactions: AQE coalesces the byte-small agg output
+    // to ~1 partition, which would serialize every cached consumer scan.
+    Caches.memo(spark, s"importance:$dir") {
+      val li = lineitem(spark, dir)
+      val o  = orders(spark, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(
+          o("o_custkey").as("customer"),
+          li("l_suppkey").as("merchant"),
+          li("l_returnflag").as("category"))
+        .agg(
+          round(sum(li("l_discount").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1)), 6).as("weight"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
 
   /** S2 — static CSV read with an explicit schema and header, the
     * reference's CustomerImportance load shape ("Mechanism Y.py":68):

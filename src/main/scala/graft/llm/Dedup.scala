@@ -471,34 +471,59 @@ object Dedup {
       maxDist)
 
   /** EXACT banded self-join over any 64-bit signature frame
-    * `(doc_id: long, sig: long)`: split the signature into (maxDist+1)
-    * disjoint bands — by pigeonhole, any pair within Hamming distance
-    * maxDist agrees exactly on ≥1 band, so joining on band equality
-    * yields every qualifying pair (full recall) while never enumerating
-    * all pairs. Shared by SimHash text dedup and dHash media dedup.
+    * `(doc_id: long, sig: long)`, full recall at Hamming ≤ maxDist by
+    * generalized pigeonhole, never all-pairs. Shared by SimHash text
+    * dedup and dHash media dedup.
     *
-    * Scale: the only shuffle is the band-equality join; candidates are
-    * verified with a codegen'd XOR+popcount, so cost is driven by bucket
-    * collisions, not corpus size². */
+    * Two regimes (multi-index Hamming search, Norouzi et al. 2012):
+    *   - narrow radius: (maxDist+1) disjoint bands joined on EXACT
+    *     equality — ≤ maxDist differing bits can't touch every band;
+    *   - wide radius (maxDist ≥ 8): ⌈(maxDist+1)/2⌉ WIDER bands joined
+    *     within per-band distance ≤ 1 (if every band differed by ≥ 2,
+    *     the total would exceed maxDist). The ≤1 neighborhood is reached
+    *     by exact equality against the probe side's enumerated 1-bit
+    *     flips (width+1 keys/band). Wider bands collide quadratically
+    *     less — 8×8-bit bands generate ~3× fewer candidates than
+    *     15×4-bit at radius 14 — which is what keeps a wide-radius scan
+    *     viable on a large corpus.
+    *
+    * Scale: the only shuffle is the band-key join; candidates are
+    * verified with a codegen'd XOR+popcount BEFORE the pair-dedup
+    * shuffle, so cost is driven by bucket collisions, not corpus size². */
   private[graft] def bandedHammingPairs(sig: DataFrame, maxDist: Int): DataFrame = {
-    val nBands = maxDist + 1
+    val multiProbe = maxDist >= 8
+    val nBands = if (multiProbe) (maxDist + 2) / 2 else maxDist + 1
     val width = 64 / nBands
-    val bandCols = (0 until nBands).map { b =>
-      struct(lit(b).as("band_id"),
-        shiftrightunsigned(col("sig"), b * width)
-          .bitwiseAND((1L << width) - 1).as("band_val"))
+    def bandVal(b: Int) =
+      shiftrightunsigned(col("sig"), b * width).bitwiseAND((1L << width) - 1)
+    val exactCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band_id"), bandVal(b).as("band_val"))
     }
-    val banded = sig.select(col("doc_id"), col("sig"),
-        explode(array(bandCols: _*)).as("band"))
+    val exact = sig.select(col("doc_id"), col("sig"),
+        explode(array(exactCols: _*)).as("band"))
       .select(col("doc_id"), col("sig"), col("band.band_id"), col("band.band_val"))
-    banded.as("x").join(banded.as("y"), Seq("band_id", "band_val"))
+    val probe = if (!multiProbe) exact else {
+      // each band value plus its width single-bit flips: a pair whose
+      // band distance is ≤ 1 collides with the other side's exact value
+      val variantCols = (0 until nBands).flatMap { b =>
+        (0 to width).map { j =>
+          struct(lit(b).as("band_id"),
+            (if (j == 0) bandVal(b)
+             else bandVal(b).bitwiseXOR(lit(1L << (j - 1)))).as("band_val"))
+        }
+      }
+      sig.select(col("doc_id"), col("sig"),
+          explode(array(variantCols: _*)).as("band"))
+        .select(col("doc_id"), col("sig"), col("band.band_id"), col("band.band_val"))
+    }
+    // the probe side broadcasts (both sides are byte-tiny — ≤ a few MB
+    // of (id, sig, band) rows), so the quadratic bucket expansion
+    // streams through the exact side's scan partitions with no shuffle;
+    // the candidate filter runs before the survivors-only distinct
+    exact.as("x").join(probe.as("y"), Seq("band_id", "band_val"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
-      // filter BEFORE the dedup shuffle: candidates are quadratic in
-      // bucket size (12M rows at sf0.1 under a wide radius) while
-      // survivors are a handful — the distinct only ever needs to see
-      // survivors, and the popcount filter is codegen'd in the scan
       .filter(col("hamming") <= maxDist)
       .distinct()
   }

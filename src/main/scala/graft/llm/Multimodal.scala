@@ -165,8 +165,16 @@ object Multimodal {
     * ≤14 differing bits cannot touch all 15 bands); the cost is a
     * denser candidate join, which is the correct trade only where the
     * duplicate radius genuinely is that wide. */
-  def mediaNearDup(spark: SparkSession, dir: String, maxDist: Int = 14): DataFrame =
-    mediaNearDupPairs(spark, mediaTable(spark, dir), maxDist)
+  def mediaNearDup(spark: SparkSession, dir: String, maxDist: Int = 14): DataFrame = {
+    // memoize the 16-byte/row signature frame: the banded self-join
+    // reads it on BOTH legs (and the probe leg enumerates variants), so
+    // without the persist the payload scan + dHash runs twice; fanOut
+    // parallelizes the single-file payload scan the hash rides on
+    val hashes = graft.Caches.memo(spark, s"mediaHashes:$dir") {
+      mediaHashesOf(spark, graft.Tables.fanOut(mediaTable(spark, dir)))
+    }
+    Dedup.bandedHammingPairs(hashes, maxDist)
+  }
 
   /** [[mediaNearDup]] over an arbitrary media frame (spec entry point for
     * planted-duplicate fixtures). */
