@@ -162,4 +162,27 @@ class PropertySpec extends AnyFunSuite {
       assert(composed == brute, s"composed != brute, seed $seed")
     }
   }
+
+  test("banded Hamming pairs == brute force in BOTH regimes, across the multi-probe boundary") {
+    import spark.implicits._
+    // radii straddling the exact-banding/multi-probe switch at 8,
+    // including clustered sigs (planted near-dups) and uniform noise
+    val sigGen = for {
+      base <- Gen.long
+      flips <- Gen.chooseNum(0, 18)
+      bits <- Gen.listOfN(flips, Gen.chooseNum(0, 63))
+    } yield bits.foldLeft(base)((s, b) => s ^ (1L << b))
+    for (seed <- 1L to 4L; maxDist <- Seq(3, 7, 8, 11, 14)) {
+      val sigs = sample(Gen.listOfN(60, sigGen), seed * 100 + maxDist)
+        .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val df = sigs.toDF("doc_id", "sig")
+      val got = graft.llm.Dedup.bandedHammingPairs(df, maxDist)
+        .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = (for {
+        (a, sa) <- sigs; (b, sb) <- sigs if a < b
+        if java.lang.Long.bitCount(sa ^ sb) <= maxDist
+      } yield (a, b)).toSet
+      assert(got == brute, s"maxDist=$maxDist seed=$seed")
+    }
+  }
 }
