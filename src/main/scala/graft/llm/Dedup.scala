@@ -443,23 +443,30 @@ object Dedup {
     * 64 bits; bit j of the signature is the sign of Σ_tokens (±1 per bit).
     * Expressed as 64 conditional-sum aggregates + a bit-assembly fold —
     * all codegen'd, one shuffle on doc_id. */
+  /** Per-ROW SimHash-64 of a text column: distinct tokens hash with
+    * xxhash64; signature bit j is the sign of Σ_tokens(±1 on hash bit j).
+    * A document's text lives in one row, so the signature is a pure
+    * projection — 64 array-folds per row, zero shuffle, and the same
+    * math as a grouped 64-aggregate formulation bit for bit. Works
+    * identically on batch and STREAMING frames (a streaming near-dup
+    * needs the signature before any stateful operator). */
+  def simhash64(text: Column): Column = {
+    val hs = transform(array_distinct(TextOps.tokens(text)), t => xxhash64(t))
+    (0 until 64).map { j =>
+      when(aggregate(hs, lit(0L), (acc, h) =>
+          acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+  }
+
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
     graft.Caches.memo(spark, s"simhashSignatures:$dir") {
       // both sides of the banded self-join read it; without the cache
-      // the 64-aggregate signature pass runs twice
-      val tok = Tables.fanOut(Tables.documents(spark, dir))
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
-        .distinct()
-        .withColumn("h", xxhash64(col("token")))
-      val bitSums = (0 until 64).map { j =>
-        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-          .as(s"b_$j")
-      }
-      val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      val sig = (0 until 64).map { j =>
-        when(col(s"b_$j") >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-      }.reduce((x, y) => x.bitwiseOR(y))
-      agg.select(col("doc_id"), sig.as("simhash"))
+      // the signature pass runs twice. The per-row form needs no
+      // (doc_id, token) explode and no 64-aggregate shuffle — the
+      // signature rides the scan.
+      Tables.fanOut(Tables.documents(spark, dir))
+        .select(col("doc_id"), simhash64(col("text")).as("simhash"))
     }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, via the
