@@ -256,13 +256,23 @@ object Multimodal {
     * re-encoded clip inside a second video and asserts its frames are
     * recalled. */
   def mediaFrameNearDup(spark: SparkSession, dir: String,
-      maxDist: Int = 6): DataFrame =
-    mediaFrameNearDupPairs(spark, mediaTable(spark, dir), maxDist)
+      maxDist: Int = 6): DataFrame = {
+    // memoized like [[mediaNearDup]]'s hashes: both legs of the banded
+    // self-join read the frame-signature frame, and it is 16 bytes/frame
+    val sig = graft.Caches.memo(spark, s"mediaFrameHashes:$dir") {
+      frameHashes(spark, graft.Tables.fanOut(mediaTable(spark, dir)))
+    }
+    framePairsOf(sig, maxDist)
+  }
 
   def mediaFrameNearDupPairs(spark: SparkSession, media: DataFrame,
-      maxDist: Int = 6): DataFrame = {
+      maxDist: Int = 6): DataFrame =
+    framePairsOf(frameHashes(spark, media), maxDist)
+
+  /** dHash-64 per sampled frame, keyed by the packed doc·frame long. */
+  private def frameHashes(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    val sig = frameSamples(spark, media).as[FrameSample]
+    frameSamples(spark, media).as[FrameSample]
       .mapPartitions(_.map { f =>
         // The packed key is doc_id·2²⁰ + frame_idx in one long; out-of-
         // range ids would silently alias to the WRONG doc/frame, so fail
@@ -276,6 +286,11 @@ object Multimodal {
           MediaCodec.dHash64(f.frame))
       })
       .toDF()
+  }
+
+  /** Banded self-join over packed frame signatures, unpacked to
+    * cross-video frame pairs. */
+  private def framePairsOf(sig: DataFrame, maxDist: Int): DataFrame =
     Dedup.bandedHammingPairs(sig, maxDist)
       .select(
         shiftrightunsigned(col("ida"), 20).as("doc_a"),
@@ -284,7 +299,6 @@ object Multimodal {
         col("idb").bitwiseAND((1L << 20) - 1).cast("int").as("frame_b"),
         col("hamming"))
       .filter(col("doc_a") =!= col("doc_b"))
-  }
 
   val mediaFeaturesSql: String =
     """SELECT doc_id,
