@@ -27,6 +27,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Caches {
 
   private val memoMap = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val objMap = new ConcurrentHashMap[(SparkSession, String), AnyRef]()
 
   /** Drop entries whose session's context has stopped — their frames
     * are unusable and the map would otherwise pin the dead session (and
@@ -37,6 +38,27 @@ object Caches {
     val it = memoMap.keySet.iterator()
     while (it.hasNext) {
       if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
+    val oit = objMap.keySet.iterator()
+    while (oit.hasNext) {
+      if (oit.next()._1.sparkContext.isStopped) oit.remove()
+    }
+  }
+
+  /** Memoized session-scoped OBJECT (a fitted ml model, trained
+    * codebooks — anything deterministic and expensive whose builder runs
+    * EAGER Spark jobs). Same lifecycle as [[memo]]: one build per
+    * (session, key), dropped by [[release]] so cold-attribution
+    * benchmarking re-pays the build per query. */
+  def memoObj[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
+    evictStopped()
+    val k = (spark, key)
+    val existing = objMap.get(k)
+    if (existing != null) existing.asInstanceOf[T]
+    else {
+      val built = build
+      val prev = objMap.putIfAbsent(k, built)
+      if (prev != null) prev.asInstanceOf[T] else built
     }
   }
 
@@ -75,6 +97,10 @@ object Caches {
         it.remove()
       }
     }
+    val oit = objMap.keySet.iterator()
+    while (oit.hasNext) {
+      if (oit.next()._1 eq spark) oit.remove()
+    }
   }
 
   /** Unpersist and forget every registered frame (all sessions). */
@@ -82,5 +108,6 @@ object Caches {
     memoMap.values.forEach(df =>
       try df.unpersist() catch { case _: Throwable => () })
     memoMap.clear()
+    objMap.clear()
   }
 }

@@ -127,7 +127,11 @@ object Quality {
         < lit((sampleFrac * 1e6).toLong))
     val lr = new LogisticRegression().setMaxIter(maxIter).setRegParam(0.01)
       .setFeaturesCol("features").setLabelCol("label")
-    val model = lr.fit(train)
+    // the fit runs ~maxIter treeAggregate jobs EAGERLY at query-build
+    // time; LBFGS on the same input is deterministic, so the model is
+    // memoized per (session, inputs) — cold mode's release re-fits
+    val model = graft.Caches.memoObj(spark,
+      s"qcModel:$dir:$hashDim:$maxIter:$sampleFrac") { lr.fit(train) }
     model.transform(feats)
       .select(col("doc_id"), col("label").cast("int").as("rule_keep"),
         round(element_at(vector_to_array(col("probability")), 2), 6)

@@ -170,11 +170,16 @@ object Vectors {
     // random init + a coalesced fit input keep the iterative fit to a
     // handful of jobs — kmeans|| costs ~3× the barrier rounds, and on a
     // shared host every extra tiny barrier job amplifies scheduling
-    // stalls; coarse-quantizer quality is insensitive to init here
+    // stalls; coarse-quantizer quality is insensitive to init here.
+    // The fixed-seed fit is deterministic, so the fitted quantizer is
+    // memoized per (session, dir, nCells) and SHARED with semanticDedup
+    // (identical config — one coarse partitioning serves both ops).
     val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
       .setInitMode("random")
       .setFeaturesCol("v").setPredictionCol("cell")
-    val model = km.fit(emb.select(col("v")).coalesce(4))
+    val model = graft.Caches.memoObj(spark, s"ivfKmeans:$dir:$nCells") {
+      km.fit(emb.select(col("v")).coalesce(4))
+    }
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
     val q = assigned.filter(col("vec_id") < nQueries)
@@ -238,21 +243,29 @@ object Vectors {
         "embedding", "nrm")
         .withColumn("v", array_to_vector(col("embedding")))
     }
-    semanticDedupFromEmb(emb, threshold, nCells)
+    semanticDedupFromEmb(emb, threshold, nCells,
+      modelKey = Some(s"ivfKmeans:$dir:$nCells"))
   }
 
   /** The frame-level core of [[semanticDedup]] over any
     * (vec_id, embedding, nrm, v) frame — the testable unit (LlmOpsSpec
-    * plants near-parallel duplicates and checks they all drop). */
+    * plants near-parallel duplicates and checks they all drop).
+    * `modelKey` memoizes the fitted quantizer per session — the dir
+    * path shares it with [[simTopKIvf]] (identical config). */
   def semanticDedupFromEmb(emb: DataFrame,
-      threshold: Double, nCells: Int): DataFrame = {
+      threshold: Double, nCells: Int,
+      modelKey: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     // identical quantizer config to [[simTopKIvf]] (seed, init, iters) —
     // the coarse partitioning is shared infrastructure, not per-op tuning
     val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
       .setInitMode("random")
       .setFeaturesCol("v").setPredictionCol("cell")
-    val model = km.fit(emb.select(col("v")).coalesce(4))
+    def fit() = km.fit(emb.select(col("v")).coalesce(4))
+    val model = modelKey match {
+      case Some(key) => graft.Caches.memoObj(emb.sparkSession, key)(fit())
+      case None => fit()
+    }
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
     // cell-local near-parallel pairs, exact-cosine verified
