@@ -7,19 +7,29 @@ import org.apache.spark.sql.SparkSession
   * line. A small untimed warmup first so the first query doesn't absorb
   * codegen/IO initialization.
   *
-  * Two modes via SPARK_GRAFT_BENCH_MODE:
-  *   - `warm` (default): the session-scoped Caches persist across
-  *     queries — cross-query plan reuse is deliberate engine design
+  * BOTH attribution modes are measured in one run (round-11 change —
+  * previously a mode had to be chosen via env var, and a warm-only
+  * artifact let memoized rows (dedup_clusters 0.02 s) be misread as
+  * per-query costs):
+  *   - warm: the session-scoped Caches persist across queries —
+  *     cross-query plan reuse is deliberate engine design
   *     (dedup_clusters builds the ngram pair set, dedup_ngram reads it),
-  *     so the TOTAL is the honest cost of running the whole suite.
-  *   - `cold`: Caches.release(spark) before EVERY timed pass, so each
-  *     per-query number is independent of run order — the right mode
-  *     when single-query attribution matters more than suite cost. */
+  *     so the warm TOTAL is the honest cost of running the whole suite;
+  *   - cold: Caches.release(spark) before EVERY timed pass, so each
+  *     per-query number is independent of run order — the right number
+  *     when single-query attribution matters more than suite cost.
+  * The JSON carries `queries` (warm, the driver's headline) plus
+  * `queries_cold`/`total_cold`. SPARK_GRAFT_BENCH_MODE=warm|cold still
+  * restricts to a single mode. The full line is also written to
+  * SPARK_GRAFT_BENCH_OUT (default BENCH_FULL.json in the cwd) because
+  * the driver's captured artifact has twice truncated to a 2000-char
+  * tail, losing per-query rows.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val cold = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("cold")
+    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "both")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,7 +39,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: touch the fact table + run the cheapest query once
+    // warmup: touch the fact table once so the first timed query doesn't
+    // absorb IO/codegen initialization
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
     // min-of-2 passes per query: this host has episodic CPU steal that
@@ -41,33 +52,55 @@ object Bench {
     // output column computed by the executed plan), not df.count():
     // counting lets ColumnPruning drop computed projections, which
     // under-measures projection-heavy queries.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Either[String, Double] = {
-        if (cold) Caches.release(spark)
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).queryExecution.toRdd.count()
-          Right((System.nanoTime() - t0) / 1e9)
+    def runSuite(cold: Boolean): (Seq[(String, Double)], Seq[(String, String)]) = {
+      if (cold) Caches.release(spark)
+      val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        def once(): Either[String, Double] = {
+          if (cold) Caches.release(spark)
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).queryExecution.toRdd.count()
+            Right((System.nanoTime() - t0) / 1e9)
+          }
+          catch { case e: Throwable => Left(e.getClass.getSimpleName) }
         }
-        catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+        name -> (once() match {
+          case Left(err) => Left(err)
+          case Right(a) => once() match {
+            case Right(b) => Right(math.min(a, b))
+            case Left(_)  => Right(a) // flaky second pass: keep the success
+          }
+        })
       }
-      name -> (once() match {
-        case Left(err) => Left(err)
-        case Right(a) => once() match {
-          case Right(b) => Right(math.min(a, b))
-          case Left(_)  => Right(a) // flaky second pass: keep the success
-        }
-      })
+      (results.collect { case (k, Right(v)) => k -> v },
+        results.collect { case (k, Left(e)) => k -> e })
     }
-    val ok = results.collect { case (k, Right(v)) => k -> v }
-    val errs = results.collect { case (k, Left(e)) => k -> e }
-    val qs = ok.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
+
+    def fmt(rows: Seq[(String, Double)]): String =
+      rows.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+        .mkString("{", ",", "}")
+
+    val (warmOk, warmErr) =
+      if (mode != "cold") runSuite(cold = false) else (Nil, Nil)
+    val (coldOk, coldErr) =
+      if (mode != "warm") runSuite(cold = true) else (Nil, Nil)
+
+    val headline = if (mode == "cold") coldOk else warmOk
+    val errs = (warmErr ++ coldErr).distinct
     val es = errs.map { case (k, e) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
-    val mode = if (cold) "cold" else "warm"
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$es,"passes":2,"mode":"$mode","sf":"$sfDir"}""")
+    val total = headline.map(_._2).sum
+    val coldPart =
+      if (mode == "warm" || coldOk.isEmpty) ""
+      else f""","total_cold":${coldOk.map(_._2).sum}%.3f,"queries_cold":${fmt(coldOk)}"""
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(headline)}$coldPart,"errors":$es,"passes":2,"mode":"$mode","sf":"$sfDir"}"""
+    println(line)
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // best-effort mirror of stdout
     Caches.release()
     spark.stop()
   }

@@ -57,11 +57,20 @@ object SparkEntry {
     // exact-when-wide registrations (k ≥ n / ε=1e-4): oracle-checkable
     // against plain SQL; the approximate production configs keep their
     // error-envelope contracts in FunctionsSpec
+    // requireExact guards the data-scale assumption at runtime (per-group
+    // rows ≤ k; no full-depth CMS collision): a regenerated/larger
+    // dataset fails loudly instead of as an opaque oracle hash mismatch
     "quantile_sketch"   -> ((s, d) =>
-      graft.functions.KllSketch.quantileSketch(s, d, k = 1 << 20)),
+      graft.functions.KllSketch.quantileSketch(s, d, k = 1 << 20,
+        requireExact = true)),
     "hll_distinct"      -> (graft.functions.HllSketch.hllDistinct(_, _)),
+    // eps=1e-5 (width 200k): the r10 eps=1e-4 registration left sf0.1's
+    // 1500 distinct users at a ~2e-5 full-depth-collision risk — the new
+    // requireExact guard flagged it; the wider sketch puts the bound at
+    // ~1.5e-12 while staying a 5.6 MB mergeable aggregate
     "cms_topk"          -> ((s, d) =>
-      graft.functions.CmsSketch.cmsTopK(s, d, eps = 1e-4)),
+      graft.functions.CmsSketch.cmsTopK(s, d, eps = 1e-5,
+        requireExact = true)),
     "events_window"     -> (RelOps.eventsWindow(_, _)),
     // §2.1/2.2 extension: ORC lang-partitioned mirror + pruned scan
     "orc_scan"          -> (OrcSource.orcScan(_, _)),
@@ -135,6 +144,13 @@ object SparkEntry {
     "weighted_sample_grouped" -> (Sampling.weightedSampleBySource(_, _)),
     "span_shared"       -> (Dedup.spanSharedPairs(_, _)),
     "cdc_shared"        -> (Dedup.cdcSharedPairs(_, _)),
+    // streaming near-dup as a registered query: the documents table is
+    // streamed through the fMGWS band-bucket operator to completion and
+    // the distinct pair set returned — equal by construction to the
+    // batch dedup_simhash truth (StreamingNearDupSpec pins it), which
+    // is how a stateful streaming op with no SQL oracle gets checked
+    "streaming_neardup" -> (graft.streaming.StreamingNearDup
+      .streamingNearDupQuery(_, _)),
     // scale techniques as first-class queries
     "salted_agg"        -> (graft.scale.ScaleTechniques.saltedAggQuery(_, _)),
     "bloom_join"        -> (graft.scale.ScaleTechniques.bloomJoinQuery(_, _)),

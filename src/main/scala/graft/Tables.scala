@@ -56,15 +56,25 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** Length+mtime fingerprint of a source file, for keying derived
-    * artifacts (ORC mirrors, PQ/dedup indexes) so a REGENERATED source
-    * never silently serves a stale derivation — the events-table schema
-    * drift showed the generator does rewrite tables between rounds. */
+  /** Content fingerprint of a source file, for keying derived artifacts
+    * (ORC mirrors, PQ/dedup indexes) so a REGENERATED source never
+    * silently serves a stale derivation — the events-table schema drift
+    * showed the generator does rewrite tables between rounds.
+    * Length+mtime alone can alias a regenerated file (identical byte
+    * length written within the filesystem's mtime granularity), so a
+    * CRC of the file TAIL is folded in: for parquet the tail is the
+    * footer (row-group offsets, column stats), which changes whenever
+    * the content does. One bounded ≤64 KiB read per stamp. */
   def fileStamp(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getFileStatus(p)
-    s"${st.getLen}_${st.getModificationTime}"
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val tail = new Array[Byte](math.min(st.getLen, 65536L).toInt)
+    val in = fs.open(p)
+    try in.readFully(math.max(0L, st.getLen - tail.length), tail)
+    finally in.close()
+    val crc = new java.util.zip.CRC32(); crc.update(tail)
+    s"${st.getLen}_${st.getModificationTime}_${java.lang.Long.toHexString(crc.getValue)}"
   }
 
   /** Fan a small-file scan out to every core — but ONLY when the scan
@@ -97,21 +107,22 @@ object Tables {
     // lineitem⋈orders shuffle across all of them. Cold/cluster mode
     // keeps the no-cache behavior — Bench's cold pass calls
     // Caches.release before every query, so each rebuild recomputes the
-    // co-partitioned join instead of pinning executor memory. The
-    // repartition inside the memo un-pins the AQE-coalesced join layout
-    // (often 1-2 partitions at test SFs) BEFORE persist, so cached
-    // consumers scan in parallel instead of serializing on one slice.
+    // co-partitioned join instead of pinning executor memory. fanOut
+    // un-pins the AQE-coalesced join layout (often 1-2 partitions at
+    // test SFs) BEFORE persist so cached consumers scan in parallel —
+    // and is a NO-OP when the join output already carries ≥ the
+    // session's parallelism (cluster scale), where an unconditional
+    // repartition would be a gratuitous full extra shuffle.
     Caches.memo(spark, s"transactions:$dir") {
       val li = lineitem(spark, dir)
       val o  = orders(spark, dir)
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
+      fanOut(li.join(o, li("l_orderkey") === o("o_orderkey"))
         .select(
           o("o_custkey").as("customer"),
           li("l_suppkey").as("merchant"),
           li("l_returnflag").as("category"),
           li("l_extendedprice").as("amount"),
-          when(o("o_custkey") % 2 === 0, lit("M")).otherwise(lit("F")).as("gender"))
-        .repartition(spark.sparkContext.defaultParallelism)
+          when(o("o_custkey") % 2 === 0, lit("M")).otherwise(lit("F")).as("gender")))
     }
 
   /** SQL text of [[transactions]] as a DuckDB CTE body, reused by oracle
@@ -132,21 +143,21 @@ object Tables {
   def importance(spark: SparkSession, dir: String): DataFrame =
     // memoized like [[transactions]]: agg_percentile / enrich_join /
     // low_weight_pairs and the pattern tree all re-derive this aggregate;
-    // warm mode builds the grouped dim once. Same repartition-before-
-    // persist as transactions: AQE coalesces the byte-small agg output
-    // to ~1 partition, which would serialize every cached consumer scan.
+    // warm mode builds the grouped dim once. Same guarded fanOut as
+    // transactions: AQE coalesces the byte-small agg output to ~1
+    // partition at test SFs (which would serialize every cached consumer
+    // scan), but an already-parallel aggregate is left untouched.
     Caches.memo(spark, s"importance:$dir") {
       val li = lineitem(spark, dir)
       val o  = orders(spark, dir)
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
+      fanOut(li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy(
           o("o_custkey").as("customer"),
           li("l_suppkey").as("merchant"),
           li("l_returnflag").as("category"))
         .agg(
           round(sum(li("l_discount").cast(DecimalType(18, 6))).cast("double") /
-            count(lit(1)), 6).as("weight"))
-        .repartition(spark.sparkContext.defaultParallelism)
+            count(lit(1)), 6).as("weight")))
     }
 
   /** S2 — static CSV read with an explicit schema and header, the

@@ -66,10 +66,31 @@ object CmsSketch {
     * contract in the same suite. */
   def cmsTopK(spark: SparkSession, dir: String, k: Int = 25,
       eps: Double = 0.005, confidence: Double = 0.99,
-      seed: Int = 42): DataFrame = {
+      seed: Int = 42, requireExact: Boolean = false): DataFrame = {
     val ev = Tables.fanOut(Tables.events(spark, dir))
     val sk = sketchBytes(ev, "user_id", eps, confidence, seed)
     val cand = ev.select(col("user_id")).distinct()
+    if (requireExact) {
+      // The exact-when-wide oracle registration assumes the distinct-key
+      // set is far narrower than the sketch (so no key collides in all
+      // depth rows and the estimate equals the plain GROUP BY). That is
+      // a DATA-SCALE assumption — verify it at runtime so a regenerated
+      // or larger dataset fails with the real cause, not an opaque
+      // oracle hash mismatch. A key's estimate inflates only if EVERY
+      // depth row collides; per row P ≤ (n−1)/w, so
+      // P(any estimate inflated) ≤ n·((n−1)/w)^d; require it below 1e-9.
+      val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(sk))
+      val n = cand.count().toDouble
+      val pAnyWrong = n * math.pow((n - 1) / cms.width().toDouble,
+        cms.depth().toInt)
+      if (!(pAnyWrong < 1e-9))
+        throw new IllegalStateException(
+          s"CmsSketch(requireExact): ${n.toLong} distinct keys vs " +
+            s"width=${cms.width()} depth=${cms.depth()} gives collision " +
+            f"probability $pAnyWrong%.2e ≥ 1e-9 — the exact-when-wide " +
+            "oracle registration no longer holds; widen eps or switch " +
+            "this query to the approximate contract-pinned registration")
+    }
     estimate(cand, "user_id", sk)
       .orderBy(col("est_count").desc, col("user_id"))
       .limit(k)

@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   * compactor bound O(log(n/k)/k); FunctionsSpec pins an empirical 2%
   * envelope at k=256.
   */
-case class KllSketch(k: Int, quantiles: Seq[Double])
+case class KllSketch(k: Int, quantiles: Seq[Double],
+    requireExact: Boolean = false)
     extends Aggregator[Double, KllSketch.Buf, Seq[Double]] {
   import KllSketch.Buf
 
@@ -64,6 +65,17 @@ case class KllSketch(k: Int, quantiles: Seq[Double])
   /** Weighted-rank readout: the smallest stored value whose cumulative
     * weight reaches q·(W−1), W = total stored weight. */
   override def finish(b: Buf): Seq[Double] = {
+    // the exact-when-wide registration (k chosen ≥ per-group n so the
+    // sketch degenerates to the exact order statistic, matching a plain
+    // SQL oracle) is only valid while no buffer ever fills; if the data
+    // outgrows k, fail with the real cause instead of letting the
+    // oracle comparison surface an opaque hash mismatch
+    if (requireExact && b.compactions > 0)
+      throw new IllegalStateException(
+        s"KllSketch(requireExact): a compaction fired (per-group rows " +
+          s"${b.count} > k=$k) — the exact-when-wide oracle registration " +
+          "no longer holds; raise k or switch this query to the " +
+          "approximate contract-pinned registration")
     val items = b.levels.zipWithIndex
       .flatMap { case (l, i) => l.map(v => (v, 1L << i)) }
       .sortBy(_._1)
@@ -107,13 +119,14 @@ object KllSketch {
     * arithmetic, so the chosen index is bit-identical). The production
     * k=256 approximate path keeps its 2% rank-error envelope pinned in
     * FunctionsSpec. */
-  def quantileSketch(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+  def quantileSketch(spark: SparkSession, dir: String, k: Int = 256,
+      requireExact: Boolean = false): DataFrame = {
     import spark.implicits._
     val qs = Seq(0.25, 0.5, 0.75, 0.95)
     val ds = graft.Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_extendedprice"))
       .as[(String, Double)]
-    val inner = KllSketch(k, qs)
+    val inner = KllSketch(k, qs, requireExact)
     val agg = new Aggregator[(String, Double), Buf, Seq[Double]] {
       def zero = inner.zero
       def reduce(b: Buf, r: (String, Double)) = inner.reduce(b, r._2)

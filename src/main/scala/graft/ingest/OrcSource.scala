@@ -65,7 +65,17 @@ object OrcSource {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         fin.toUri, spark.sparkContext.hadoopConfiguration)
       try fc.rename(attempt, fin)
-      catch { case _: java.io.IOException => fs.delete(attempt, true) }
+      catch {
+        case e: java.io.IOException =>
+          // dst-exists means another builder won the publish race and a
+          // complete mirror is readable; any OTHER IOException (a
+          // transient FS fault) must surface — silently dropping the
+          // attempt would leave NO published mirror and the read below
+          // would fail with an unrelated path-not-found.
+          fs.delete(attempt, true)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/final/_SUCCESS")))
+            throw e
+      }
     }
     read(spark, fin.toString)
       .filter(col("lang") === lang)

@@ -51,7 +51,15 @@ object SchemaEvolution {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       fin.toUri, spark.sparkContext.hadoopConfiguration)
     try fc.rename(attempt, fin)
-    catch { case _: java.io.IOException => fs.delete(attempt, true) }
+    catch {
+      case e: java.io.IOException =>
+        // same contract as OrcSource.orcScan: only a lost publish race
+        // (dst exists, winner's _done visible) may be swallowed — a
+        // transient rename fault with no published history must rethrow.
+        fs.delete(attempt, true)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/final/_done")))
+          throw e
+    }
     fin.toString
   }
 

@@ -458,14 +458,22 @@ object Dedup {
     * projection — 64 array-folds per row, zero shuffle, and the same
     * math as a grouped 64-aggregate formulation bit for bit. Works
     * identically on batch and STREAMING frames (a streaming near-dup
-    * needs the signature before any stateful operator). */
+    * needs the signature before any stateful operator).
+    *
+    * Token-less documents get a NULL signature, not a value: the empty
+    * sum would set every bit (0 >= 0), silently making all empty/
+    * whitespace docs mutual Hamming-0 "near-duplicates". NULL mirrors
+    * the grouped formulation, which emitted no row for such docs —
+    * consumers drop nulls before banding. */
   def simhash64(text: Column): Column = {
-    val hs = transform(array_distinct(TextOps.tokens(text)), t => xxhash64(t))
-    (0 until 64).map { j =>
+    val toks = array_distinct(TextOps.tokens(text))
+    val hs = transform(toks, t => xxhash64(t))
+    val sig = (0 until 64).map { j =>
       when(aggregate(hs, lit(0L), (acc, h) =>
           acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
         >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
+    when(size(toks) > 0, sig)
   }
 
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
@@ -476,6 +484,7 @@ object Dedup {
       // signature rides the scan.
       Tables.fanOut(Tables.documents(spark, dir))
         .select(col("doc_id"), simhash64(col("text")).as("simhash"))
+        .where(col("simhash").isNotNull) // token-less docs carry no signature
     }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, via the
@@ -506,10 +515,21 @@ object Dedup {
     * Scale: the only shuffle is the band-key join; candidates are
     * verified with a codegen'd XOR+popcount BEFORE the pair-dedup
     * shuffle, so cost is driven by bucket collisions, not corpus size². */
-  private[graft] def bandedHammingPairs(sig: DataFrame, maxDist: Int): DataFrame = {
+  /** The banding regime for a 64-bit signature at Hamming radius
+    * `maxDist`: (nBands, bandWidth, multiProbe). ONE definition shared
+    * by the batch self-join ([[bandedHammingPairs]]) and the streaming
+    * state operator ([[graft.streaming.StreamingNearDup]]) so the two
+    * paths stay provably in lockstep across the whole radius range —
+    * StreamingNearDupSpec pins stream == batch at radii on both sides
+    * of the multi-probe boundary. */
+  private[graft] def bandScheme(maxDist: Int): (Int, Int, Boolean) = {
     val multiProbe = maxDist >= 8
     val nBands = if (multiProbe) (maxDist + 2) / 2 else maxDist + 1
-    val width = 64 / nBands
+    (nBands, 64 / nBands, multiProbe)
+  }
+
+  private[graft] def bandedHammingPairs(sig: DataFrame, maxDist: Int): DataFrame = {
+    val (nBands, width, multiProbe) = bandScheme(maxDist)
     def bandVal(b: Int) =
       shiftrightunsigned(col("sig"), b * width).bitwiseAND((1L << width) - 1)
     val exactCols = (0 until nBands).map { b =>
@@ -532,9 +552,12 @@ object Dedup {
           explode(array(variantCols: _*)).as("band"))
         .select(col("doc_id"), col("sig"), col("band.band_id"), col("band.band_val"))
     }
-    // the probe side broadcasts (both sides are byte-tiny — ≤ a few MB
-    // of (id, sig, band) rows), so the quadratic bucket expansion
-    // streams through the exact side's scan partitions with no shuffle;
+    // band-key equi-join: at test SFs both sides are byte-tiny and the
+    // optimizer broadcasts the probe side on its own (no hint — a
+    // forced broadcast would be WRONG at corpus scale, where the
+    // (width+1)-per-band probe explosion is itself corpus-sized and the
+    // right plan is the partitioned shuffle join on (band_id, band_val),
+    // i.e. exactly the bucketed-join shape banding exists to enable);
     // the candidate filter runs before the survivors-only distinct
     exact.as("x").join(probe.as("y"), Seq("band_id", "band_val"))
       .filter(col("x.doc_id") < col("y.doc_id"))

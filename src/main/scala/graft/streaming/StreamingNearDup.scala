@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.llm.Dedup
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** STREAMING near-duplicate detection — the realtime-ingest form of
   * [[graft.llm.Dedup.dedupSimhash]]: every arriving document is checked
@@ -11,93 +11,262 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * lives in Spark's checkpointed state store (RocksDB on a cluster).
   *
   * Shape: per-row [[Dedup.simhash64]] signature (a pure projection, so
-  * it runs before any stateful operator), then the EXACT pigeonhole
-  * banding of the batch path — but the band buckets are KEYED STREAM
-  * STATE instead of a self-join side: `flatMapGroupsWithState` keyed by
-  * (band_id, band_val) holds the (doc_id, sig) members of each bucket,
-  * and an arriving document emits a pair for every stored member within
-  * Hamming ≤ maxDist before joining the bucket itself. Any pair within
-  * the radius agrees on ≥1 band (pigeonhole), so recall equals the
-  * batch join's — StreamingNearDupSpec pins stream == batch on the same
-  * corpus split across micro-batches.
+  * it runs before any stateful operator), then the SAME banding regime
+  * as the batch path ([[Dedup.bandScheme]] — narrow disjoint bands at
+  * small radii, wider multi-probe bands at maxDist ≥ 8), but the band
+  * buckets are KEYED STREAM STATE instead of a self-join side:
+  * `flatMapGroupsWithState` keyed by (band_id, band_val) holds the
+  * (doc_id, sig) members of each bucket, and an arriving document emits
+  * a pair for every stored member within Hamming ≤ maxDist before
+  * joining the bucket itself. In the multi-probe regime an arrival also
+  * PROBES the `width` single-bit-flip variants of each of its bands
+  * (transient rows — only the exact band value is stored), mirroring
+  * the batch probe side exactly. Any in-radius pair agrees within
+  * distance ≤ 1 on ≥ 1 band (generalized pigeonhole), and either
+  * orientation of the probe reaches the other side's stored exact
+  * value, so recall equals the batch join's — StreamingNearDupSpec pins
+  * stream == batch on the same corpus split across micro-batches, at
+  * radii on both sides of the multi-probe boundary.
   *
   * Scale properties:
   *   - state is the standing index (the streaming analog of
   *     [[graft.llm.DedupIndex]]'s fold-in contract): O(corpus) total but
   *     hash-partitioned across executors by band key, ~16 bytes/doc/band;
-  *     a lateness-bounded variant would add an event-time timeout to
-  *     evict buckets — the standing form is what ingest dedup needs;
+  *     [[nearDupPairsWatermarked]] is the lateness-bounded sibling — an
+  *     event-time timeout evicts buckets idle past the bound, so an
+  *     unbounded ingest stream holds only the working window;
   *   - per arrival, work is O(bucket size), never O(corpus); hot buckets
   *     parallelize across bands (a doc's bands land on different keys);
   *   - a pair colliding in several bands is emitted once per colliding
-  *     band: cross-band suppression would need a second stateful stage,
-  *     so it is left to the consumer (`.distinct()` per sink batch, or
-  *     `dropDuplicatesWithinWatermark` on (ida, idb) in a watermarked
-  *     pipeline) — same contract as the batch candidate stream before
-  *     its final distinct.
+  *     band by the raw operator; the watermarked pipeline suppresses the
+  *     duplicates with `dropDuplicatesWithinWatermark` on (ida, idb)
+  *     (exactly-once emission inside the lateness window), the standing
+  *     form leaves `.distinct()` to the sink batch — same contract as
+  *     the batch candidate stream before its final distinct.
   */
-object StreamingNearDup {
+object StreamingNearDup extends Serializable {
 
+  /** One banded row of an arriving document. `store=true` rows are the
+    * doc's exact band values (joined into bucket state); `store=false`
+    * rows are multi-probe single-bit-flip variants — they only LOOK. */
   final case class BandMember(band_id: Int, band_val: Long, doc_id: Long,
-      sig: Long)
+      sig: Long, store: Boolean)
+  final case class TsBandMember(band_id: Int, band_val: Long, doc_id: Long,
+      sig: Long, store: Boolean, ts: java.sql.Timestamp)
   final case class Bucket(ids: Seq[Long], sigs: Seq[Long])
+  /** Watermarked-bucket state: member event times ride along (ms since
+    * epoch, parallel to ids/sigs) so STALE MEMBERS of a still-hot
+    * bucket can be pruned — bucket-level timeouts alone only evict
+    * idle buckets, and a hot band bucket would otherwise pin every
+    * member forever. */
+  final case class TsBucket(ids: Seq[Long], sigs: Seq[Long], tss: Seq[Long])
   final case class DupPair(ida: Long, idb: Long, hamming: Int)
+  final case class TsDupPair(ida: Long, idb: Long, hamming: Int,
+      ts: java.sql.Timestamp)
 
-  /** (doc_id, text) stream → per-row signature stream (doc_id, sig). */
+  /** (doc_id, text) stream → per-row signature stream (doc_id, sig).
+    * Token-less docs carry a null signature and are dropped here, same
+    * as the batch signature frame. */
   def signatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+      .where(col("sig").isNotNull)
 
-  /** Signature stream → near-dup pair stream. `sigs` must have columns
-    * (doc_id: long, sig: long); emits (ida < idb, hamming ≤ maxDist). */
+  /** Banded rows for a signature frame under the batch band scheme:
+    * exact rows always; in the multi-probe regime, also the width
+    * single-bit flips of every band (probe-only). Extra columns listed
+    * in `carry` (e.g. the event-time column) ride along. */
+  private def banded(sigs: DataFrame, maxDist: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val (nBands, width, multiProbe) = Dedup.bandScheme(maxDist)
+    def bandVal(b: Int) =
+      shiftrightunsigned(col("sig"), b * width).bitwiseAND((1L << width) - 1)
+    val rows = (0 until nBands).flatMap { b =>
+      val variants = if (multiProbe) 0 to width else Seq(0)
+      variants.map { j =>
+        struct(lit(b).as("band_id"),
+          (if (j == 0) bandVal(b)
+           else bandVal(b).bitwiseXOR(lit(1L << (j - 1)))).as("band_val"),
+          lit(j == 0).as("store"))
+      }
+    }
+    sigs.select((Seq(col("doc_id"), col("sig"),
+        explode(array(rows: _*)).as("band")) ++ carry.map(col)): _*)
+      .select((Seq(col("band.band_id"), col("band.band_val"), col("doc_id"),
+        col("sig"), col("band.store")) ++ carry.map(col)): _*)
+  }
+
+  /** Compare a batch of arrivals against the bucket's stored members,
+    * emitting in-radius pairs via `emit(arrivalId, storedId, dist)`;
+    * arrivals process in doc_id order so a replayed micro-batch emits
+    * identical pairs, and only exact (store=true) rows join the bucket. */
+  private def probeAndStore(batch: Seq[BandMember], existing: Bucket,
+      maxDist: Int, emit: (Long, Long, Int) => Unit): Bucket = {
+    var ids = existing.ids.toList
+    var sigl = existing.sigs.toList
+    for (m <- batch.sortBy(b => (b.doc_id, !b.store))) {
+      var i = ids
+      var s = sigl
+      while (i.nonEmpty) {
+        if (i.head != m.doc_id) {
+          val d = java.lang.Long.bitCount(s.head ^ m.sig)
+          if (d <= maxDist) emit(m.doc_id, i.head, d)
+        }
+        i = i.tail
+        s = s.tail
+      }
+      if (m.store) { ids ::= m.doc_id; sigl ::= m.sig }
+    }
+    Bucket(ids, sigl)
+  }
+
+  /** Signature stream → near-dup pair stream, standing-index form (no
+    * eviction). `sigs` must have columns (doc_id: long, sig: long);
+    * emits (ida < idb, hamming ≤ maxDist), once per colliding band. */
   def nearDupPairs(sigs: DataFrame, maxDist: Int = 3): Dataset[DupPair] = {
     val spark = sigs.sparkSession
     import spark.implicits._
-    val nBands = maxDist + 1
-    val width = 64 / nBands
-    val bandCols = (0 until nBands).map { b =>
-      struct(lit(b).as("band_id"),
-        shiftrightunsigned(col("sig"), b * width)
-          .bitwiseAND((1L << width) - 1).as("band_val"))
-    }
-    val banded = sigs
-      .select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("band"))
-      .select(col("band.band_id"), col("band.band_val"), col("doc_id"),
-        col("sig"))
-      .as[BandMember]
 
     def update(key: (Int, Long), batch: Iterator[BandMember],
         state: GroupState[Bucket]): Iterator[DupPair] = {
-      val existing = state.getOption.getOrElse(Bucket(Nil, Nil))
-      var ids = existing.ids.toList
-      var sigl = existing.sigs.toList
       val out = scala.collection.mutable.ArrayBuffer[DupPair]()
-      // deterministic intra-batch order so replay emits identical pairs
-      for (m <- batch.toSeq.sortBy(_.doc_id)) {
-        var i = ids
-        var s = sigl
-        while (i.nonEmpty) {
-          if (i.head != m.doc_id) {
-            val d = java.lang.Long.bitCount(s.head ^ m.sig)
-            if (d <= maxDist)
-              out += DupPair(math.min(i.head, m.doc_id),
-                math.max(i.head, m.doc_id), d)
-          }
-          i = i.tail
-          s = s.tail
-        }
-        ids ::= m.doc_id
-        sigl ::= m.sig
-      }
-      state.update(Bucket(ids, sigl))
+      val next = probeAndStore(batch.toSeq,
+        state.getOption.getOrElse(Bucket(Nil, Nil)), maxDist,
+        (arrival, stored, d) => out += DupPair(math.min(arrival, stored),
+          math.max(arrival, stored), d))
+      state.update(next)
       out.iterator
     }
 
-    banded.groupByKey(m => (m.band_id, m.band_val))
+    banded(sigs, maxDist).as[BandMember]
+      .groupByKey(m => (m.band_id, m.band_val))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
   }
 
-  /** (doc_id, text) stream → near-dup pair stream, end to end. */
+  /** Lateness-bounded sibling of [[nearDupPairs]] for UNBOUNDED ingest:
+    * `sigs` must carry an event-time column `ts` already watermarked by
+    * the caller; a band bucket whose newest member is older than the
+    * watermark is EVICTED (event-time timeout), so state holds only the
+    * working window instead of the whole corpus. Pairs carry the
+    * arriving doc's event time so the caller can watermark the OUTPUT
+    * and run `dropDuplicatesWithinWatermark` — see [[nearDupStreamWatermarked]]. */
+  def nearDupPairsWatermarked(sigs: DataFrame, maxDist: Int = 3,
+      latenessMs: Long = 600000L): Dataset[TsDupPair] = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+
+    def update(key: (Int, Long), batch: Iterator[TsBandMember],
+        state: GroupState[TsBucket]): Iterator[TsDupPair] = {
+      if (state.hasTimedOut) {
+        // idle past the lateness bound: every on-time arrival that could
+        // still pair with these members has been processed — drop them
+        state.remove()
+        Iterator.empty
+      } else {
+        val rows = batch.toSeq
+        val out = scala.collection.mutable.ArrayBuffer[TsDupPair]()
+        val arrivalTs = rows.groupBy(_.doc_id)
+          .map { case (id, rs) => id -> rs.head.ts.getTime }
+        // per-MEMBER pruning: a member older than watermark − lateness
+        // can no longer pair with any on-time arrival (its window has
+        // closed), so it leaves state even though the bucket stays hot
+        val wm = state.getCurrentWatermarkMs()
+        val prev = state.getOption.getOrElse(TsBucket(Nil, Nil, Nil))
+        val kept = prev.ids.lazyZip(prev.sigs).lazyZip(prev.tss)
+          .filter((_, _, t) => t + latenessMs >= wm)
+        val next = probeAndStore(
+          rows.map(r => BandMember(r.band_id, r.band_val, r.doc_id, r.sig,
+            r.store)),
+          Bucket(kept.map(_._1), kept.map(_._2)), maxDist,
+          // stamp the pair with the ARRIVING doc's event time (the row
+          // that completed it) — on-time by definition, so the output
+          // watermark never discards a just-found pair
+          (arrival, stored, d) => out += TsDupPair(
+            math.min(arrival, stored), math.max(arrival, stored), d,
+            new java.sql.Timestamp(arrivalTs(arrival))))
+        // member ts list reconstructed in lockstep with the (pruned +
+        // newly stored) id list; each doc_id appears at most once per
+        // bucket (one exact row per band per doc)
+        val oldTs = prev.ids.zip(prev.tss).toMap
+        val tss = next.ids.map(id => arrivalTs.getOrElse(id, oldTs(id)))
+        state.update(TsBucket(next.ids, next.sigs, tss))
+        // bucket-level timeout still covers the IDLE case: keep the
+        // bucket until the watermark passes newest + lateness, after
+        // which any arrival it could serve would be late-dropped anyway
+        val newest = rows.map(_.ts.getTime).max
+        state.setTimeoutTimestamp(math.max(newest + latenessMs,
+          state.getCurrentWatermarkMs() + 1))
+        out.iterator
+      }
+    }
+
+    banded(sigs, maxDist, carry = Seq("ts")).as[TsBandMember]
+      .groupByKey(m => (m.band_id, m.band_val))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** (doc_id, text) stream → near-dup pair stream, end to end
+    * (standing-index form). */
   def nearDupStream(docs: DataFrame, maxDist: Int = 3): Dataset[DupPair] =
     nearDupPairs(signatures(docs), maxDist)
+
+  /** (doc_id, text, ts) stream → watermarked near-dup pipeline:
+    * bounded state (buckets evict past `lateness`) AND exactly-once
+    * pair emission within the lateness window — the per-band duplicate
+    * emissions are suppressed by `dropDuplicatesWithinWatermark` on
+    * (ida, idb), whose own dedup state also evicts with the watermark.
+    * This is the form an unbounded 100 TB ingest stream runs. */
+  def nearDupStreamWatermarked(docs: DataFrame, maxDist: Int = 3,
+      lateness: String = "10 minutes", latenessMs: Long = 600000L): DataFrame = {
+    // Spark's global-watermark pattern check rejects ANY
+    // fMGWS → stateful chain, because fMGWS may emit arbitrary event
+    // times that the downstream operator would discard as late. This
+    // operator emits each pair stamped with the ARRIVING row's event
+    // time — a row that just passed the same batch's watermark filter —
+    // so no output row is ever late for the downstream dedup state; the
+    // blanket check cannot see that invariant, hence the opt-out.
+    docs.sparkSession.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    // watermark must sit on the fMGWS INPUT for EventTimeTimeout…
+    val marked = docs.select(col("doc_id"), col("ts"),
+        Dedup.simhash64(col("text")).as("sig"))
+      .where(col("sig").isNotNull)
+      .withWatermark("ts", lateness)
+    nearDupPairsWatermarked(marked, maxDist, latenessMs)
+      // …and on the OUTPUT for the dedup stage (event time rides each pair)
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("ida", "idb")
+      .toDF()
+  }
+
+  /** The registered bounded query: stream the documents table through
+    * the standing-index operator (memory sink, run to completion) and
+    * return the distinct pair set — BY CONSTRUCTION comparable to the
+    * batch truth `dedup_simhash` computes on the same table, which is
+    * how CORRECTNESS checks a stateful streaming operator no SQL oracle
+    * can express. */
+  def streamingNearDupQuery(spark: SparkSession, dir: String,
+      maxDist: Int = 3): DataFrame =
+    // memoized like the other eager builders: plan screens and repeated
+    // warm passes reuse one streaming run per (session, dir); cold
+    // attribution (Caches.release before the pass) re-pays the stream
+    graft.Caches.memo(spark, s"streaming_neardup:$dir:$maxDist") {
+      val schema = graft.Tables.documents(spark, dir).schema
+      val name = "snd_q_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // the file source wants a DIRECTORY; scope the listing to the one
+      // table file with a glob filter
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .select(col("doc_id"), col("text"))
+      val q = nearDupStream(stream, maxDist)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      finally q.stop()
+      spark.table(name)
+        .select(col("ida"), col("idb"), col("hamming"))
+        .distinct()
+    }
 }

@@ -46,6 +46,21 @@ class CachesSpec extends AnyFunSuite {
     Caches.release(s)
   }
 
+  test("fanOut is a no-op on already-parallel frames (memo builders must not add a gratuitous shuffle at cluster scale)") {
+    val target = spark.sparkContext.defaultParallelism
+    // ≥ parallelism: fanOut returns the SAME DataFrame instance — no
+    // RoundRobin exchange enters the memoized plan (the transactions/
+    // importance builders route through fanOut, so this is the guard
+    // that a cluster-scale input never pays a full extra shuffle)
+    val wide = spark.range(0, 1024).toDF("v").repartition(target)
+    assert(Tables.fanOut(wide) eq wide)
+    assert(!Tables.fanOut(wide).queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("roundrobin"))
+    // under-parallelized: fanOut widens to the session parallelism
+    val narrow = spark.range(0, 1024).toDF("v").coalesce(1)
+    assert(Tables.fanOut(narrow).rdd.getNumPartitions == target)
+  }
+
   test("release(spark) frees only that session's frames") {
     val a = spark.newSession()
     val b = spark.newSession()

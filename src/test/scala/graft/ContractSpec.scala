@@ -32,7 +32,8 @@ class ContractSpec extends AnyFunSuite {
     "token_count_learned",// FunctionsSpec: == independent reimpl under the learned table
     "media_neardup",      // LlmOpsSpec: planted re-encoded/resized dups recalled
     "media_frame_neardup",// LlmOpsSpec: planted re-encoded clip's frames recalled
-    "compression_ratio")  // FunctionsSpec: == plain-Scala Deflater refold + ordering law
+    "compression_ratio",  // FunctionsSpec: == plain-Scala Deflater refold + ordering law
+    "streaming_neardup")  // StreamingNearDupSpec: stream == batch dedup_simhash pair set
 
   test("every oracle entry has a query") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
