@@ -64,12 +64,14 @@ object SparkEntry {
       graft.functions.KllSketch.quantileSketch(s, d, k = 1 << 20,
         requireExact = true)),
     "hll_distinct"      -> (graft.functions.HllSketch.hllDistinct(_, _)),
-    // eps=1e-5 (width 200k): the r10 eps=1e-4 registration left sf0.1's
+    // eps=2e-5 (width 100k): the r10 eps=1e-4 registration left sf0.1's
     // 1500 distinct users at a ~2e-5 full-depth-collision risk — the new
-    // requireExact guard flagged it; the wider sketch puts the bound at
-    // ~1.5e-12 while staying a 5.6 MB mergeable aggregate
+    // requireExact guard flagged it; width 100k puts the bound at
+    // 2.6e-10 (< the guard's 1e-9) while keeping the mergeable
+    // aggregate at ~2.8 MB (eps=1e-5 doubled that for no extra nines
+    // the guard needs)
     "cms_topk"          -> ((s, d) =>
-      graft.functions.CmsSketch.cmsTopK(s, d, eps = 1e-5,
+      graft.functions.CmsSketch.cmsTopK(s, d, eps = 2e-5,
         requireExact = true)),
     "events_window"     -> (RelOps.eventsWindow(_, _)),
     // §2.1/2.2 extension: ORC lang-partitioned mirror + pruned scan

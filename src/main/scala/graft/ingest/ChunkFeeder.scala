@@ -1,7 +1,6 @@
 package graft.ingest
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.DataFrame
 
 /** Mechanism-X analog (mechanism_x/mechanism_x.py): slice a transaction
@@ -34,10 +33,17 @@ object ChunkFeeder {
   }
 
   /** Write ceil(n/chunkSize) chunk files; returns the number written.
-    * intervalMs > 0 paces uploads like the reference's 1/s sleep. */
+    * intervalMs > 0 paces uploads like the reference's 1/s sleep.
+    * The writes go through the Hadoop FileSystem API, so `outDir` may
+    * be local, `hdfs:` or an object store (`s3a://`/`s3g://`) — the
+    * reference's boto3 upload target (mechanism_x.py:80-82). */
   def feed(df: DataFrame, outDir: String, chunkSize: Int = 10000,
       intervalMs: Long = 0L, namePrefix: String = "transactions_chunk"): Int = {
-    Files.createDirectories(Paths.get(outDir))
+    val dir = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dir.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.setWriteChecksum(false) // no .crc sidecars in the watched dir
+    fs.mkdirs(dir)
     val header = df.columns.mkString(",")
     val it = df.toLocalIterator()
     var part = 0
@@ -54,10 +60,13 @@ object ChunkFeeder {
       val name = f"${namePrefix}_${ts}_${uuid8}_part$part%05d.csv"
       val body = (header +: buf).mkString("", "\n", "\n")
       // write-then-rename so the file-stream source never lists a
-      // half-written file
-      val tmp = Paths.get(outDir, s".$name.tmp")
-      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, Paths.get(outDir, name))
+      // half-written file (on an object store the tmp object is already
+      // invisible until close; the rename keeps one code path)
+      val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, name))
       buf.clear()
       part += 1
       if (intervalMs > 0) Thread.sleep(intervalMs)

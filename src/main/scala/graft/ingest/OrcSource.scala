@@ -47,8 +47,17 @@ object OrcSource {
     * (mode(overwrite) on a shared path deletes files under a
     * concurrent scan). The rename loser just deletes its attempt and
     * reads the winner's complete mirror. The path is keyed by the
-    * SOURCE file's length+mtime, so a regenerated documents table
-    * builds a fresh mirror instead of serving stale rows. */
+    * SOURCE file's content stamp, so a regenerated documents table
+    * builds a fresh mirror instead of serving stale rows.
+    *
+    * SCOPE: this publish protocol leans on FileContext's strict
+    * no-overwrite rename, i.e. an FS with ATOMIC rename (local, HDFS).
+    * An object store cannot provide it (rename is copy+delete there —
+    * see [[ObjectStoreFileSystem]]); mirroring onto S3 would swap the
+    * rename for a conditional PUT of a manifest object (If-None-Match)
+    * or an external lock, with readers resolving the manifest. The
+    * mirror is a node-local derived artifact here, so the atomic-rename
+    * assumption holds by construction. */
   def orcScan(spark: SparkSession, dir: String, lang: String = "en"): DataFrame = {
     val stamp = Tables.fileStamp(spark, s"$dir/documents.parquet")
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_orc_mirror/" +

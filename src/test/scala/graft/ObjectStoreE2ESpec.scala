@@ -94,6 +94,23 @@ class ObjectStoreE2ESpec extends AnyFunSuite {
     assert(fs.exists(new Path("s3g://ren/dst/a.txt")))
   }
 
+  test("driver-side feed uploads chunks to the object store (the reference's boto3 shape)") {
+    ObjectStoreFileSystem.clearBucket("driverfeed")
+    val n = ChunkFeeder.feed(refTx().limit(2500), "s3g://driverfeed/landing",
+      chunkSize = 1000)
+    assert(n == 3)
+    val fs = fsFor("s3g://driverfeed/")
+    val names = fs.listStatus(new Path("s3g://driverfeed/landing"))
+      .map(_.getPath.getName)
+    assert(names.length == 3 && names.forall(_.matches(
+      "transactions_chunk_\\d{8}_\\d{6}_[0-9a-f]{8}_part\\d{5}\\.csv")))
+    assert(names.forall(!_.endsWith(".tmp")))
+    // the uploaded objects are valid CSV with the full header
+    val back = spark.read.option("header", "true")
+      .csv("s3g://driverfeed/landing")
+    assert(back.count() == 2500 && back.columns.length == 10)
+  }
+
   test("object-store e2e: executor feed → stream → checkpoint → detection sink, all over s3g://") {
     ObjectStoreFileSystem.clearBucket("pipeline")
     val inDir = "s3g://pipeline/landing"
