@@ -123,6 +123,8 @@ object SparkEntry {
     "repetition_stats"  -> (TextOps.repetitionStats(_, _)),
     "lm_score"          -> (TextOps.lmScore(_, _)),
     "cdc_chunks"        -> (TextOps.cdcChunks(_, _)),
+    "boilerplate_scrub" -> (TextOps.boilerplateScrub(_, _)),
+    "boilerplate_scrub_cdc" -> (TextOps.boilerplateScrubCdc(_, _)),
     "corpus_mix"        -> (TextOps.corpusMix(_, _)),
     "fingerprint"       -> (TextOps.fingerprints(_, _)),
     // LLM-pipeline: multimodal plumbing + perceptual near-dup
@@ -219,6 +221,7 @@ object SparkEntry {
     "pack_bins"         -> TextOps.packBinsSql(),
     "bigram_topk"       -> TextOps.bigramTopKSql(),
     "repetition_stats"  -> TextOps.repetitionStatsSql,
+    "boilerplate_scrub" -> TextOps.boilerplateScrubSql(),
     "lm_score"          -> TextOps.lmScoreSql(),
     "corpus_mix"        -> TextOps.corpusMixSql(),
     "media_features"    -> Multimodal.mediaFeaturesSql,

@@ -186,6 +186,132 @@ object TextOps {
        |  CAST(least(len(toks) - s + 1, ${chunkTokens}) AS INT) AS n_tokens
        |FROM st""".stripMargin
 
+  /** C4/RefinedWeb-style BOILERPLATE SCRUB: drop every fixed-width token
+    * chunk that recurs across ≥ `minDf` distinct documents (navigation
+    * strings, license footers, templated headers — the within-document
+    * text that document-level dedup cannot touch), and reassemble each
+    * document from its surviving chunks (normalized: lowercased tokens
+    * re-joined single-spaced, same as [[tokens]]). Output one row per
+    * input document: (doc_id, clean_text, n_dropped).
+    *
+    * Scale: chunking is a pure per-row projection (a doc's text lives in
+    * one row); the df count is ONE map-side-combinable shuffle carrying
+    * distinct chunks, and the hot set — corpus boilerplate, tiny by
+    * definition — broadcasts to both the semi and anti joins, so the
+    * corpus never shuffles on its way through the scrub; reassembly
+    * shuffles once on doc_id. Exact SQL semantics ⇒ DuckDB oracle. */
+  def boilerplateScrub(spark: SparkSession, dir: String, minDf: Int = 3,
+      chunkTokens: Int = 8): DataFrame =
+    boilerplateScrubFromDocs(
+      Tables.fanOut(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("text")),
+      minDf, chunkTokens)
+
+  def boilerplateScrubFromDocs(docs: DataFrame, minDf: Int,
+      chunkTokens: Int): DataFrame = {
+    val toks = tokens(col("text"))
+    val chunkArr = when(size(toks) > 0,
+      transform(sequence(lit(0), ((size(toks) - 1) / chunkTokens).cast("int")),
+        i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens)))))
+      .otherwise(array().cast("array<string>"))
+    val chunks = docs
+      .select(col("doc_id"), posexplode(chunkArr).as(Seq("grp", "chunk")))
+    val hot = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("ddf"))
+      .filter(col("ddf") >= minDf)
+      .select(col("chunk"))
+    val flagged = chunks.join(broadcast(hot), Seq("chunk"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n_dropped"))
+    val keptAgg = chunks.join(broadcast(hot), Seq("chunk"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("grp"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("clean_text"))
+    docs.select(col("doc_id"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
+  def boilerplateScrubSql(minDf: Int = 3, chunkTokens: Int = 8): String =
+    s"""WITH tk AS (SELECT doc_id, ${tokensSql} AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok,
+       |               generate_subscripts(toks, 1) AS ord
+       |        FROM tk WHERE len(toks) > 0),
+       |chunks AS (SELECT doc_id, CAST((ord - 1) // $chunkTokens AS INT) AS grp,
+       |                  string_agg(tok, ' ' ORDER BY ord) AS chunk
+       |           FROM tok GROUP BY 1, 2),
+       |hot AS (SELECT chunk FROM chunks
+       |        GROUP BY 1 HAVING count(DISTINCT doc_id) >= $minDf),
+       |kept AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY grp) AS clean_text
+       |         FROM chunks WHERE chunk NOT IN (SELECT chunk FROM hot)
+       |         GROUP BY 1),
+       |flagged AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped
+       |            FROM chunks WHERE chunk IN (SELECT chunk FROM hot)
+       |            GROUP BY 1)
+       |SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text,
+       |       coalesce(f.n_dropped, 0) AS n_dropped
+       |FROM documents d
+       |LEFT JOIN kept k ON d.doc_id = k.doc_id
+       |LEFT JOIN flagged f ON d.doc_id = f.doc_id""".stripMargin
+
+  /** Content-defined sibling of [[boilerplateScrub]]: chunk identity
+    * comes from CDC (gear-hash) boundaries instead of fixed token
+    * windows, so a footer shifted by an arbitrary insertion still
+    * produces the SAME chunks and is still scrubbed — the fixed-window
+    * form only catches window-aligned repeats. Byte-level contract like
+    * the rest of the CDC family (chunk identity = md5 of the byte
+    * slice; reassembly concatenates surviving byte slices in order, so
+    * a doc with no hot chunks reconstructs ITSELF exactly). Gear
+    * boundaries are byte positions: on non-ASCII text a dropped chunk
+    * may split a codepoint at its edges — treat the output as bytes
+    * there. Engine-specific boundaries ⇒ no SQL oracle (spec-gated,
+    * like cdc_chunks/cdc_shared).
+    *
+    * Scale: boundary scan + slicing ride the document scan (narrow);
+    * one distinct-chunk shuffle for df; broadcast hot set; one doc_id
+    * shuffle to reassemble — same shape as the aligned form. */
+  def boilerplateScrubCdc(spark: SparkSession, dir: String,
+      minDf: Int = 3): DataFrame =
+    boilerplateScrubCdcFromDocs(
+      Tables.fanOut(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("text")),
+      minDf)
+
+  def boilerplateScrubCdcFromDocs(docs: DataFrame, minDf: Int): DataFrame = {
+    val b = docs.select(col("doc_id"), col("text").cast("binary").as("tb"),
+      graft.functions.CdcBoundaries.cdc_boundaries(col("text")).as("bnds"))
+    val chunks = b.select(col("doc_id"), col("tb"),
+        posexplode(zip_with(
+          slice(col("bnds"), lit(1), greatest(size(col("bnds")) - 1, lit(0))),
+          slice(col("bnds"), lit(2), greatest(size(col("bnds")) - 1, lit(0))),
+          (a, z) => struct(a.as("off"), (z - a).as("len")))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        expr("substring(tb, col.off + 1, col.len)").as("cb"))
+      .withColumn("h", md5(col("cb")))
+    val hot = chunks.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ddf"))
+      .filter(col("ddf") >= minDf)
+      .select(col("h"))
+    val flagged = chunks.join(broadcast(hot), Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n_dropped"))
+    val keptAgg = chunks.join(broadcast(hot), Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("chunk_idx"), col("cb")))),
+        lit(Array.emptyByteArray),
+        (acc, x) => concat(acc, x.getField("cb")))
+        .cast("string").as("clean_text"))
+    docs.select(col("doc_id"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   /** Sequence packing: assign documents to fixed token-budget bins (the
     * training-batch packing step) by prefix-sum over a deterministic
     * order — bin = (tokens before me) div budget, the standard

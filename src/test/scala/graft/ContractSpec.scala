@@ -33,7 +33,8 @@ class ContractSpec extends AnyFunSuite {
     "media_neardup",      // LlmOpsSpec: planted re-encoded/resized dups recalled
     "media_frame_neardup",// LlmOpsSpec: planted re-encoded clip's frames recalled
     "compression_ratio",  // FunctionsSpec: == plain-Scala Deflater refold + ordering law
-    "streaming_neardup")  // StreamingNearDupSpec: stream == batch dedup_simhash pair set
+    "streaming_neardup",  // StreamingNearDupSpec: stream == batch dedup_simhash pair set
+    "boilerplate_scrub_cdc") // LlmOpsSpec: shifted boilerplate scrubbed; identity reconstruction
 
   test("every oracle entry has a query") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

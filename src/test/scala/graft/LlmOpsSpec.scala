@@ -209,6 +209,74 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(banded == brute)
   }
 
+  test("boilerplate scrub (aligned): hot chunks dropped everywhere, clean docs reconstruct verbatim") {
+    import spark.implicits._
+    // boilerplate = exactly one 8-token chunk, planted window-ALIGNED as
+    // a prefix in 3 docs; doc 4 is clean
+    val boiler = "subscribe to our newsletter for all the updates"
+    val tails = Seq(
+      "green rivers cross quiet valleys under morning light today",
+      "tall mountains guard the sleeping village every cold winter",
+      "bright harbors welcome weary sailors after long voyages home")
+    val docs = (tails.zipWithIndex.map { case (t, i) =>
+      (i.toLong, s"$boiler $t") } :+
+      (9L, "a wholly original document with no shared content at all"))
+      .toDF("doc_id", "text")
+    val out = TextOps.boilerplateScrubFromDocs(docs, minDf = 3, chunkTokens = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    for (i <- 0 until 3) {
+      assert(out(i.toLong)._2 >= 1, s"doc $i: boilerplate chunk not dropped")
+      assert(!out(i.toLong)._1.contains("newsletter"))
+      // the unique tail survives (it spans chunks 1.. of each doc)
+      assert(out(i.toLong)._1.nonEmpty)
+    }
+    // a clean doc passes through as its normalized self (lowercased,
+    // single-spaced token join == the original here)
+    assert(out(9L) == (("a wholly original document with no shared content at all", 0L)))
+  }
+
+  test("boilerplate scrub (CDC): a SHIFTED footer is still scrubbed; untouched docs reconstruct byte-identically") {
+    import spark.implicits._
+    // long NON-PERIODIC footer (a periodic byte run can dodge the gear
+    // mask entirely — every period hits the same 20 rolling states — so
+    // boundaries would never resynchronize after the shift; varied text
+    // cuts at the ~1/64-per-byte rate and resyncs ~64 bytes in) planted
+    // at DIFFERENT offsets — unique prefixes of varying length shift it
+    val footer = "this material is distributed under the creative commons " +
+      "attribution license and may be reproduced only with explicit " +
+      "written permission from the original publisher including every " +
+      "accompanying notice preserved intact plus the canonical citation " +
+      "of the upstream archive where the first edition appeared in print " +
+      "alongside errata collected by volunteer reviewers across editions"
+    val uniq = Seq(
+      "alpha " * 3, "beta quartz " * 7, "gamma delta epsilon " * 11)
+      .map(_.trim)
+    val docs = (uniq.zipWithIndex.map { case (p, i) =>
+      (i.toLong, s"$p $footer") } :+
+      (9L, "completely unrelated standalone text body with nothing shared"))
+      .toDF("doc_id", "text")
+    val out = TextOps.boilerplateScrubCdcFromDocs(docs, minDf = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // every shifted copy loses at least its footer interior — the
+    // alignment-free property the fixed-window scrub cannot give
+    for (i <- 0 until 3) {
+      assert(out(i.toLong)._2 >= 1, s"doc $i: shifted footer chunks not dropped")
+      assert(out(i.toLong)._1.length < (uniq(i) + " " + footer).length)
+      assert(out(i.toLong)._1.startsWith(uniq(i).take(5)),
+        s"doc $i: unique prefix was lost")
+    }
+    // no hot chunks ⇒ byte-identical reconstruction (CDC boundaries
+    // partition the text exactly)
+    assert(out(9L) == (("completely unrelated standalone text body with nothing shared", 0L)))
+    // sanity at corpus scale: every document reconstructs itself when
+    // the threshold is unreachable
+    val ident = TextOps.boilerplateScrubCdc(spark, sf, minDf = Int.MaxValue)
+    val orig = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rec = ident.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rec == orig)
+  }
+
   test("winnowed fingerprint matches a plain-Scala reimplementation") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
