@@ -125,7 +125,10 @@ object SparkEntry {
     "cdc_chunks"        -> (TextOps.cdcChunks(_, _)),
     "boilerplate_scrub" -> (TextOps.boilerplateScrub(_, _)),
     "boilerplate_scrub_cdc" -> (TextOps.boilerplateScrubCdc(_, _)),
+    "dup_span_scrub"    -> (TextOps.dupSpanScrub(_, _)),
     "corpus_mix"        -> (TextOps.corpusMix(_, _)),
+    "token_budget_mix"  -> (Sampling.tokenBudgetMix(_, _)),
+    "epoch_shuffle"     -> (Sampling.epochShuffle(_, _)),
     "fingerprint"       -> (TextOps.fingerprints(_, _)),
     // LLM-pipeline: multimodal plumbing + perceptual near-dup
     "media_features"    -> (Multimodal.mediaFeaturesQuery(_, _)),
@@ -155,6 +158,10 @@ object SparkEntry {
     // is how a stateful streaming op with no SQL oracle gets checked
     "streaming_neardup" -> (graft.streaming.StreamingNearDup
       .streamingNearDupQuery(_, _)),
+    // stateful streaming gate whose prefix-admission contract IS a SQL
+    // window — the one streaming operator the DuckDB oracle can hash
+    "streaming_quota_gate" -> (graft.streaming.StreamingQuotaGate
+      .quotaGateQuery(_, _)),
     // scale techniques as first-class queries
     "salted_agg"        -> (graft.scale.ScaleTechniques.saltedAggQuery(_, _)),
     "bloom_join"        -> (graft.scale.ScaleTechniques.bloomJoinQuery(_, _)),
@@ -222,6 +229,10 @@ object SparkEntry {
     "bigram_topk"       -> TextOps.bigramTopKSql(),
     "repetition_stats"  -> TextOps.repetitionStatsSql,
     "boilerplate_scrub" -> TextOps.boilerplateScrubSql(),
+    "dup_span_scrub"    -> TextOps.dupSpanScrubSql(),
+    "token_budget_mix"  -> Sampling.tokenBudgetMixSql(),
+    "epoch_shuffle"     -> Sampling.epochShuffleSql,
+    "streaming_quota_gate" -> graft.streaming.StreamingQuotaGate.quotaGateSql(),
     "lm_score"          -> TextOps.lmScoreSql(),
     "corpus_mix"        -> TextOps.corpusMixSql(),
     "media_features"    -> Multimodal.mediaFeaturesSql,

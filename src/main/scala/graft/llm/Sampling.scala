@@ -238,6 +238,138 @@ object Sampling {
        |      FROM p)
        |SELECT doc_id, source, n_chars, priority, rank FROM r WHERE rank <= $k""".stripMargin
 
+  /** TOKEN-BUDGET CORPUS MIXER (the Dolma / SlimPajama "mixer" step):
+    * given a per-source weight and a corpus-wide token budget, compute
+    * the deterministic accept rate that makes each source's SAMPLED
+    * token mass track `budget · w_s / ΣW`, then hash-accept documents at
+    * that rate. Weights here are a deterministic function of the source
+    * name (1 + len(source) mod 3 — data-independent, replays at any SF);
+    * a production build passes its real weight table the same way.
+    *
+    * rate_s = min(1, budget · (w_s / ΣW) / tokens_s); a doc is kept iff
+    * its 52-bit md5-uniform draw u < rate_s. Output is the per-source
+    * mix report: (source, weight, tokens_total, target_share,
+    * accept_rate, n_kept, tokens_kept).
+    *
+    * Scale: pass 1 aggregates per-source token totals (ONE map-side-
+    * combinable shuffle; the result is one row per source — trivially
+    * broadcastable); pass 2 re-scans, joins the broadcast rate table,
+    * and hash-filters — no shuffle of the corpus itself, ever, and the
+    * accept decision is keyed on the row (re-runs, other engines, and
+    * later budget widenings draw nested subsets, same contract as the
+    * rest of this file). The double scan is deliberate: at 100 TB,
+    * re-reading two narrow columns beats materializing a per-doc frame. */
+  def tokenBudgetMix(spark: SparkSession, dir: String,
+      budget: Long = 20000L): DataFrame =
+    tokenBudgetMixFromDocs(
+      Tables.fanOut(Tables.documents(spark, dir)), budget)
+
+  def tokenBudgetMixFromDocs(docs: DataFrame, budget: Long): DataFrame = {
+    val perDoc = docs.select(
+      col("doc_id"), col("source"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
+      ((conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("long") + lit(1L)).cast("double") / lit(4503599627370496.0))
+        .as("u"))
+    val weight = (lit(1L) + length(col("source")).cast("long") % 3L)
+      .cast("double").as("weight")
+    val weighted = perDoc.groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("tokens_total"))
+      .withColumn("weight", weight)
+    // ΣW via a 1-row broadcast (the bm25 corpus-stats idiom) — an empty
+    // partitionBy window would serialize the frame and WARN, even though
+    // it is one row per source
+    val sumW = weighted.agg(sum(col("weight")).as("sum_w"))
+    val totals = weighted.crossJoin(broadcast(sumW))
+      .withColumn("target_share", col("weight") / col("sum_w"))
+      .withColumn("accept_rate",
+        least(lit(1.0),
+          lit(budget.toDouble) * col("target_share")
+            / col("tokens_total").cast("double")))
+    val kept = perDoc
+      .join(broadcast(totals.select(col("source"), col("accept_rate"))),
+        Seq("source"))
+      .filter(col("u") < col("accept_rate"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_toks")).as("tokens_kept"))
+    totals.join(kept, Seq("source"), "left")
+      .select(col("source"), col("weight"), col("tokens_total"),
+        col("target_share"), col("accept_rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+  }
+
+  def tokenBudgetMixSql(budget: Long = 20000L): String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    CAST(len(${TextOps.tokensSql}) AS BIGINT) AS n_toks,
+       |    (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+       |      / 4503599627370496.0 AS u
+       |  FROM documents),
+       |t AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+       |        CAST(1 + len(source) % 3 AS DOUBLE) AS weight
+       |      FROM d GROUP BY source),
+       |r AS (SELECT source, tokens_total, weight,
+       |        weight / sum(weight) OVER () AS target_share,
+       |        least(1.0, CAST($budget AS DOUBLE) * (weight / sum(weight) OVER ())
+       |          / CAST(tokens_total AS DOUBLE)) AS accept_rate
+       |      FROM t),
+       |k AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept,
+       |        CAST(sum(d.n_toks) AS BIGINT) AS tokens_kept
+       |      FROM d JOIN r ON d.source = r.source
+       |      WHERE d.u < r.accept_rate GROUP BY d.source)
+       |SELECT r.source, r.weight, r.tokens_total, r.target_share,
+       |  r.accept_rate,
+       |  coalesce(k.n_kept, 0) AS n_kept,
+       |  coalesce(k.tokens_kept, 0) AS tokens_kept
+       |FROM r LEFT JOIN k ON r.source = k.source""".stripMargin
+
+  /** EPOCH SHUFFLE: a reproducible global training order — every doc
+    * gets the ordinal it holds in the corpus sorted by
+    * (md5(doc_id), doc_id). Any engine, any partitioning, any run
+    * assigns the identical permutation; a salt in the key gives
+    * per-epoch re-shuffles that stay replayable.
+    *
+    * Scale: the naive formulation (`row_number() OVER (ORDER BY …)`) is
+    * the oracle — and a single-partition serialization point on a
+    * cluster. The Spark side computes the SAME ordinal in two phases:
+    * (1) a tiny per-stratum count frame over the first hex nibble of
+    * the hash (16 strata; one map-side-combinable shuffle), prefix-
+    * summed into stratum offsets on 16 rows; (2) row_number WITHIN each
+    * stratum (16-way parallel window) + broadcast offset join. Because
+    * strata are ordered by the hash's leading nibble, stratum offset +
+    * within-stratum rank ≡ the global rank — a distributed ordinal with
+    * no global window. Widen the stratum key to 2–3 nibbles (256–4096
+    * strata) at cluster scale. */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col("doc_id").cast("string"))
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), h.as("h"),
+        substring(h, 1, 1).as("stratum"))
+    // prefix sum over ≤16 stratum rows as a triangular broadcast join —
+    // the global-window formulation would WARN about (and plan) a
+    // single-partition sort even though the frame is tiny
+    val counts = docs.groupBy(col("stratum")).agg(count(lit(1)).as("c"))
+    val before = counts.select(col("stratum").as("s2"), col("c").as("c2"))
+    val offsets = counts
+      .join(broadcast(before), col("s2") < col("stratum"), "left")
+      .groupBy(col("stratum"))
+      .agg(coalesce(sum(col("c2")), lit(0L)).as("offset"))
+    docs
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("stratum")).orderBy(col("h"), col("doc_id"))))
+      .join(broadcast(offsets), Seq("stratum"))
+      .select(col("doc_id"), col("source"),
+        (col("offset") + col("r")).cast("long").as("epoch_pos"))
+  }
+
+  val epochShuffleSql: String =
+    """SELECT doc_id, source,
+      |  CAST(row_number() OVER (
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+      |    AS epoch_pos
+      |FROM documents""".stripMargin
+
   val resampleTemperatureSql: String =
     """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS grp_cnt
       |           FROM documents GROUP BY lang),

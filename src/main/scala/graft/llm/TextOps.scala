@@ -761,6 +761,122 @@ object TextOps {
        |  CAST(CAST(sum(word_count) AS BIGINT) AS DOUBLE) / count(*) AS tokens_per_doc
        |FROM q GROUP BY source, lang""".stripMargin
 
+  /** EXACT DUPLICATE-SPAN SCRUB (ExactSubstr dedup, Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): remove every token span that appears (anywhere
+    * in the corpus, including twice inside one document) at least
+    * `minDf` times, at window granularity — the OVERLAPPING-window
+    * generalization of [[boilerplateScrub]]'s aligned chunks, so a
+    * repeated passage is caught at every offset, not only when it lands
+    * on a chunk boundary.
+    *
+    * Mechanics: every k-token rolling window (stride 1) is a candidate
+    * span; windows whose gram recurs ≥ minDf times corpus-wide mark
+    * their k covered token positions; a token survives iff no
+    * duplicated window covers it; documents reassemble from surviving
+    * tokens (normalized single-spaced lowercase, same as [[tokens]]).
+    * Output one row per input document:
+    * (doc_id, n_tokens, n_dup_windows, n_removed, clean_text).
+    *
+    * Scale: window-gram construction is a per-row projection (sequence +
+    * slice over the token array — the document never explodes into
+    * per-token rows on the Spark side); the df count explodes only
+    * (doc_id, pos, gram) triples and is ONE map-side-combinable shuffle;
+    * the duplicated-window set is NOT assumed broadcastable (at corpus
+    * scale the dup fraction is 1–10% of all windows — Lee et al. §5), so
+    * the semi join back is a plain shuffle join on the gram; one doc_id
+    * shuffle collects duplicated positions per doc, and coverage +
+    * reassembly are again per-row lambdas. The registered form joins on
+    * the gram STRING so a plain-SQL oracle can replay it bit-for-bit; at
+    * 100 TB swap the join key for xxhash64(gram) — 8-byte shuffle rows,
+    * collision odds ~1e-9 at 10^9 windows — the same swap the scaladoc
+    * on [[boilerplateScrub]] describes. Per-row coverage is
+    * O(n_tokens · n_dup_positions) in the worst (fully duplicated) doc —
+    * bounded by the k-window structure in practice; an interval-merge
+    * pre-pass drops it to O(n · n_intervals) if profiling ever flags it. */
+  def dupSpanScrub(spark: SparkSession, dir: String, k: Int = 15,
+      minDf: Int = 2): DataFrame = {
+    val base = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // the gram frame feeds BOTH the df count and the probe side of the
+    // semi join — memoized+persisted so one materialization serves both
+    // (and repeated invocations), instead of tokenizing + window-slicing
+    // the corpus twice per run
+    val grams = graft.Caches.memo(spark, s"dupSpanGrams:$dir:$k") {
+      windowGrams(base, k)
+    }
+    dupSpanFromGrams(base, grams, k, minDf)
+  }
+
+  def dupSpanScrubFromDocs(docs: DataFrame, k: Int, minDf: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    dupSpanFromGrams(base, windowGrams(base, k), k, minDf)
+  }
+
+  /** (doc_id, p, gram) for every k-token rolling window, p 1-based; a
+    * doc shorter than k contributes no rows. A pure per-row projection
+    * followed by a generator — the corpus text itself never shuffles. */
+  private def windowGrams(base: DataFrame, k: Int): DataFrame = {
+    val nWin = greatest(size(col("toks")) - (k - 1), lit(0))
+    base
+      .select(col("doc_id"),
+        when(nWin > 0,
+          transform(sequence(lit(1), nWin),
+            p => struct(p.as("p"),
+              concat_ws(" ", slice(col("toks"), p, lit(k))).as("gram"))))
+          .otherwise(array().cast("array<struct<p:int,gram:string>>"))
+          .as("wins"))
+      .select(col("doc_id"), explode(col("wins")).as("w"))
+      .select(col("doc_id"), col("w.p").as("p"), col("w.gram").as("gram"))
+  }
+
+  private def dupSpanFromGrams(base: DataFrame, grams: DataFrame, k: Int,
+      minDf: Int): DataFrame = {
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minDf)
+      .select(col("gram"))
+    val dupPos = grams.join(dup, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("p"))).as("dps"))
+    base.join(dupPos, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("dps"), array().cast("array<int>")).as("dps"))
+      .withColumn("kept",
+        filter(col("toks"), (t, i) =>
+          !exists(col("dps"), p => p <= i + 1 && i + 1 <= p + (k - 1))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("dps")).cast("long").as("n_dup_windows"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
+  def dupSpanScrubSql(k: Int = 15, minDf: Int = 2): String =
+    s"""WITH tk AS (SELECT doc_id, ${tokensSql} AS toks FROM documents),
+       |g AS (SELECT doc_id, toks,
+       |        unnest(range(1, greatest(len(toks) - ${k - 2}, 1))) AS p
+       |      FROM tk),
+       |h AS (SELECT doc_id, CAST(p AS INT) AS p,
+       |        array_to_string(toks[p : p + ${k - 1}], ' ') AS gram
+       |      FROM g),
+       |dup AS (SELECT gram FROM h GROUP BY 1 HAVING count(*) >= $minDf),
+       |dp AS (SELECT doc_id, list_sort(list(p)) AS dps
+       |       FROM h WHERE gram IN (SELECT gram FROM dup) GROUP BY 1),
+       |o AS (SELECT tk.doc_id, toks, coalesce(dps, []) AS dps
+       |      FROM tk LEFT JOIN dp USING (doc_id)),
+       |r AS (SELECT doc_id, toks, dps,
+       |        list_filter(toks, (x, i) ->
+       |          len(list_filter(dps, p -> p <= i AND i <= p + ${k - 1})) = 0)
+       |          AS kept
+       |      FROM o)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(dps) AS BIGINT) AS n_dup_windows,
+       |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+       |  coalesce(array_to_string(kept, ' '), '') AS clean_text
+       |FROM r""".stripMargin
+
   /** Winnowed fingerprint summary per document (custom codegen'd Catalyst
     * expression — [[graft.functions.WinnowedFingerprint]]). Not
     * SQL-expressible in the oracle (engine-specific rolling hash);

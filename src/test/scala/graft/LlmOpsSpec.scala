@@ -834,4 +834,108 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq,
       s"engine top-20 != scala top-20:\n${got.toSeq}\n${want.toSeq}")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("dup span scrub: unaligned shared passage removed at both offsets; internal repeat self-scrubs; matches brute force on the corpus") {
+    import spark.implicits._
+    val shared = (1 to 20).map(i => s"w$i").mkString(" ") // 20 shared tokens
+    val docs = Seq(
+      (0L, s"alpha beta gamma $shared delta"),     // shared at offset 4
+      (1L, s"one $shared two three four five six"),// shared at offset 2
+      (2L, ("x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14 x15 " * 2).trim),
+      (9L, (1 to 30).map(i => s"u$i").mkString(" "))) // clean, all unique
+      .toDF("doc_id", "text")
+    val out = TextOps.dupSpanScrubFromDocs(docs, k = 15, minDf = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // the 20 shared tokens vanish from BOTH docs despite different
+    // offsets (the boilerplate chunk scrub would need alignment)
+    assert(!out(0L)._4.contains("w1 "), out(0L).toString)
+    assert(out(0L)._4 == "alpha beta gamma delta")
+    assert(out(1L)._4 == "one two three four five six")
+    // within-document repetition: both copies of the 15-token run are
+    // duplicated windows, the whole doc scrubs away
+    assert(out(2L)._4 == "" && out(2L)._3 == 30L)
+    // clean doc passes through normalized-identical
+    assert(out(9L)._4 == (1 to 30).map(i => s"u$i").mkString(" ")
+      && out(9L)._3 == 0L)
+
+    // full-corpus parity against a plain-Scala reimplementation
+    val k = 15
+    val corpus = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty) }.toMap
+    val grams = toks.toSeq.flatMap { case (id, ts) =>
+      if (ts.length < k) Seq.empty
+      else ts.sliding(k).zipWithIndex.map { case (g, p) =>
+        (id, p + 1, g.mkString(" ")) }.toSeq }
+    val cnt = grams.groupBy(_._3).map { case (g, v) => g -> v.size }
+    val dup = grams.filter(g => cnt(g._3) >= 2)
+      .groupBy(_._1).map { case (id, v) => id -> v.map(_._2).toSet }
+    val want = toks.map { case (id, ts) =>
+      val dps = dup.getOrElse(id, Set.empty[Int])
+      val kept = ts.zipWithIndex.collect {
+        case (t, i) if !dps.exists(p => p <= i + 1 && i + 1 <= p + k - 1) => t }
+      id -> ((ts.length.toLong, dps.size.toLong,
+        (ts.length - kept.length).toLong, kept.mkString(" ")))
+    }
+    val gotCorpus = TextOps.dupSpanScrub(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(gotCorpus == want)
+    assert(want.values.exists(_._3 > 0), "corpus should contain dup spans")
+  }
+
+  test("token budget mix: rates and kept masses match a plain-Scala recomputation; budget nesting holds") {
+    val budget = 20000L
+    val got = graft.llm.Sampling.tokenBudgetMix(spark, sf, budget)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getDouble(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.split("\\s+").count(_.nonEmpty).toLong))
+    val totals = docs.groupBy(_._2).map { case (s, v) =>
+      s -> v.map(_._3).sum }
+    val weights = totals.keys.map(s => s -> (1.0 + s.length % 3)).toMap
+    val sumW = weights.values.sum
+    def u(id: Long): Double =
+      (java.lang.Long.parseLong(md5hex(id.toString).take(13), 16) + 1)
+        .toDouble / 4503599627370496.0
+    val rates = totals.map { case (s, t) =>
+      s -> math.min(1.0, budget.toDouble * (weights(s) / sumW) / t.toDouble) }
+    val keptDocs = docs.filter { case (id, s, _) => u(id) < rates(s) }
+    for (s <- totals.keys) {
+      val (w, tt, rate, nKept, tKept) = got(s)
+      assert(w == weights(s) && tt == totals(s))
+      assert(math.abs(rate - rates(s)) < 1e-12, s"$s rate $rate vs ${rates(s)}")
+      val mine = keptDocs.filter(_._2 == s)
+      assert(nKept == mine.length.toLong && tKept == mine.map(_._3).sum,
+        s"$s kept mismatch")
+    }
+    // hash-accept nesting: doubling the budget only ADDS docs (rates
+    // grow, the accepted u-interval is a superset)
+    val g2 = graft.llm.Sampling.tokenBudgetMix(spark, sf, 2 * budget)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    for (s <- totals.keys)
+      assert(g2(s) >= got(s)._4, s"$s shrank when the budget doubled")
+  }
+
+  test("epoch shuffle: two-phase stratified ordinal equals the global md5 ordering and is a permutation") {
+    val got = graft.llm.Sampling.epochShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val want = got.map(_._1).sortBy(id => (md5hex(id.toString), id))
+      .zipWithIndex.map { case (id, i) => (id, i + 1L) }.toMap
+    assert(got.length == want.size)
+    assert(got.forall { case (id, p) => want(id) == p },
+      "stratum-offset ordinal diverged from the global ordering")
+    assert(got.map(_._2).sorted.toSeq == (1L to got.length).toSeq)
+  }
 }

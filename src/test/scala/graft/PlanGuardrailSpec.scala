@@ -21,7 +21,9 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "similarity_topk_pq",  // per-query ADC lookup tables broadcast, joined vec_id =!= query_id
     "similarity_topk_pq_idx", // same ADC scan, reading the persisted codes table
     "bm25_topk",           // 1-row corpus-stats aggregate broadcast over the scan
-    "lm_score")            // 1-row vocabulary-size aggregate broadcast over the scoring join
+    "lm_score",            // 1-row vocabulary-size aggregate broadcast over the scoring join
+    "token_budget_mix",    // 1-row ΣW aggregate broadcast over the |sources|-row rate frame
+    "epoch_shuffle")       // ≤16-row stratum-count frame, triangular (s2 < stratum) prefix-sum join
 
   /** Queries with a deliberate single-partition exchange feeding a
     * window: the window input is an aggregate of bounded size. */
