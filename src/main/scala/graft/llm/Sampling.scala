@@ -338,14 +338,19 @@ object Sampling {
     * stratum (16-way parallel window) + broadcast offset join. Because
     * strata are ordered by the hash's leading nibble, stratum offset +
     * within-stratum rank ≡ the global rank — a distributed ordinal with
-    * no global window. Widen the stratum key to 2–3 nibbles (256–4096
-    * strata) at cluster scale. */
-  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    * no global window. The stratum width is a knob, not a semantic: any
+    * hex-prefix length yields the identical permutation (the default 2
+    * nibbles = 256 strata keeps window partitions ≤ ~n/256; use 3–4 at
+    * cluster scale). */
+  def epochShuffle(spark: SparkSession, dir: String,
+      stratumNibbles: Int = 2, salt: String = ""): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = md5(col("doc_id").cast("string"))
+    // a per-epoch salt re-keys the permutation while staying replayable;
+    // the empty default concatenates to the bare id — oracle-identical
+    val h = md5(concat(col("doc_id").cast("string"), lit(salt)))
     val docs = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), col("source"), h.as("h"),
-        substring(h, 1, 1).as("stratum"))
+        substring(h, 1, stratumNibbles).as("stratum"))
     // prefix sum over ≤16 stratum rows as a triangular broadcast join —
     // the global-window formulation would WARN about (and plan) a
     // single-partition sort even though the frame is tiny

@@ -790,7 +790,13 @@ object TextOps {
     * the gram STRING so a plain-SQL oracle can replay it bit-for-bit; at
     * 100 TB swap the join key for xxhash64(gram) — 8-byte shuffle rows,
     * collision odds ~1e-9 at 10^9 windows — the same swap the scaladoc
-    * on [[boilerplateScrub]] describes. Per-row coverage is
+    * on [[boilerplateScrub]] describes. The final reassembly join pairs
+    * each doc's token array with its duplicated positions — that is one
+    * shuffle of the tokenized corpus on doc_id (AQE broadcasts the
+    * position side at small scale; at 100 TB, bucket `documents` by
+    * doc_id and the join co-locates with ZERO corpus shuffle — the
+    * bucketed-join path [[graft.scale.ScaleTechniques]] demonstrates).
+    * Per-row coverage is
     * O(n_tokens · n_dup_positions) in the worst (fully duplicated) doc —
     * bounded by the k-window structure in practice; an interval-merge
     * pre-pass drops it to O(n · n_intervals) if profiling ever flags it. */
@@ -811,6 +817,22 @@ object TextOps {
   def dupSpanScrubFromDocs(docs: DataFrame, k: Int, minDf: Int): DataFrame = {
     val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
     dupSpanFromGrams(base, windowGrams(base, k), k, minDf)
+  }
+
+  /** Production form of [[dupSpanScrubFromDocs]]: the df count and the
+    * probe join key on xxhash64(gram) instead of the gram STRING, so
+    * the three gram-keyed exchanges carry 8-byte longs instead of
+    * ~6·k-byte strings — the swap the registered oracle form documents.
+    * Identical output unless two distinct k-grams collide in 64 bits
+    * (≈ n²/2⁶⁵: ~1e-9 at 10⁹ windows; a collision can only ADD a
+    * false duplicated window, never lose one). Spec-pinned equal to
+    * the string-keyed form on the test corpus. */
+  def dupSpanScrubHashedFromDocs(docs: DataFrame, k: Int,
+      minDf: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val grams = windowGrams(base, k)
+      .select(col("doc_id"), col("p"), xxhash64(col("gram")).as("gram"))
+    dupSpanFromGrams(base, grams, k, minDf)
   }
 
   /** (doc_id, p, gram) for every k-token rolling window, p 1-based; a

@@ -890,6 +890,15 @@ class LlmOpsSpec extends AnyFunSuite {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
     assert(gotCorpus == want)
     assert(want.values.exists(_._3 > 0), "corpus should contain dup spans")
+
+    // the hashed-key production form (8-byte shuffle keys) produces the
+    // identical scrub on the corpus
+    val corpusDocs = Tables.documents(spark, sf).select("doc_id", "text")
+    val hashed = TextOps.dupSpanScrubHashedFromDocs(corpusDocs, k, minDf = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(hashed == want)
   }
 
   test("token budget mix: rates and kept masses match a plain-Scala recomputation; budget nesting holds") {
@@ -937,5 +946,13 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.forall { case (id, p) => want(id) == p },
       "stratum-offset ordinal diverged from the global ordering")
     assert(got.map(_._2).sorted.toSeq == (1L to got.length).toSeq)
+    // a salt re-keys the permutation (still a valid, replayable one)
+    val salted = graft.llm.Sampling.epochShuffle(spark, sf, salt = "epoch1")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val want2 = salted.map(_._1)
+      .sortBy(id => (md5hex(id.toString + "epoch1"), id))
+      .zipWithIndex.map { case (id, i) => (id, i + 1L) }.toMap
+    assert(salted.forall { case (id, p) => want2(id) == p })
+    assert(salted.toMap != got.toMap, "salt did not change the order")
   }
 }

@@ -23,7 +23,7 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "bm25_topk",           // 1-row corpus-stats aggregate broadcast over the scan
     "lm_score",            // 1-row vocabulary-size aggregate broadcast over the scoring join
     "token_budget_mix",    // 1-row ΣW aggregate broadcast over the |sources|-row rate frame
-    "epoch_shuffle")       // ≤16-row stratum-count frame, triangular (s2 < stratum) prefix-sum join
+    "epoch_shuffle")       // ≤256-row stratum-count frame, triangular (s2 < stratum) prefix-sum join
 
   /** Queries with a deliberate single-partition exchange feeding a
     * window: the window input is an aggregate of bounded size. */
