@@ -129,6 +129,7 @@ object SparkEntry {
     "corpus_mix"        -> (TextOps.corpusMix(_, _)),
     "token_budget_mix"  -> (Sampling.tokenBudgetMix(_, _)),
     "epoch_shuffle"     -> (Sampling.epochShuffle(_, _)),
+    "corpus_shards"     -> (Sampling.corpusShards(_, _)),
     "fingerprint"       -> (TextOps.fingerprints(_, _)),
     // LLM-pipeline: multimodal plumbing + perceptual near-dup
     "media_features"    -> (Multimodal.mediaFeaturesQuery(_, _)),
@@ -232,6 +233,7 @@ object SparkEntry {
     "dup_span_scrub"    -> TextOps.dupSpanScrubSql(),
     "token_budget_mix"  -> Sampling.tokenBudgetMixSql(),
     "epoch_shuffle"     -> Sampling.epochShuffleSql,
+    "corpus_shards"     -> Sampling.corpusShardsSql(),
     "streaming_quota_gate" -> graft.streaming.StreamingQuotaGate.quotaGateSql(),
     "lm_score"          -> TextOps.lmScoreSql(),
     "corpus_mix"        -> TextOps.corpusMixSql(),

@@ -375,6 +375,68 @@ object Sampling {
       |    AS epoch_pos
       |FROM documents""".stripMargin
 
+  /** TOKEN-BALANCED CORPUS SHARDING: cut the [[epochShuffle]] order into
+    * `nShards` contiguous shards of ~equal TOKEN mass (each shard is one
+    * sequential-read unit for a training data loader; contiguity in the
+    * shuffled order preserves the epoch permutation across shard files).
+    * A document lands in the shard its starting token offset falls in:
+    * `shard = (tokens_before_me · nShards) div total_tokens` — balanced
+    * to within one document's tokens of T/nShards by construction.
+    * Output is the manifest the loader consumes: (shard_id, n_docs,
+    * n_tokens).
+    *
+    * Scale: the global running token total in shuffle order is the
+    * classic DISTRIBUTED PREFIX SUM — within-stratum window cumsum (the
+    * stratum is the hash's 2-nibble prefix, so partitions are bounded
+    * and the window never globalizes) + per-stratum token offsets from
+    * a ≤256-row triangular broadcast join + a 1-row broadcast total.
+    * Everything else is the document scan; one shuffle for the stratum
+    * window, one for the final shard rollup. The oracle replays the
+    * same arithmetic with a naive global window. */
+  def corpusShards(spark: SparkSession, dir: String, nShards: Int = 16,
+      stratumNibbles: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col("doc_id").cast("string"))
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), h.as("h"),
+        substring(h, 1, stratumNibbles).as("stratum"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumIn = docs.withColumn("cum_in",
+      coalesce(sum(col("n_toks")).over(w), lit(0L)))
+    val tot = docs.groupBy(col("stratum")).agg(sum(col("n_toks")).as("st"))
+    val before = tot.select(col("stratum").as("s2"), col("st").as("st2"))
+    val offs = tot.join(broadcast(before), col("s2") < col("stratum"), "left")
+      .groupBy(col("stratum"))
+      .agg(coalesce(sum(col("st2")), lit(0L)).as("off"))
+    val total = docs.agg(sum(col("n_toks")).as("t_total"))
+    cumIn.join(broadcast(offs), Seq("stratum"))
+      .crossJoin(broadcast(total))
+      .withColumn("cum_before", col("off") + col("cum_in"))
+      .withColumn("shard_id",
+        least(lit((nShards - 1).toLong),
+          expr(s"(cum_before * $nShards) div t_total")).cast("int"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+  }
+
+  def corpusShardsSql(nShards: Int = 16): String =
+    s"""WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+       |    CAST(len(${TextOps.tokensSql}) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |c AS (SELECT n_toks,
+       |        coalesce(sum(n_toks) OVER (ORDER BY h, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS cum_before,
+       |        sum(n_toks) OVER () AS t_total
+       |      FROM d)
+       |SELECT CAST(least(${nShards - 1}, (cum_before * $nShards) // t_total)
+       |         AS INT) AS shard_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |FROM c GROUP BY 1""".stripMargin
+
   val resampleTemperatureSql: String =
     """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS grp_cnt
       |           FROM documents GROUP BY lang),

@@ -955,4 +955,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(salted.forall { case (id, p) => want2(id) == p })
     assert(salted.toMap != got.toMap, "salt did not change the order")
   }
+
+  test("corpus shards: distributed prefix sum == naive fold; mass conserved; balance within one doc") {
+    val n = 16
+    val got = graft.llm.Sampling.corpusShards(spark, sf, n).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split("\\s+").count(_.nonEmpty).toLong))
+    val ordered = docs.sortBy { case (id, _) => (md5hex(id.toString), id) }
+    val t = ordered.map(_._2).sum
+    var cum = 0L
+    val truth = scala.collection.mutable.Map[Int, (Long, Long)]()
+    for ((_, toks) <- ordered) {
+      val s = math.min(n - 1L, cum * n / t).toInt
+      val (d0, t0) = truth.getOrElse(s, (0L, 0L))
+      truth(s) = (d0 + 1, t0 + toks)
+      cum += toks
+    }
+    assert(got == truth.toMap)
+    assert(got.values.map(_._1).sum == docs.length.toLong)
+    assert(got.values.map(_._2).sum == t)
+    // token balance: no shard exceeds its T/n slice by more than the
+    // largest single document (a doc is never split)
+    val maxDoc = docs.map(_._2).max
+    assert(got.values.map(_._2).max <= t / n + maxDoc)
+  }
 }

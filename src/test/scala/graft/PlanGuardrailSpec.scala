@@ -23,12 +23,18 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "bm25_topk",           // 1-row corpus-stats aggregate broadcast over the scan
     "lm_score",            // 1-row vocabulary-size aggregate broadcast over the scoring join
     "token_budget_mix",    // 1-row ΣW aggregate broadcast over the |sources|-row rate frame
-    "epoch_shuffle")       // ≤256-row stratum-count frame, triangular (s2 < stratum) prefix-sum join
+    "epoch_shuffle",       // ≤256-row stratum-count frame, triangular (s2 < stratum) prefix-sum join
+    "corpus_shards")       // same triangular stratum-offset join + 1-row total-tokens broadcast
 
   /** Queries with a deliberate single-partition exchange feeding a
     * window: the window input is an aggregate of bounded size. */
   private val singlePartitionWindowAllowed = Set(
-    "resample_temperature") // window over the |strata|-row rate frame
+    "resample_temperature", // window over the |strata|-row rate frame
+    // the SinglePartition here is the 1-row total-tokens scalar
+    // aggregate (the same shape bm25's corpus stats plan, which this
+    // coarse Window+SinglePartition co-occurrence check can't see past);
+    // the window itself is stratum-partitioned
+    "corpus_shards")
 
   test("no registered query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
