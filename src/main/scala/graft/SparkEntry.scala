@@ -148,6 +148,7 @@ object SparkEntry {
     "compression_ratio" -> (Quality.compressionRatio(_, _)),
     // LLM-pipeline: retrieval + weighted sampling + span-level dedup
     "bm25_topk"         -> (graft.llm.Retrieval.bm25TopK(_, _)),
+    "hybrid_topk"       -> (graft.llm.Retrieval.hybridTopK(_, _)),
     "weighted_sample"   -> (Sampling.weightedSample(_, _)),
     "weighted_sample_grouped" -> (Sampling.weightedSampleBySource(_, _)),
     "span_shared"       -> (Dedup.spanSharedPairs(_, _)),
@@ -247,6 +248,7 @@ object SparkEntry {
     "pii_scrub"         -> Pii.piiScrubSql,
     "quality_filter"    -> Quality.qualityFilterSql,
     "bm25_topk"         -> graft.llm.Retrieval.bm25TopKSql(),
+    "hybrid_topk"       -> graft.llm.Retrieval.hybridTopKSql(),
     "weighted_sample"   -> Sampling.weightedSampleSql(),
     "weighted_sample_grouped" -> Sampling.weightedSampleBySourceSql(),
     "span_shared"       -> Dedup.spanSharedSql(),

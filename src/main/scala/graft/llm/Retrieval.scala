@@ -53,7 +53,16 @@ object Retrieval {
 
   /** The scorer over an explicit (doc_id, text) relation — the testable
     * core of [[bm25TopK]]. */
-  def bm25TopKFromDocs(docs: DataFrame, k: Int): DataFrame = {
+  def bm25TopKFromDocs(docs: DataFrame, k: Int): DataFrame =
+    bm25Scored(docs)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("dl"), round(col("score"), 6).as("bm25"))
+
+  /** Every document's raw BM25 score against [[queryTerms]] — the
+    * shared scoring frame behind [[bm25TopKFromDocs]] and the lexical
+    * leg of [[hybridTopK]]. Columns: doc_id, dl, score. */
+  def bm25Scored(docs: DataFrame): DataFrame = {
     val perDoc = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(
@@ -72,9 +81,98 @@ object Retrieval {
       .reduceLeft(_ + _) // fixed literal order — no order-dependent SUM
     perDoc.crossJoin(broadcast(stats)) // 1-row stats frame (PlanGuardrailSpec-pinned)
       .withColumn("score", score)
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
-      .select(col("doc_id"), col("dl"), round(col("score"), 6).as("bm25"))
+      .select(col("doc_id"), col("dl"), col("score"))
+  }
+
+  /** RRF discount constant — the k=60 of Cormack, Clarke & Buettcher
+    * (SIGIR '09), the de-facto default every hybrid search stack ships. */
+  private val RRF_K = 60
+
+  /** Hybrid lexical + dense retrieval via Reciprocal Rank Fusion: the
+    * BM25 leg over [[queryTerms]] and a cosine leg against the query
+    * document's embedding (`vec_id = queryId`), fused as
+    * Σ_legs 1/(60 + rank). RRF is how production retrieval stacks
+    * combine incommensurable scores — ranks, not raw values, so neither
+    * leg's scale dominates.
+    *
+    * Scale shape: each leg is a TakeOrdered(nLeg) reduction over one
+    * corpus scan (BM25's stats broadcast + the broadcast 1-row query
+    * vector — both legs shuffle nothing but their top-N). The fusion
+    * join touches 2·nLeg rows total, so rank assignment and the
+    * full-outer fuse are driver-scale no matter the corpus size. A doc
+    * absent from a leg contributes nothing for that leg (rank reported
+    * as 0 in the output). */
+  def hybridTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      nLeg: Int = 50, k: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // per-leg rank: TakeOrdered(nLeg) first, then row_number inside the
+    // nLeg-row frame — the unpartitioned window is deliberate (≤ nLeg
+    // rows by then), keeping the full-corpus sort out of the plan
+    val lexTop = bm25Scored(Tables.fanOut(Tables.documents(spark, dir)))
+      .orderBy(col("score").desc, col("doc_id")).limit(nLeg)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    val emb = Tables.fanOut(Tables.embeddings(spark, dir))
+      .withColumn("nrm", sqrt(Vectors.dotF32(col("embedding"), col("embedding"))))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qvec"), col("nrm").as("qnrm"))
+    val denseTop = emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q)) // 1-row query frame
+      .withColumn("cos", round(Vectors.dotF32(col("qvec"), col("embedding"))
+        / (col("qnrm") * col("nrm")), 6))
+      .orderBy(col("cos").desc, col("vec_id")).limit(nLeg)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("vec_rank"))
+    lexTop.join(denseTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RRF_K) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RRF_K) + col("vec_rank")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0)).as("vec_rank"),
+        col("rrf"))
+  }
+
+  def hybridTopKSql(queryId: Long = 0L, nLeg: Int = 50, k: Int = 25): String = {
+    val tfCols = queryTerms.map(t =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n|        ")
+    val dfCols = queryTerms.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n|        ")
+    val scoreExpr = queryTerms.map(t =>
+      s"(ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * (tf_$t * ${K1 + 1})) / " +
+        s"(tf_$t + $K1 * (${1 - B} + $B * (dl / avgdl)))").mkString("\n|          + ")
+    s"""WITH tk AS (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
+       |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |        $tfCols
+       |      FROM tk),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |        $dfCols
+       |      FROM t),
+       |sc AS (SELECT doc_id,
+       |          $scoreExpr AS score
+       |       FROM t CROSS JOIN (SELECT *, sum_dl / n_docs AS avgdl FROM s)),
+       |lex AS (SELECT doc_id, rn AS lex_rank FROM (
+       |          SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rn
+       |          FROM sc) WHERE rn <= $nLeg),
+       |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = $queryId),
+       |dsc AS (SELECT e.vec_id AS doc_id,
+       |          round(CAST(list_dot_product(q.qvec, e.embedding) AS DOUBLE)
+       |            / (sqrt(CAST(list_dot_product(q.qvec, q.qvec) AS DOUBLE))
+       |               * sqrt(CAST(list_dot_product(e.embedding, e.embedding) AS DOUBLE))), 6) AS cos
+       |        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> $queryId),
+       |den AS (SELECT doc_id, rn AS vec_rank FROM (
+       |          SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS rn
+       |          FROM dsc) WHERE rn <= $nLeg),
+       |f AS (SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.vec_rank,
+       |        round(coalesce(CAST(1 AS DOUBLE) / ($RRF_K + l.lex_rank), CAST(0 AS DOUBLE))
+       |          + coalesce(CAST(1 AS DOUBLE) / ($RRF_K + d.vec_rank), CAST(0 AS DOUBLE)), 6) AS rrf
+       |      FROM lex l FULL OUTER JOIN den d ON l.doc_id = d.doc_id)
+       |SELECT doc_id, coalesce(lex_rank, 0) AS lex_rank,
+       |  coalesce(vec_rank, 0) AS vec_rank, rrf
+       |FROM f ORDER BY rrf DESC, doc_id LIMIT $k""".stripMargin
   }
 
   def bm25TopKSql(k: Int = 25): String = {

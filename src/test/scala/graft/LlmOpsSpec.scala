@@ -816,6 +816,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.last._1 == 3L, s"term-free doc should rank last, got ${got.last}")
   }
 
+  test("hybrid topk: RRF recomputes from the leg ranks, which match the standalone queries") {
+    val got = graft.llm.Retrieval.hybridTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(got.length == 25)
+    // fused score is non-increasing and recomputable from the two ranks
+    val rrfs = got.map(_._4)
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+    got.foreach { case (id, l, d, rrf) =>
+      assert(l >= 0 && l <= 50 && d >= 0 && d <= 50)
+      assert(l > 0 || d > 0, s"doc $id in neither leg")
+      val want = (if (l > 0) 1.0 / (60 + l) else 0.0) +
+        (if (d > 0) 1.0 / (60 + d) else 0.0)
+      assert(math.abs(rrf - want) < 1e-6, s"doc $id: rrf $rrf vs $want")
+    }
+    // lexical ranks agree with the standalone bm25 ranking (top 25 ⊆ nLeg)
+    val bm = graft.llm.Retrieval.bm25TopK(spark, sf, k = 25).collect()
+      .zipWithIndex.map { case (r, i) => r.getLong(0) -> (i + 1) }.toMap
+    got.filter { case (_, l, _, _) => l > 0 && l <= 25 }.foreach {
+      case (id, l, _, _) => assert(bm(id) == l, s"doc $id lex_rank $l vs bm25 ${bm(id)}")
+    }
+    // dense ranks agree with the standalone cosine top-k for query 0
+    val sim = graft.llm.Vectors.simTopK(spark, sf, nQueries = 1, k = 25)
+      .collect().map(r => (r.getLong(2), r.getInt(1))).toMap
+    got.filter { case (_, _, d, _) => d > 0 && d <= 25 }.foreach {
+      case (id, _, d, _) => assert(sim(id) == d, s"doc $id vec_rank $d vs sim ${sim(id)}")
+    }
+  }
+
   test("weighted_sample: top-k priorities match a plain-Scala md5 recomputation") {
     val got = graft.llm.Sampling.weightedSample(spark, sf, k = 20)
       .collect().map(r => (r.getLong(0), r.getDouble(2)))
