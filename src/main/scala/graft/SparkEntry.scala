@@ -92,6 +92,7 @@ object SparkEntry {
     "dedup_incremental" -> (Dedup.dedupIncremental(_, _)),
     "dedup_editdist"    -> (Dedup.dedupEditDistance(_, _)),
     "dedup_apply"       -> (Dedup.dedupApply(_, _)),
+    "cluster_canonical" -> (Dedup.clusterCanonical(_, _)),
     // LLM-pipeline: benchmark decontamination
     "decontam"          -> (Decontam.decontaminate(_, _)),
     "split_leakage"     -> (Decontam.splitLeakage(_, _)),
@@ -108,6 +109,9 @@ object SparkEntry {
     "dedup_semantic"    -> (Vectors.semanticDedup(_, _)),
     "quality_classifier"-> (Quality.classifierScores(_, _)),
     "emb_centroids"     -> (Vectors.embCentroids(_, _)),
+    "emb_covariance"    -> (Vectors.embCovariance(_, _)),
+    "emb_pca_project"   -> (Vectors.embPcaProject(_, _)),
+    "emb_outliers"      -> (Vectors.embOutliers(_, _)),
     // LLM-pipeline: text analysis
     "text_stats"        -> (TextOps.textStats(_, _)),
     "text_normalize"    -> (TextOps.textNormalize(_, _)),
@@ -127,6 +131,7 @@ object SparkEntry {
     "boilerplate_scrub_cdc" -> (TextOps.boilerplateScrubCdc(_, _)),
     "dup_span_scrub"    -> (TextOps.dupSpanScrub(_, _)),
     "corpus_mix"        -> (TextOps.corpusMix(_, _)),
+    "source_drift"      -> (TextOps.sourceDrift(_, _)),
     "token_budget_mix"  -> (Sampling.tokenBudgetMix(_, _)),
     "epoch_shuffle"     -> (Sampling.epochShuffle(_, _)),
     "corpus_shards"     -> (Sampling.corpusShards(_, _)),
@@ -164,6 +169,10 @@ object SparkEntry {
     // window — the one streaming operator the DuckDB oracle can hash
     "streaming_quota_gate" -> (graft.streaming.StreamingQuotaGate
       .quotaGateQuery(_, _)),
+    // streaming covariance: exact mergeable moment sums ⇒ a native
+    // complete-mode streaming aggregate, == emb_covariance bit for bit
+    "streaming_covariance" -> (graft.streaming.StreamingMoments
+      .covarianceQuery(_, _)),
     // scale techniques as first-class queries
     "salted_agg"        -> (graft.scale.ScaleTechniques.saltedAggQuery(_, _)),
     "bloom_join"        -> (graft.scale.ScaleTechniques.bloomJoinQuery(_, _)),
@@ -212,6 +221,7 @@ object SparkEntry {
     "dedup_clusters"    -> Dedup.dedupClustersSql(),
     "dedup_editdist"    -> Dedup.dedupEditDistanceSql(),
     "dedup_apply"       -> Dedup.dedupApplySql(),
+    "cluster_canonical" -> Dedup.clusterCanonicalSql(),
     "decontam"          -> Decontam.decontaminateSql(),
     "split_leakage"     -> Decontam.splitLeakageSql(),
     "decontam_apply"    -> Decontam.decontamApplySql(),
@@ -221,6 +231,10 @@ object SparkEntry {
     "similarity_topk"   -> Vectors.simTopKSql(),
     "emb_neardup"       -> Vectors.embNearDupSql(),
     "emb_centroids"     -> Vectors.embCentroidsSql,
+    "emb_covariance"    -> Vectors.embCovarianceSql(),
+    // emb_pca_project / emb_outliers: iterative eigensolve / matrix
+    // inverse — not SQL-expressible; LlmOpsSpec pins eigenpair laws and
+    // the plain-Scala Mahalanobis refold, ContractSpec the accounting.
     "text_stats"        -> TextOps.textStatsSql,
     "text_normalize"    -> TextOps.textNormalizeSql,
     "lang_id"           -> TextOps.langIdSql,
@@ -236,8 +250,10 @@ object SparkEntry {
     "epoch_shuffle"     -> Sampling.epochShuffleSql,
     "corpus_shards"     -> Sampling.corpusShardsSql(),
     "streaming_quota_gate" -> graft.streaming.StreamingQuotaGate.quotaGateSql(),
+    "streaming_covariance" -> Vectors.embCovarianceSql(),
     "lm_score"          -> TextOps.lmScoreSql(),
     "corpus_mix"        -> TextOps.corpusMixSql(),
+    "source_drift"      -> TextOps.sourceDriftSql(),
     "media_features"    -> Multimodal.mediaFeaturesSql,
     "media_framesample" -> Multimodal.mediaFrameSampleSql(),
     "sample_hash"       -> Sampling.sampleHashSql,

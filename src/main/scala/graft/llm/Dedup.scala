@@ -242,6 +242,56 @@ object Dedup {
       .select(col("doc_id"), col("cluster_size"))
   }
 
+  /** Quality-aware canonical selection: per near-dup cluster keep the
+    * HIGHEST-QUALITY member instead of [[dedupApply]]'s arbitrary
+    * min-id — the decision production curation actually wants (near-dup
+    * groups routinely mix a clean original with truncated/mangled
+    * copies; min-id keeps whichever crawled first). Quality is the
+    * [[Quality.gate]] rule count (ties: longer doc, then min id), so no
+    * new scoring machinery and the oracle stays exact.
+    *
+    * Scale: the rule columns are a zero-shuffle scan projection; the
+    * only wide op is ONE shuffle of the (doc_id, cluster_id, two ints)
+    * frame on cluster_id, where both window frames (rank + size) reuse
+    * the same exchange. Rides [[dedupClusters]]' memoized labels. */
+  def clusterCanonical(spark: SparkSession, dir: String,
+      threshold: Double = 0.6): DataFrame = {
+    val clusters = dedupClusters(spark, dir, threshold)
+    val q = Quality.gate(Tables.fanOut(Tables.documents(spark, dir)))
+      .select(col("doc_id"),
+        (col("r_nwords") + col("r_awl") + col("r_stop") + col("r_alpha") +
+          col("r_repeat")).cast("int").as("rule_sum"),
+        col("word_count"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    val rank = byCluster.orderBy(col("rule_sum").desc,
+      col("word_count").desc, col("doc_id"))
+    clusters.join(q, Seq("doc_id"))
+      .withColumn("rn", row_number().over(rank))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canon_id"),
+        col("rule_sum"), col("cluster_size"))
+  }
+
+  def clusterCanonicalSql(threshold: Double = 0.6): String =
+    s"""WITH q AS (
+       |${Quality.qualityFilterSql}
+       |),
+       |clusters AS (
+       |${dedupClustersSql(threshold)}
+       |),
+       |j AS (SELECT c.cluster_id, c.doc_id,
+       |        CAST(q.r_nwords + q.r_awl + q.r_stop + q.r_alpha + q.r_repeat AS INT) AS rule_sum,
+       |        q.word_count
+       |      FROM clusters c JOIN q ON c.doc_id = q.doc_id),
+       |r AS (SELECT cluster_id, doc_id, rule_sum,
+       |        CAST(row_number() OVER (PARTITION BY cluster_id
+       |          ORDER BY rule_sum DESC, word_count DESC, doc_id) AS INT) AS rn,
+       |        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+       |      FROM j)
+       |SELECT cluster_id, doc_id AS canon_id, rule_sum, cluster_size
+       |FROM r WHERE rn = 1""".stripMargin
+
   def dedupApplySql(threshold: Double = 0.6): String =
     s"""WITH clusters AS (
        |${dedupClustersSql(threshold)}

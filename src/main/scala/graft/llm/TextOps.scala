@@ -761,6 +761,76 @@ object TextOps {
        |  CAST(CAST(sum(word_count) AS BIGINT) AS DOUBLE) / count(*) AS tokens_per_doc
        |FROM q GROUP BY source, lang""".stripMargin
 
+  /** Per-source distribution drift: the Population Stability Index of
+    * each source's unigram distribution against the corpus-wide one,
+    * over the `topN` global terms (add-α smoothing so an absent term
+    * contributes its smoothed mass instead of a log singularity).
+    * PSI = Σ_t (p_s − p_g)·ln(p_s/p_g) — the standard production drift
+    * monitor; sources whose language mix or boilerplate diverges from
+    * the corpus surface with psi ≫ 0, the shape a mix dashboard alerts
+    * on before a bad crawl batch pollutes training.
+    *
+    * Scale: ONE map-side-combinable shuffle on (source, term) for the
+    * restricted counts (the topN semi-join bounds every posting);
+    * the global top-N is a TakeOrdered reduction; the grid completion,
+    * totals, and the PSI fold all run on |sources|·topN rows. The
+    * per-term contributions round to 9 decimals and sum as
+    * DECIMAL(28,9) (the [[lmScore]] trick), so the cross-row reduction
+    * is order-independent and the DuckDB oracle hashes bit-for-bit. */
+  def sourceDrift(spark: SparkSession, dir: String, topN: Int = 100,
+      alpha: Double = 0.5): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val toks = docs.select(col("source"),
+      explode(tokens(col("text"))).as("term"))
+    val global = toks.groupBy(col("term")).agg(count(lit(1)).as("cg"))
+    val top = global.orderBy(col("cg").desc, col("term")).limit(topN)
+    val tg = top.agg(sum(col("cg")).as("tg")) // 1 row
+    val perSrc = toks.join(broadcast(top.select(col("term"))), Seq("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cs"))
+    val grid = docs.select(col("source")).distinct()
+      .crossJoin(broadcast(top)) // |sources|·topN rows, both sides tiny
+      .join(perSrc, Seq("source", "term"), "left_outer")
+      .withColumn("cs", coalesce(col("cs"), lit(0L)))
+    val totals = grid.groupBy(col("source")).agg(sum(col("cs")).as("ts"))
+    val ps = (col("cs").cast("double") + lit(alpha)) /
+      (col("ts").cast("double") + lit(alpha * topN))
+    val pg = (col("cg").cast("double") + lit(alpha)) /
+      (col("tg").cast("double") + lit(alpha * topN))
+    grid.join(broadcast(totals), Seq("source")).crossJoin(broadcast(tg))
+      .withColumn("contrib", round((ps - pg) * log(ps / pg), 9))
+      .groupBy(col("source"), col("ts"))
+      .agg(sum(col("contrib")
+        .cast(org.apache.spark.sql.types.DecimalType(28, 9))).as("spsi"))
+      .select(col("source"), col("ts"),
+        round(col("spsi").cast("double"), 6).as("psi"))
+  }
+
+  def sourceDriftSql(topN: Int = 100, alpha: Double = 0.5): String = {
+    val aN = alpha * topN
+    // fully parenthesized: these interpolate into `ps / pg`, where an
+    // unwrapped a/b / c/d would parse as ((a/b)/c)/d
+    val psSql = s"((CAST(cs AS DOUBLE) + $alpha) / (CAST(ts AS DOUBLE) + $aN))"
+    val pgSql = s"((CAST(cg AS DOUBLE) + $alpha) / (CAST(tg AS DOUBLE) + $aN))"
+    s"""WITH tk AS (SELECT source, unnest(${tokensSql}) AS term FROM documents),
+       |g AS (SELECT term, CAST(count(*) AS BIGINT) AS cg FROM tk GROUP BY 1),
+       |top AS (SELECT term, cg FROM g ORDER BY cg DESC, term LIMIT $topN),
+       |tgt AS (SELECT CAST(sum(cg) AS BIGINT) AS tg FROM top),
+       |pc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cs FROM tk
+       |       WHERE term IN (SELECT term FROM top) GROUP BY 1, 2),
+       |sg AS (SELECT s.source, t.term, t.cg
+       |       FROM (SELECT DISTINCT source FROM documents) s CROSS JOIN top t),
+       |grid AS (SELECT sg.source, sg.term, sg.cg, CAST(coalesce(p.cs, 0) AS BIGINT) AS cs
+       |         FROM sg LEFT JOIN pc p
+       |           ON p.source = sg.source AND p.term = sg.term),
+       |tot AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ts FROM grid GROUP BY 1),
+       |c AS (SELECT grid.source, tot.ts,
+       |        round(($psSql - $pgSql) * ln($psSql / $pgSql), 9) AS contrib
+       |      FROM grid JOIN tot ON grid.source = tot.source CROSS JOIN tgt)
+       |SELECT source, ts,
+       |  round(CAST(sum(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 6) AS psi
+       |FROM c GROUP BY source, ts""".stripMargin
+  }
+
   /** EXACT DUPLICATE-SPAN SCRUB (ExactSubstr dedup, Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499): remove every token span that appears (anywhere

@@ -671,6 +671,301 @@ object Vectors {
         // HALF_UP vs DuckDB half-even then disagree
         (col("sum_scaled").cast("double") / col("n") / lit(1e6)).as("mean"))
 
+  /** Mean-centered covariance of the leading `p` embedding dimensions —
+    * the moment matrix every embedding-space diagnostic (PCA, whitening,
+    * anisotropy checks) starts from. Components are FIXED-POINT
+    * quantized (`floor(v·1e4)` → exact BIGINT sums), the same
+    * order-independence trick [[embCentroids]] uses, so the cross-row
+    * reduction is deterministic and the DuckDB oracle bit-identical;
+    * the covariance of the quantized vectors differs from the float
+    * truth by O(1e-4) per component — far below any consumer's noise
+    * floor, and [[embPcaProject]] computes the un-quantized version.
+    *
+    * Scale: ONE zero-shuffle global aggregate — p + p(p+1)/2 exact-
+    * integer sums with map-side partials over a column-pruned scan; the
+    * unpivot to (dim_i, dim_j) rows explodes the single aggregate row.
+    * BIGINT headroom: |q| ≤ ~1.5e4 ⇒ products ≤ ~2.3e8, so the sums
+    * stay exact to ~4e10 rows; past that, re-scale or switch the
+    * accumulator to DECIMAL(38,0). */
+  def embCovariance(spark: SparkSession, dir: String, p: Int = 8): DataFrame =
+    momentStatsToCov(
+      momentQuantize(Tables.fanOut(Tables.embeddings(spark, dir)), p)
+        .agg(momentAggs(p).head, momentAggs(p).tail: _*), p)
+
+  /** The quantized per-dimension projection feeding the moment
+    * aggregate — works on batch AND streaming frames (shared with
+    * [[graft.streaming.StreamingMoments]]). */
+  def momentQuantize(emb: DataFrame, p: Int): DataFrame =
+    emb.select((0 until p).map(i =>
+      floor(element_at(col("embedding"), i + 1).cast("double") * lit(1e4))
+        .as(s"q$i")): _*)
+
+  /** n + p sums + p(p+1)/2 product sums — all exact BIGINTs, so the
+    * aggregate state is associative/mergeable (what makes the streaming
+    * form == the batch form bit for bit). */
+  def momentAggs(p: Int): Seq[Column] =
+    count(lit(1)).as("n") +:
+      ((0 until p).map(i => sum(col(s"q$i")).as(s"s$i")) ++
+        (for { i <- 0 until p; j <- i until p } yield
+          sum(col(s"q$i") * col(s"q$j")).as(s"p${i}_$j")))
+
+  /** Unpivot the 1-row moment frame into (dim_i, dim_j, n, cov) rows. */
+  def momentStatsToCov(stats: DataFrame, p: Int): DataFrame = {
+    val scale = 1e4
+    val pairs = for { i <- 0 until p; j <- i until p } yield (i, j)
+    val entries = array(pairs.map { case (i, j) =>
+      struct(lit(i).as("i"), lit(j).as("j"), col(s"p${i}_$j").as("sp"),
+        col(s"s$i").as("si"), col(s"s$j").as("sj"))
+    }: _*)
+    stats.select(col("n"), explode(entries).as("e"))
+      .select(col("e.i").as("dim_i"), col("e.j").as("dim_j"), col("n"),
+        // division chain over exact ints — IEEE-identical in both engines
+        (((col("e.sp").cast("double") / col("n"))
+          - (col("e.si").cast("double") / col("n"))
+            * (col("e.sj").cast("double") / col("n")))
+          / lit(scale * scale)).as("cov"))
+  }
+
+  def embCovarianceSql(p: Int = 8): String = {
+    val qCols = (0 until p).map(i =>
+      s"CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 10000.0) AS BIGINT) AS q$i")
+      .mkString(",\n|        ")
+    val pairs = for { i <- 0 until p; j <- i until p } yield (i, j)
+    val sumCols = ((0 until p).map(i => s"CAST(sum(q$i) AS BIGINT) AS s$i") ++
+      pairs.map { case (i, j) => s"CAST(sum(q$i * q$j) AS BIGINT) AS p${i}_$j" })
+      .mkString(",\n|        ")
+    val unpivot = pairs.map { case (i, j) =>
+      s"SELECT $i AS dim_i, $j AS dim_j, p${i}_$j AS sp, s$i AS si, s$j AS sj, n FROM s"
+    }.mkString("\n|  UNION ALL ")
+    s"""WITH q AS (SELECT
+       |        $qCols
+       |      FROM embeddings),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        $sumCols
+       |      FROM q),
+       |u AS (
+       |  $unpivot
+       |)
+       |SELECT dim_i, dim_j, n,
+       |  (CAST(sp AS DOUBLE) / n - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n))
+       |    / CAST(100000000 AS DOUBLE) AS cov
+       |FROM u""".stripMargin
+  }
+
+  /** The PCA model behind [[embPcaProject]]: sample mean, top-`nc`
+    * eigenvalues and (sign-fixed, orthonormal) eigenvectors of the
+    * mean-centered covariance. */
+  case class PcaModel(n: Long, mean: Array[Double],
+      eigvals: Array[Double], vecs: Array[Array[Double]])
+
+  /** Full-dimension quantized moment accumulation: one `treeAggregate`
+    * over the column-pruned scan, carrying (count, dim sums,
+    * dim(dim+1)/2 products) as exact-Long arrays — ~33 KB of state per
+    * partition, map-side combined, one tree reduce to the driver.
+    * Long addition is associative and the per-row quantization
+    * (`floor(v·scale)`) is order-free, so the result is bit-identical
+    * under ANY partitioning — same bits the equivalent dim²-column SQL
+    * aggregate produces, without asking Catalyst to plan ~dim²/2
+    * aggregate expressions (that planning alone costs seconds at
+    * dim=64; the RDD fold is the idiomatic escape hatch for genuinely
+    * per-partition numeric accumulation). */
+  private def quantizedMoments(emb: DataFrame, dim: Int, scale: Double)
+      : (Long, Array[Long], Array[Array[Long]]) = {
+    val nPairs = dim * (dim + 1) / 2
+    val (n, s, p) = emb.select(col("embedding")).rdd
+      .map(_.getSeq[Float](0))
+      .treeAggregate((0L, new Array[Long](dim), new Array[Long](nPairs)))(
+        seqOp = { case ((cnt, sums, prods), v) =>
+          val q = new Array[Long](dim)
+          var i = 0
+          while (i < dim) { q(i) = math.floor(v(i) * scale).toLong; i += 1 }
+          i = 0
+          var k = 0
+          while (i < dim) {
+            sums(i) += q(i)
+            var j = i
+            while (j < dim) { prods(k) += q(i) * q(j); j += 1; k += 1 }
+            i += 1
+          }
+          (cnt + 1, sums, prods)
+        },
+        combOp = { case ((na, sa, pa), (nb, sb, pb)) =>
+          var i = 0
+          while (i < dim) { sa(i) += sb(i); i += 1 }
+          i = 0
+          while (i < nPairs) { pa(i) += pb(i); i += 1 }
+          (na + nb, sa, pa)
+        })
+    val m = Array.ofDim[Long](dim, dim)
+    var i = 0
+    var k = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) { m(i)(j) = p(k); m(j)(i) = p(k); j += 1; k += 1 }
+      i += 1
+    }
+    (n, s, m)
+  }
+
+  /** Top-`nc` principal components of the embedding corpus + every
+    * vector's projection onto them — the decorrelated low-dim view that
+    * drives embedding-space diagnostics, whitening, and cheap visual
+    * maps of a corpus.
+    *
+    * Spark-first split of the work: the data-sized part (the moment
+    * matrix) is the one distributed aggregate of [[quantizedMoments]];
+    * the dim²-sized part (the eigensolve) runs on the driver — 64×64
+    * is microscopic, and no cluster should shuffle for it. Components
+    * come from deterministic-init power iteration with explicit
+    * re-orthogonalization against earlier components (orthogonal
+    * iteration), sign-fixed so the largest-|component| coordinate is
+    * positive; iteration count is sized for the near-degenerate spectra
+    * synthetic gaussian corpora have (gap ~1.01 ⇒ ~10³ matvecs, still
+    * <10⁷ driver flops). Projection broadcasts the components as
+    * literal arrays and folds each row once — zero shuffle, and
+    * per-row fold order is fixed, so output is deterministic.
+    *
+    * No SQL oracle (iterative eigensolve); LlmOpsSpec pins the
+    * eigenpair residuals ‖Cv−λv‖ ≤ tol·λ1, orthonormality, eigenvalue
+    * ordering, and that per-component projection variance reproduces
+    * its eigenvalue. */
+  def embPcaProject(spark: SparkSession, dir: String, nc: Int = 2,
+      dim: Int = 64, iters: Int = 3000): DataFrame = {
+    val emb = Tables.fanOut(Tables.embeddings(spark, dir))
+    val model = graft.Caches.memoObj(spark, s"pcaModel:$dir:$nc:$dim:$iters") {
+      pcaModel(emb, nc, dim, iters)
+    }
+    val meanArr = array(model.mean.map(lit): _*)
+    val centered = zip_with(col("embedding"), meanArr,
+      (x, m) => x.cast("double") - m)
+    val pcCols = model.vecs.zipWithIndex.map { case (v, c) =>
+      val varr = array(v.map(lit): _*)
+      round(aggregate(zip_with(centered, varr, (x, w) => x * w),
+        lit(0.0), (acc, t) => acc + t), 6).as(s"pc${c + 1}")
+    }
+    emb.select(col("vec_id") +: pcCols: _*)
+  }
+
+  /** Driver-side model fit: quantized covariance + orthogonal power
+    * iteration. Deterministic end to end. */
+  def pcaModel(emb: DataFrame, nc: Int, dim: Int, iters: Int): PcaModel = {
+    val scale = 1e4
+    val (n, s, m) = quantizedMoments(emb, dim, scale)
+    val mean = s.map(_.toDouble / n / scale)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      (m(i)(j).toDouble / n - (s(i).toDouble / n) * (s(j).toDouble / n)) /
+        (scale * scale)
+    }
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += cov(i)(j) * v(j); j += 1 }; acc
+      }
+    def normalize(v: Array[Double]): Array[Double] = {
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / nrm)
+    }
+    val vecs = new Array[Array[Double]](nc)
+    val eigvals = new Array[Double](nc)
+    for (c <- 0 until nc) {
+      var v = normalize(Array.tabulate(dim)(i => planeComponent(7700 + c, i)))
+      for (_ <- 0 until iters) {
+        val w = matvec(v)
+        // project out the already-found components (deflation without
+        // mutating cov — keeps each matvec exact on the true matrix)
+        for (p <- 0 until c) {
+          val d = (0 until dim).map(i => w(i) * vecs(p)(i)).sum
+          for (i <- 0 until dim) w(i) -= d * vecs(p)(i)
+        }
+        v = normalize(w)
+      }
+      val av = matvec(v)
+      eigvals(c) = (0 until dim).map(i => v(i) * av(i)).sum // Rayleigh
+      // sign convention: the largest-|x| coordinate is positive
+      val imax = (0 until dim).maxBy(i => math.abs(v(i)))
+      vecs(c) = if (v(imax) < 0) v.map(-_) else v
+    }
+    PcaModel(n, mean, eigvals, vecs)
+  }
+
+  /** The whitening model behind [[embOutliers]]: sample mean and the
+    * inverse lower-Cholesky factor of the (ridge-regularized) covariance,
+    * so the Mahalanobis form is a plain squared norm ‖L⁻¹(x−μ)‖². */
+  case class MahaModel(mean: Array[Double], linv: Array[Array[Double]])
+
+  private def choleskyLower(a: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = a.length
+    val l = Array.ofDim[Double](n, n)
+    for (i <- 0 until n; j <- 0 to i) {
+      var s = a(i)(j)
+      var k = 0
+      while (k < j) { s -= l(i)(k) * l(j)(k); k += 1 }
+      if (i == j) l(i)(i) = math.sqrt(s)
+      else l(i)(j) = s / l(j)(j)
+    }
+    l
+  }
+
+  private def invertLower(l: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = l.length
+    val inv = Array.ofDim[Double](n, n)
+    for (i <- 0 until n) {
+      inv(i)(i) = 1.0 / l(i)(i)
+      for (j <- 0 until i) {
+        var s = 0.0
+        var k = j
+        while (k < i) { s += l(i)(k) * inv(k)(j); k += 1 }
+        inv(i)(j) = -s / l(i)(i)
+      }
+    }
+    inv
+  }
+
+  /** Fit on the same exact-deterministic quantized moments PCA uses;
+    * `ridge` keeps the factorization stable if the corpus ever turns
+    * rank-deficient (duplicated dims, tiny n). */
+  def mahaModel(emb: DataFrame, dim: Int, ridge: Double): MahaModel = {
+    val scale = 1e4
+    val (n, s, m) = quantizedMoments(emb, dim, scale)
+    val mean = s.map(_.toDouble / n / scale)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      val c = (m(i)(j).toDouble / n - (s(i).toDouble / n) * (s(j).toDouble / n)) /
+        (scale * scale)
+      if (i == j) c + ridge else c
+    }
+    MahaModel(mean, invertLower(choleskyLower(cov)))
+  }
+
+  /** Embedding-space outliers: top-k documents by squared Mahalanobis
+    * distance to the corpus distribution — the standard multivariate
+    * screen for broken embeddings (all-zero vectors, wrong-model rows,
+    * out-of-distribution payloads) that per-dimension z-scores miss
+    * because they ignore correlations.
+    *
+    * Same driver/cluster split as [[embPcaProject]]: moments are the
+    * one distributed aggregate, the dim² factorization runs on the
+    * driver, and scoring broadcasts L⁻¹ as literal rows — dim fixed
+    * folds per row, zero shuffle, TakeOrdered(k) the only wide op.
+    * No SQL oracle (matrix inverse); LlmOpsSpec refolds the scores in
+    * plain Scala and pins the top-k. */
+  def embOutliers(spark: SparkSession, dir: String, k: Int = 50,
+      dim: Int = 64, ridge: Double = 1e-6): DataFrame = {
+    val emb = Tables.fanOut(Tables.embeddings(spark, dir))
+    val model = graft.Caches.memoObj(spark, s"mahaModel:$dir:$dim:$ridge") {
+      mahaModel(emb, dim, ridge)
+    }
+    val meanArr = array(model.mean.map(lit): _*)
+    val d = zip_with(col("embedding"), meanArr, (x, m) => x.cast("double") - m)
+    val score = (0 until dim).map { i =>
+      val row = array(model.linv(i).map(lit): _*)
+      val yi = aggregate(zip_with(d, row, (a, b) => a * b),
+        lit(0.0), (acc, t) => acc + t)
+      yi * yi
+    }.reduce(_ + _)
+    emb.select(col("vec_id"), round(score, 6).as("maha2"))
+      .orderBy(col("maha2").desc, col("vec_id")).limit(k)
+  }
+
   val embCentroidsSql: String =
     """WITH e AS (SELECT label, unnest(embedding) AS v,
       |                  generate_subscripts(embedding, 1) AS i

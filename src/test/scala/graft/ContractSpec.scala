@@ -34,7 +34,9 @@ class ContractSpec extends AnyFunSuite {
     "media_frame_neardup",// LlmOpsSpec: planted re-encoded clip's frames recalled
     "compression_ratio",  // FunctionsSpec: == plain-Scala Deflater refold + ordering law
     "streaming_neardup",  // StreamingNearDupSpec: stream == batch dedup_simhash pair set
-    "boilerplate_scrub_cdc") // LlmOpsSpec: shifted boilerplate scrubbed; identity reconstruction
+    "boilerplate_scrub_cdc", // LlmOpsSpec: shifted boilerplate scrubbed; identity reconstruction
+    "emb_pca_project",    // LlmOpsSpec: eigenpair residual/orthonormality/variance laws
+    "emb_outliers")       // LlmOpsSpec: == plain-Scala Mahalanobis refold top-k
 
   test("every oracle entry has a query") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

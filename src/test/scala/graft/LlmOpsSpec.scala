@@ -844,6 +844,156 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster canonical: keeps the max-quality member of every cluster") {
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val quality = graft.llm.Quality.gate(graft.Tables.documents(spark, sf))
+      .select(col("doc_id"),
+        (col("r_nwords") + col("r_awl") + col("r_stop") + col("r_alpha") +
+          col("r_repeat")).cast("int").as("rs"),
+        col("word_count"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val want = clusters.groupBy(_._2).map { case (cid, members) =>
+      val best = members.map(_._1).minBy { id =>
+        val (rs, wc) = quality(id); (-rs, -wc, id)
+      }
+      (cid, best, quality(best)._1, members.length.toLong)
+    }.toSet
+    val got = Dedup.clusterCanonical(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == want)
+    // the quality choice must actually differ from min-id somewhere,
+    // or the operator is indistinguishable from dedup_apply
+    assert(got.exists { case (cid, canon, _, size) => size > 1 && canon != cid })
+  }
+
+  test("embedding covariance: matches a plain-Scala quantized recomputation") {
+    val x = graft.Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val p = 8
+    val q = x.map(v => (0 until p).map(i =>
+      math.floor(v(i).toDouble * 1e4).toLong).toArray)
+    val n = q.length.toDouble
+    val got = graft.llm.Vectors.embCovariance(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size == p * (p + 1) / 2)
+    for { i <- 0 until p; j <- i until p } {
+      val sp = q.map(v => v(i) * v(j)).sum.toDouble
+      val si = q.map(_(i)).sum.toDouble
+      val sj = q.map(_(j)).sum.toDouble
+      val want = (sp / n - (si / n) * (sj / n)) / 1e8
+      val (gn, gc) = got((i, j))
+      assert(gn == q.length.toLong)
+      assert(math.abs(gc - want) < 1e-12, s"cov($i,$j): $gc vs $want")
+    }
+    assert((0 until p).forall(i => got((i, i))._2 > 0)) // variances positive
+  }
+
+  test("pca: eigenpair residuals, orthonormality, ordering, projection variance") {
+    val dim = 64
+    val emb = graft.Tables.fanOut(graft.Tables.embeddings(spark, sf))
+    val model = graft.llm.Vectors.pcaModel(emb, nc = 2, dim = dim, iters = 3000)
+    // independent covariance refold (same quantization, driver-side)
+    val x = graft.Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val n = x.length.toDouble
+    val q = x.map(v => v.map(c => math.floor(c.toDouble * 1e4)))
+    val mean = Array.tabulate(dim)(i => q.map(_(i)).sum / n / 1e4)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      (q.map(v => v(i) * v(j)).sum / n -
+        (q.map(_(i)).sum / n) * (q.map(_(j)).sum / n)) / 1e8
+    }
+    model.mean.zip(mean).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    assert(model.n == x.length.toLong)
+    val l1 = model.eigvals(0)
+    assert(l1 >= model.eigvals(1) && model.eigvals(1) > 0)
+    for (c <- 0 until 2) {
+      val v = model.vecs(c); val l = model.eigvals(c)
+      val nrm = math.sqrt(v.map(a => a * a).sum)
+      assert(math.abs(nrm - 1.0) < 1e-9)
+      val res = (0 until dim).map { i =>
+        val cv = (0 until dim).map(j => cov(i)(j) * v(j)).sum
+        val d = cv - l * v(i); d * d
+      }.sum
+      assert(math.sqrt(res) <= 1e-3 * l1,
+        s"component $c residual ${math.sqrt(res)} vs bound ${1e-3 * l1}")
+      assert(v(v.indices.maxBy(i => math.abs(v(i)))) > 0) // sign convention
+    }
+    val ortho = (0 until dim).map(i => model.vecs(0)(i) * model.vecs(1)(i)).sum
+    assert(math.abs(ortho) < 1e-9)
+    // per-component projection variance reproduces the eigenvalue
+    val proj = graft.llm.Vectors.embPcaProject(spark, sf).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    def variance(vs: Array[Double]): Double = {
+      val m = vs.sum / vs.length
+      vs.map(a => (a - m) * (a - m)).sum / vs.length
+    }
+    assert(math.abs(variance(proj.map(_._1)) - model.eigvals(0)) < 0.01 * l1)
+    assert(math.abs(variance(proj.map(_._2)) - model.eigvals(1)) < 0.01 * l1)
+  }
+
+  test("embedding outliers: top-k matches a plain-Scala Mahalanobis refold") {
+    val dim = 64
+    val x = graft.Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val emb = graft.Tables.fanOut(graft.Tables.embeddings(spark, sf))
+    val model = graft.llm.Vectors.mahaModel(emb, dim, 1e-6)
+    def score(v: Array[Float]): Double = {
+      val d = Array.tabulate(dim)(i => v(i).toDouble - model.mean(i))
+      (0 until dim).map { i =>
+        val y = (0 until dim).map(j => d(j) * model.linv(i)(j)).sum
+        y * y
+      }.sum
+    }
+    val want = x.map { case (id, v) =>
+      (id, BigDecimal(score(v)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }.sortBy { case (id, s2) => (-s2, id) }.take(50)
+    val got = graft.llm.Vectors.embOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 50)
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq)
+    got.zip(want).foreach { case ((gi, gs), (_, ws)) =>
+      assert(math.abs(gs - ws) < 1e-4, s"vec $gi: $gs vs $ws") }
+    // whitened squared norms concentrate around dim — the fit is sane
+    val all = x.map { case (_, v) => score(v) }
+    val meanScore = all.sum / all.length
+    assert(meanScore > dim * 0.8 && meanScore < dim * 1.2,
+      s"mean Mahalanobis² $meanScore far from dim=$dim")
+  }
+
+  test("source drift: PSI matches a plain-Scala decimal refold; drift is nonnegative") {
+    val rows = graft.Tables.documents(spark, sf)
+      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    val cgAll = rows.flatMap(_._2).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val top = cgAll.toSeq.sortBy { case (t, c) => (-c, t) }.take(100)
+    val tg = top.map(_._2).sum.toDouble
+    val topSet = top.map(_._1).toSet
+    val want = rows.groupBy(_._1).map { case (s, rs) =>
+      val cnt = rs.flatMap(_._2).filter(topSet).groupBy(identity)
+        .map { case (t, xs) => t -> xs.length.toLong }
+      val ts = cnt.values.sum
+      val psi = top.map { case (t, cg) =>
+        val ps = (cnt.getOrElse(t, 0L) + 0.5) / (ts + 50.0)
+        val pg = (cg + 0.5) / (tg + 50.0)
+        BigDecimal((ps - pg) * math.log(ps / pg))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      s -> (ts, psi.toDouble)
+    }
+    val got = TextOps.sourceDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == want.size)
+    got.foreach { case (s, ts, psi) =>
+      val (wts, wpsi) = want(s)
+      assert(ts == wts, s"source $s: topN token mass $ts vs $wts")
+      assert(math.abs(psi - wpsi) < 1e-6, s"source $s: psi $psi vs $wpsi")
+      assert(psi >= 0.0) // each smoothed PSI term is (x−y)ln(x/y) ≥ 0
+    }
+  }
+
   test("weighted_sample: top-k priorities match a plain-Scala md5 recomputation") {
     val got = graft.llm.Sampling.weightedSample(spark, sf, k = 20)
       .collect().map(r => (r.getLong(0), r.getDouble(2)))

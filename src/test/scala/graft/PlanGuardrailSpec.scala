@@ -21,15 +21,18 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "similarity_topk_pq",  // per-query ADC lookup tables broadcast, joined vec_id =!= query_id
     "similarity_topk_pq_idx", // same ADC scan, reading the persisted codes table
     "bm25_topk",           // 1-row corpus-stats aggregate broadcast over the scan
+    "hybrid_topk",         // bm25's 1-row stats + the 1-row query-vector broadcast
     "lm_score",            // 1-row vocabulary-size aggregate broadcast over the scoring join
     "token_budget_mix",    // 1-row ΣW aggregate broadcast over the |sources|-row rate frame
     "epoch_shuffle",       // ≤256-row stratum-count frame, triangular (s2 < stratum) prefix-sum join
-    "corpus_shards")       // same triangular stratum-offset join + 1-row total-tokens broadcast
+    "corpus_shards",       // same triangular stratum-offset join + 1-row total-tokens broadcast
+    "source_drift")        // |sources|×topN grid completion + 1-row ΣtopN broadcast
 
   /** Queries with a deliberate single-partition exchange feeding a
     * window: the window input is an aggregate of bounded size. */
   private val singlePartitionWindowAllowed = Set(
     "resample_temperature", // window over the |strata|-row rate frame
+    "hybrid_topk",          // rank windows run AFTER TakeOrdered(nLeg) — ≤ 50 rows each
     // the SinglePartition here is the 1-row total-tokens scalar
     // aggregate (the same shape bm25's corpus stats plan, which this
     // coarse Window+SinglePartition co-occurrence check can't see past);
