@@ -125,6 +125,8 @@ object SparkEntry {
     "pack_bins"         -> (TextOps.packBins(_, _)),
     "bigram_topk"       -> (TextOps.bigramTopK(_, _)),
     "repetition_stats"  -> (TextOps.repetitionStats(_, _)),
+    "token_entropy"     -> (TextOps.tokenEntropy(_, _)),
+    "ngram_novelty"     -> (Dedup.ngramNovelty(_, _)),
     "lm_score"          -> (TextOps.lmScore(_, _)),
     "cdc_chunks"        -> (TextOps.cdcChunks(_, _)),
     "boilerplate_scrub" -> (TextOps.boilerplateScrub(_, _)),
@@ -244,6 +246,8 @@ object SparkEntry {
     "pack_bins"         -> TextOps.packBinsSql(),
     "bigram_topk"       -> TextOps.bigramTopKSql(),
     "repetition_stats"  -> TextOps.repetitionStatsSql,
+    "token_entropy"     -> TextOps.tokenEntropySql,
+    "ngram_novelty"     -> Dedup.ngramNoveltySql(),
     "boilerplate_scrub" -> TextOps.boilerplateScrubSql(),
     "dup_span_scrub"    -> TextOps.dupSpanScrubSql(),
     "token_budget_mix"  -> Sampling.tokenBudgetMixSql(),

@@ -302,6 +302,46 @@ object Dedup {
        |FROM clusters c JOIN sizes s ON c.cluster_id = s.cluster_id
        |WHERE c.doc_id = c.cluster_id""".stripMargin
 
+  /** Per-document n-gram NOVELTY: the share of a document's distinct
+    * 3-gram shingles never seen in any EARLIER document (doc_id order —
+    * the feeder's arrival order). The running-originality metric a
+    * curation dashboard tracks: a crawl batch whose novelty curve
+    * collapses is re-crawling what the corpus already has, long before
+    * whole-document dedup would fire.
+    *
+    * Scale: one map-side-combinable shuffle on the shingle for the
+    * first-occurrence min, one shuffle join back on the shingle (posting
+    * lists are distinct-docs-per-shingle — boilerplate-capped corpora
+    * keep them bounded; the join is big-big, planned sort-merge), one
+    * doc_id aggregate. Rides the memoized [[shingleArrays]]. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleArrays(spark, dir)
+      .select(col("doc_id"), explode(col("shset")).as("shingle"))
+    val first = sh.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_seen"))
+      // raw division over exact ints — IEEE-identical in both engines
+      .withColumn("novelty",
+        lit(1.0) - col("n_seen").cast("double") / col("n_shingles"))
+  }
+
+  def ngramNoveltySql(): String =
+    s"""WITH tk AS (SELECT doc_id, ${graft.llm.TextOps.tokensSql} AS toks FROM documents),
+       |s AS (SELECT doc_id, unnest(list_distinct(${shinglesSql})) AS shingle FROM tk),
+       |f AS (SELECT shingle, CAST(min(doc_id) AS BIGINT) AS first_doc
+       |      FROM s GROUP BY 1),
+       |j AS (SELECT s.doc_id, f.first_doc FROM s JOIN f USING (shingle)),
+       |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |        CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+       |      FROM j GROUP BY 1)
+       |SELECT doc_id, n_shingles, n_seen,
+       |  1.0 - CAST(n_seen AS DOUBLE) / n_shingles AS novelty
+       |FROM a""".stripMargin
+
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris et al., SoCC'14) — O(log n) rounds regardless
     * of component diameter, vs [[dedupClusters]]'s O(diameter)

@@ -761,6 +761,56 @@ object TextOps {
        |  CAST(CAST(sum(word_count) AS BIGINT) AS DOUBLE) / count(*) AS tokens_per_doc
        |FROM q GROUP BY source, lang""".stripMargin
 
+  /** Per-document unigram entropy + type-token ratio — the lexical-
+    * diversity screen (low entropy ⇒ repetitive machine junk even when
+    * no adjacent tokens repeat, the case [[repetitionStats]] misses;
+    * freakishly high TTR ⇒ word-salad/spam). Shannon entropy over the
+    * document's own token distribution, −Σ (c/n)·ln(c/n).
+    *
+    * Determinism: per-term contributions quantize to exact BIGINTs
+    * (`floor(x·1e9)` — the [[graft.llm.Vectors.embCentroids]] trick),
+    * so the within-document fold is order-independent and the DuckDB
+    * oracle bit-identical; the raw `ent_e9` sum rides along so
+    * downstream thresholds can stay in exact integers. Zero-shuffle
+    * scan projection — counts come from array ops on the token list
+    * (O(tokens·types) per doc; fine at prose document lengths — a
+    * book-length corpus would switch to a sorted-run count, still
+    * per-row). */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("dt", array_sort(array_distinct(col("toks"))))
+    val cnts = transform(col("dt"), t =>
+      size(filter(col("toks"), x => x === t)).cast("long"))
+    def p(c: Column): Column = c.cast("double") / col("n")
+    base
+      .withColumn("ent_e9", aggregate(cnts, lit(0L), (acc, c) =>
+        acc + floor(-p(c) * log(p(c)) * lit(1e9))))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        size(col("dt")).cast("long").as("n_types"), col("ent_e9"),
+        // raw divisions over exact ints — IEEE-identical in both engines
+        (col("ent_e9").cast("double") / lit(1e9)).as("entropy"),
+        (size(col("dt")).cast("double") / col("n")).as("ttr"))
+  }
+
+  val tokenEntropySql: String =
+    s"""WITH t AS (SELECT doc_id, ${tokensSql} AS toks FROM documents),
+       |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+       |        list_sort(list_distinct(toks)) AS dt
+       |      FROM t WHERE len(toks) > 0),
+       |e AS (SELECT doc_id, n, CAST(len(dt) AS BIGINT) AS n_types,
+       |        CAST(list_sum(list_transform(dt, t2 ->
+       |          CAST(floor(-(CAST(len(list_filter(toks, x -> x = t2)) AS DOUBLE) / n)
+       |            * ln(CAST(len(list_filter(toks, x -> x = t2)) AS DOUBLE) / n)
+       |            * 1000000000.0) AS BIGINT))) AS BIGINT) AS ent_e9
+       |      FROM d)
+       |SELECT doc_id, n AS n_tokens, n_types, ent_e9,
+       |  CAST(ent_e9 AS DOUBLE) / 1000000000.0 AS entropy,
+       |  CAST(n_types AS DOUBLE) / n AS ttr
+       |FROM e""".stripMargin
+
   /** Per-source distribution drift: the Population Stability Index of
     * each source's unigram distribution against the corpus-wide one,
     * over the `topN` global terms (add-α smoothing so an absent term
@@ -782,11 +832,20 @@ object TextOps {
     val docs = Tables.fanOut(Tables.documents(spark, dir))
     val toks = docs.select(col("source"),
       explode(tokens(col("text"))).as("term"))
-    val global = toks.groupBy(col("term")).agg(count(lit(1)).as("cg"))
+    // ONE corpus tokenize: count per (source, term) once, then derive
+    // the global distribution as a rollup of the per-source counts —
+    // the second full tokenize+explode pass a naive global/per-source
+    // pair of aggregates would cost is gone (it dominates at corpus
+    // scale). The perST aggregate subtree appears in two branches
+    // below; the trees canonicalize identically, so AQE's stage cache
+    // materializes the shuffle once and reuses it (runtime behavior —
+    // the static explain still prints the duplicated subtree)
+    val perST = toks.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cs"))
+    val global = perST.groupBy(col("term")).agg(sum(col("cs")).as("cg"))
     val top = global.orderBy(col("cg").desc, col("term")).limit(topN)
     val tg = top.agg(sum(col("cg")).as("tg")) // 1 row
-    val perSrc = toks.join(broadcast(top.select(col("term"))), Seq("term"))
-      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cs"))
+    val perSrc = perST.join(broadcast(top.select(col("term"))), Seq("term"))
     val grid = docs.select(col("source")).distinct()
       .crossJoin(broadcast(top)) // |sources|·topN rows, both sides tiny
       .join(perSrc, Seq("source", "term"), "left_outer")

@@ -994,6 +994,67 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("token entropy: exact quantized sum matches a plain-Scala refold; laws hold") {
+    val rows = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+      .filter(_._2.nonEmpty)
+    val want = rows.map { case (id, toks) =>
+      val n = toks.length.toDouble
+      val e9 = toks.groupBy(identity).values.map { g =>
+        val p = g.length / n
+        math.floor(-p * math.log(p) * 1e9).toLong
+      }.sum
+      id -> (toks.length.toLong, toks.distinct.length.toLong, e9)
+    }.toMap
+    val got = TextOps.tokenEntropy(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(got.length == want.size)
+    got.foreach { case (id, g) =>
+      assert(g == want(id), s"doc $id: $g vs ${want(id)}")
+    }
+    // laws: all-distinct doc → entropy ≈ ln(n); constant doc → 0
+    import spark.implicits._
+    val synth = Seq((1L, "a b c d"), (2L, "x x x x")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    // reuse the registered shape over a temp dir
+    val tmp = java.nio.file.Files.createTempDirectory("tent").toFile
+    try {
+      synth.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val m = TextOps.tokenEntropy(spark, tmp.toString).collect()
+        .map(r => (r.getLong(0), r.getDouble(4))).toMap
+      assert(math.abs(m(1L) - math.log(4.0)) < 1e-6)
+      assert(m(2L) == 0.0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
+  test("ngram novelty: matches a driver-side first-occurrence refold; boundary laws") {
+    val sets = Dedup.shingleArrays(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    val firstDoc = scala.collection.mutable.Map[String, Long]()
+    sets.sortBy(_._1).foreach { case (id, ss) =>
+      ss.foreach(s => if (!firstDoc.contains(s)) firstDoc(s) = id)
+    }
+    val want = sets.map { case (id, ss) =>
+      val seen = ss.count(s => firstDoc(s) < id)
+      id -> (ss.length.toLong, seen.toLong, 1.0 - seen.toDouble / ss.length)
+    }.toMap
+    val got = Dedup.ngramNovelty(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+    assert(got.length == want.size)
+    got.foreach { case (id, g) => assert(g == want(id), s"doc $id: $g vs ${want(id)}") }
+    // the earliest doc is fully novel; at least one later doc has seen mass
+    val minId = want.keys.min
+    assert(want(minId)._3 == 1.0)
+    assert(want.exists { case (id, (_, seen, _)) => id != minId && seen > 0 })
+  }
+
   test("weighted_sample: top-k priorities match a plain-Scala md5 recomputation") {
     val got = graft.llm.Sampling.weightedSample(spark, sf, k = 20)
       .collect().map(r => (r.getLong(0), r.getDouble(2)))
