@@ -124,6 +124,7 @@ object SparkEntry {
     "tfidf_topterms"    -> (TextOps.tfidfTopTerms(_, _)),
     "pack_bins"         -> (TextOps.packBins(_, _)),
     "bigram_topk"       -> (TextOps.bigramTopK(_, _)),
+    "pmi_topk"          -> (TextOps.pmiTopK(_, _)),
     "repetition_stats"  -> (TextOps.repetitionStats(_, _)),
     "token_entropy"     -> (TextOps.tokenEntropy(_, _)),
     "ngram_novelty"     -> (Dedup.ngramNovelty(_, _)),
@@ -245,6 +246,7 @@ object SparkEntry {
     "tfidf_topterms"    -> TextOps.tfidfTopTermsSql(),
     "pack_bins"         -> TextOps.packBinsSql(),
     "bigram_topk"       -> TextOps.bigramTopKSql(),
+    "pmi_topk"          -> TextOps.pmiTopKSql(),
     "repetition_stats"  -> TextOps.repetitionStatsSql,
     "token_entropy"     -> TextOps.tokenEntropySql,
     "ngram_novelty"     -> Dedup.ngramNoveltySql(),

@@ -453,6 +453,69 @@ object TextOps {
        |FROM b GROUP BY bigram
        |ORDER BY cnt DESC, bigram LIMIT $k""".stripMargin
 
+  /** Top collocations by pointwise mutual information:
+    * PMI(a,b) = ln(p(ab) / (p(a)p(b))) over the corpus bigram/unigram
+    * distributions, minimum bigram count `minCount` (raw PMI promotes
+    * hapax pairs — the count floor is the standard Church & Hanks '90
+    * hygiene). The phrase-mining/collocation pass of a tokenizer or
+    * quality pipeline: high-PMI pairs are multiword units ("los
+    * angeles"), near-zero pairs are chance co-occurrence.
+    *
+    * Scale: two map-side-combinable count aggregates (unigram, bigram
+    * — both vocabulary-bounded after combine), two shuffle joins of the
+    * candidate bigrams against the unigram counts on the split words
+    * (vocab-sized, NOT broadcast — a 100 TB corpus vocabulary does not
+    * fit an executor), two 1-row total broadcasts, TakeOrdered(k). The
+    * PMI itself is a per-row scalar over exact counts — no cross-row
+    * float reduction, so the oracle hashes without any decimal
+    * scaffolding. */
+  def pmiTopK(spark: SparkSession, dir: String, k: Int = 50,
+      minCount: Long = 3L): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+    val uni = docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    val nUni = uni.agg(sum(col("c1")).as("n_uni")) // 1 row
+    val bi = docs.select(explode(bigrams(tokens(col("text")))).as("big"))
+      .groupBy(col("big")).agg(count(lit(1)).as("c2"))
+    val nBi = bi.agg(sum(col("c2")).as("n_bi")) // 1 row
+    bi.filter(col("c2") >= minCount)
+      .withColumn("w1", substring_index(col("big"), " ", 1))
+      .withColumn("w2", substring_index(col("big"), " ", -1))
+      .join(uni.select(col("term").as("w1"), col("c1").as("ca")), Seq("w1"))
+      .join(uni.select(col("term").as("w2"), col("c1").as("cb")), Seq("w2"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .withColumn("pmi", round(
+        log((col("c2").cast("double") / col("n_bi")) /
+          ((col("ca").cast("double") / col("n_uni")) *
+            (col("cb").cast("double") / col("n_uni")))), 6))
+      .select(col("big").as("bigram"), col("c2").as("cnt"),
+        col("ca"), col("cb"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(k)
+  }
+
+  def pmiTopKSql(k: Int = 50, minCount: Long = 3L): String =
+    s"""WITH t AS (SELECT ${tokensSql} AS toks FROM documents),
+       |u AS (SELECT unnest(toks) AS term FROM t),
+       |uc AS (SELECT term, CAST(count(*) AS BIGINT) AS c1 FROM u GROUP BY 1),
+       |nu AS (SELECT CAST(sum(c1) AS BIGINT) AS n_uni FROM uc),
+       |b AS (SELECT unnest(list_transform(
+       |        list_zip(toks[1:len(toks)-1], toks[2:]),
+       |        x -> x[1] || ' ' || x[2])) AS big FROM t),
+       |bc AS (SELECT big, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY 1),
+       |nb AS (SELECT CAST(sum(c2) AS BIGINT) AS n_bi FROM bc),
+       |c AS (SELECT big, c2, split_part(big, ' ', 1) AS w1,
+       |        split_part(big, ' ', 2) AS w2
+       |      FROM bc WHERE c2 >= $minCount),
+       |j AS (SELECT c.big, c.c2, a.c1 AS ca, d.c1 AS cb
+       |      FROM c JOIN uc a ON c.w1 = a.term JOIN uc d ON c.w2 = d.term),
+       |s AS (SELECT big AS bigram, c2 AS cnt, ca, cb,
+       |        round(ln((CAST(c2 AS DOUBLE) / n_bi) /
+       |          ((CAST(ca AS DOUBLE) / n_uni) * (CAST(cb AS DOUBLE) / n_uni))), 6) AS pmi
+       |      FROM j CROSS JOIN nu CROSS JOIN nb)
+       |SELECT bigram, cnt, ca, cb, pmi
+       |FROM s ORDER BY pmi DESC, bigram LIMIT $k""".stripMargin
+
   /** BPE merge-table TRAINING over the corpus
     * ([[graft.functions.BpeTokenCount.learnMerges]]): the corpus
     * collapses to its (word, freq) vocabulary in ONE aggregation —

@@ -1055,6 +1055,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(want.exists { case (id, (_, seen, _)) => id != minId && seen > 0 })
   }
 
+  test("pmi topk: matches a plain-Scala refold bit for bit") {
+    val toksAll = graft.Tables.documents(spark, sf)
+      .select(TextOps.tokens(col("text")).as("toks"))
+      .collect().map(_.getSeq[String](0))
+    val uni = toksAll.flatten.groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val nUni = uni.values.sum.toDouble
+    val bi = toksAll
+      .flatMap(ts => ts.zip(ts.drop(1)).map { case (a, b) => a + " " + b })
+      .groupBy(identity).map { case (b2, xs) => b2 -> xs.length.toLong }
+    val nBi = bi.values.sum.toDouble
+    val want = bi.filter(_._2 >= 3).map { case (bg, c2) =>
+      val Array(a, b) = bg.split(" ", 2)
+      val pmi = BigDecimal(
+        math.log((c2 / nBi) / ((uni(a) / nUni) * (uni(b) / nUni))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (bg, c2, uni(a), uni(b), pmi)
+    }.toSeq.sortBy { case (bg, _, _, _, p2) => (-p2, bg) }.take(50)
+    assert(want.nonEmpty)
+    val got = TextOps.pmiTopK(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
+  }
+
   test("weighted_sample: top-k priorities match a plain-Scala md5 recomputation") {
     val got = graft.llm.Sampling.weightedSample(spark, sf, k = 20)
       .collect().map(r => (r.getLong(0), r.getDouble(2)))

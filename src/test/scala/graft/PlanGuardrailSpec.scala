@@ -26,7 +26,8 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "token_budget_mix",    // 1-row ΣW aggregate broadcast over the |sources|-row rate frame
     "epoch_shuffle",       // ≤256-row stratum-count frame, triangular (s2 < stratum) prefix-sum join
     "corpus_shards",       // same triangular stratum-offset join + 1-row total-tokens broadcast
-    "source_drift")        // |sources|×topN grid completion + 1-row ΣtopN broadcast
+    "source_drift",        // |sources|×topN grid completion + 1-row ΣtopN broadcast
+    "pmi_topk")            // two 1-row corpus-total broadcasts over the candidate frame
 
   /** Queries with a deliberate single-partition exchange feeding a
     * window: the window input is an aggregate of bounded size. */
