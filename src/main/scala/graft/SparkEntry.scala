@@ -176,6 +176,11 @@ object SparkEntry {
     // complete-mode streaming aggregate, == emb_covariance bit for bit
     "streaming_covariance" -> (graft.streaming.StreamingMoments
       .covarianceQuery(_, _)),
+    // streaming drift: vocab-restricted counts as mergeable stream
+    // state against a pinned reference — == source_drift run to
+    // completion (same oracle)
+    "streaming_drift"   -> ((s, d) =>
+      graft.streaming.StreamingDrift.driftQuery(s, d)),
     // scale techniques as first-class queries
     "salted_agg"        -> (graft.scale.ScaleTechniques.saltedAggQuery(_, _)),
     "bloom_join"        -> (graft.scale.ScaleTechniques.bloomJoinQuery(_, _)),
@@ -257,6 +262,7 @@ object SparkEntry {
     "corpus_shards"     -> Sampling.corpusShardsSql(),
     "streaming_quota_gate" -> graft.streaming.StreamingQuotaGate.quotaGateSql(),
     "streaming_covariance" -> Vectors.embCovarianceSql(),
+    "streaming_drift"   -> TextOps.sourceDriftSql(),
     "lm_score"          -> TextOps.lmScoreSql(),
     "corpus_mix"        -> TextOps.corpusMixSql(),
     "source_drift"      -> TextOps.sourceDriftSql(),

@@ -907,9 +907,21 @@ object TextOps {
       .agg(count(lit(1)).as("cs"))
     val global = perST.groupBy(col("term")).agg(sum(col("cs")).as("cg"))
     val top = global.orderBy(col("cg").desc, col("term")).limit(topN)
-    val tg = top.agg(sum(col("cg")).as("tg")) // 1 row
     val perSrc = perST.join(broadcast(top.select(col("term"))), Seq("term"))
-    val grid = docs.select(col("source")).distinct()
+    psiOverTop(perSrc, top, docs.select(col("source")).distinct(),
+      topN, alpha)
+  }
+
+  /** The PSI fold shared by [[sourceDrift]] and the streaming form
+    * ([[graft.streaming.StreamingDrift]]): complete the
+    * (source × topN-term) grid, derive per-source totals, fold the
+    * smoothed contributions as exact DECIMALs. All inputs are tiny
+    * (topN rows / |sources|·topN rows) — the corpus-sized work happened
+    * upstream in the count aggregation. */
+  private[graft] def psiOverTop(perSrc: DataFrame, top: DataFrame,
+      sources: DataFrame, topN: Int, alpha: Double): DataFrame = {
+    val tg = top.agg(sum(col("cg")).as("tg")) // 1 row
+    val grid = sources
       .crossJoin(broadcast(top)) // |sources|·topN rows, both sides tiny
       .join(perSrc, Seq("source", "term"), "left_outer")
       .withColumn("cs", coalesce(col("cs"), lit(0L)))
@@ -926,6 +938,17 @@ object TextOps {
       .select(col("source"), col("ts"),
         round(col("spsi").cast("double"), 6).as("psi"))
   }
+
+  /** The corpus's topN global terms with counts — the REFERENCE
+    * distribution the streaming drift monitor compares arrivals
+    * against (memoized; topN rows). */
+  def topTerms(spark: SparkSession, dir: String, topN: Int = 100): DataFrame =
+    graft.Caches.memo(spark, s"topTerms:$dir:$topN") {
+      Tables.fanOut(Tables.documents(spark, dir))
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cg"))
+        .orderBy(col("cg").desc, col("term")).limit(topN)
+    }
 
   def sourceDriftSql(topN: Int = 100, alpha: Double = 0.5): String = {
     val aN = alpha * topN

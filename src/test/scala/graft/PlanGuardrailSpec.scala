@@ -27,6 +27,7 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "epoch_shuffle",       // ≤256-row stratum-count frame, triangular (s2 < stratum) prefix-sum join
     "corpus_shards",       // same triangular stratum-offset join + 1-row total-tokens broadcast
     "source_drift",        // |sources|×topN grid completion + 1-row ΣtopN broadcast
+    "streaming_drift",     // same grid completion over the converged stream state
     "pmi_topk")            // two 1-row corpus-total broadcasts over the candidate frame
 
   /** Queries with a deliberate single-partition exchange feeding a
