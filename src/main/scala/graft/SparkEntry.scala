@@ -150,6 +150,7 @@ object SparkEntry {
     "resample_temperature" -> (Sampling.resampleTemperature(_, _)),
     "split_corpus"      -> (Sampling.splitCorpus(_, _)),
     "source_cap"        -> (Sampling.sourceCap(_, _)),
+    "dsir_select"       -> (Sampling.dsirSelect(_, _)),
     // LLM-pipeline: PII scrub + quality gating
     "pii_scrub"         -> (Pii.piiScrub(_, _)),
     "quality_filter"    -> (Quality.qualityFilter(_, _)),
@@ -273,6 +274,7 @@ object SparkEntry {
     "resample_temperature" -> Sampling.resampleTemperatureSql,
     "split_corpus"      -> Sampling.splitCorpusSql,
     "source_cap"        -> Sampling.sourceCapSql(),
+    "dsir_select"       -> Sampling.dsirSelectSql(),
     "pii_scrub"         -> Pii.piiScrubSql,
     "quality_filter"    -> Quality.qualityFilterSql,
     "bm25_topk"         -> graft.llm.Retrieval.bm25TopKSql(),

@@ -450,4 +450,77 @@ object Sampling {
       |FROM documents d JOIN r ON d.lang = r.lang
       |WHERE r.grp_cnt = r.min_cnt
       |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.thr""".stripMargin
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", arXiv:2302.03169):
+    * rank every document by its mean per-token log importance ratio
+    * ln(p_target/p_raw) under add-α-smoothed unigram models, where the
+    * TARGET distribution is the trusted in-domain slice (here the
+    * `lang='en'` documents — the stand-in for "looks like my reference
+    * corpus") and RAW is the whole corpus. Top-scoring documents are
+    * the ones distribution-matched to the target — the selection
+    * pass that runs after hard quality rules and before mixing.
+    *
+    * Determinism: per-token ratios round to 9 decimals and sum as
+    * DECIMAL(28,9) (the [[graft.llm.TextOps.lmScore]] trick), so the
+    * per-document reduction is order-independent and the DuckDB oracle
+    * exact; the final mean is an exact-decimal / exact-count division.
+    *
+    * Scale: ONE tokenize of the corpus — the target and raw counts
+    * come from the same (term, raw-count, target-count) aggregate
+    * (target occurrences are a conditional sum, not a second scan).
+    * The per-token scoring join shuffles positions against the
+    * vocabulary-bounded model on the term (sort-merge; the vocabulary
+    * of a 100 TB corpus does NOT broadcast), then one doc_id aggregate
+    * and a TakeOrdered(k). */
+  def dsirSelect(spark: SparkSession, dir: String, k: Int = 100,
+      alpha: Double = 0.5): DataFrame = {
+    val toks = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        (col("lang") === "en").cast("long").as("is_t"),
+        explode(graft.llm.TextOps.tokens(col("text"))).as("term"))
+    val model = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("cr"), sum(col("is_t")).as("ct"))
+    val totals = model.agg(count(lit(1)).as("v"),
+      sum(col("cr")).as("nr"), sum(col("ct")).as("nt")) // 1 row
+    val pT = (col("ct").cast("double") + lit(alpha)) /
+      (col("nt").cast("double") + lit(alpha) * col("v").cast("double"))
+    val pR = (col("cr").cast("double") + lit(alpha)) /
+      (col("nr").cast("double") + lit(alpha) * col("v").cast("double"))
+    toks.join(model, Seq("term"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lr", round(log(pT / pR), 9))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lr").cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+          .as("slr"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("slr").cast("double") / col("n_tokens"), 6)
+          .as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def dsirSelectSql(k: Int = 100, alpha: Double = 0.5): String = {
+    val pT = s"((CAST(ct AS DOUBLE) + $alpha) / (CAST(nt AS DOUBLE) + $alpha * CAST(v AS DOUBLE)))"
+    val pR = s"((CAST(cr AS DOUBLE) + $alpha) / (CAST(nr AS DOUBLE) + $alpha * CAST(v AS DOUBLE)))"
+    s"""WITH tk AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS is_t,
+       |        unnest(${graft.llm.TextOps.tokensSql}) AS term
+       |      FROM documents),
+       |m AS (SELECT term, CAST(count(*) AS BIGINT) AS cr,
+       |        CAST(sum(is_t) AS BIGINT) AS ct
+       |      FROM tk GROUP BY 1),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS v,
+       |        CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
+       |      FROM m),
+       |s AS (SELECT tk.doc_id,
+       |        round(ln($pT / $pR), 9) AS lr
+       |      FROM tk JOIN m ON tk.term = m.term CROSS JOIN t),
+       |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |        sum(CAST(lr AS DECIMAL(28,9))) AS slr
+       |      FROM s GROUP BY 1)
+       |SELECT doc_id, n_tokens,
+       |  round(CAST(slr AS DOUBLE) / n_tokens, 6) AS dsir_score
+       |FROM a ORDER BY dsir_score DESC, doc_id LIMIT $k""".stripMargin
+  }
 }

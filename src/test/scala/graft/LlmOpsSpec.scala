@@ -1081,6 +1081,39 @@ class LlmOpsSpec extends AnyFunSuite {
     got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
   }
 
+  test("dsir select: matches a plain-Scala refold bit for bit; target-like docs surface") {
+    val rows = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+    val cr = rows.flatMap(_._3).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val ct = rows.filter(_._2 == "en").flatMap(_._3).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }.withDefaultValue(0L)
+    val v = cr.size.toDouble
+    val nr = cr.values.sum.toDouble
+    val nt = rows.filter(_._2 == "en").map(_._3.length).sum.toDouble
+    def lr(t: String): BigDecimal = {
+      val pT = (ct(t) + 0.5) / (nt + 0.5 * v)
+      val pR = (cr(t) + 0.5) / (nr + 0.5 * v)
+      BigDecimal(math.log(pT / pR)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val want = rows.filter(_._3.nonEmpty).map { case (id, _, toks) =>
+      val slr = toks.map(lr).sum
+      val score = BigDecimal(slr.toDouble / toks.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, toks.length.toLong, score)
+    }.sortBy { case (id, _, s) => (-s, id) }.take(100)
+    val got = graft.llm.Sampling.dsirSelect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
+    // distribution matching works: the selected set is 'en'-enriched
+    val lang = rows.map(r => r._1 -> r._2).toMap
+    val selEn = got.count(g => lang(g._1) == "en").toDouble / got.length
+    val baseEn = rows.count(_._2 == "en").toDouble / rows.length
+    assert(selEn > baseEn, s"selected en-share $selEn <= base $baseEn")
+  }
+
   test("weighted_sample: top-k priorities match a plain-Scala md5 recomputation") {
     val got = graft.llm.Sampling.weightedSample(spark, sf, k = 20)
       .collect().map(r => (r.getLong(0), r.getDouble(2)))

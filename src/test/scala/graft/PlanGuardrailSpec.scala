@@ -28,7 +28,8 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "corpus_shards",       // same triangular stratum-offset join + 1-row total-tokens broadcast
     "source_drift",        // |sources|×topN grid completion + 1-row ΣtopN broadcast
     "streaming_drift",     // same grid completion over the converged stream state
-    "pmi_topk")            // two 1-row corpus-total broadcasts over the candidate frame
+    "pmi_topk",            // two 1-row corpus-total broadcasts over the candidate frame
+    "dsir_select")         // 1-row vocab/total broadcast over the scoring join
 
   /** Queries with a deliberate single-partition exchange feeding a
     * window: the window input is an aggregate of bounded size. */
