@@ -163,6 +163,75 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  private def writeDocs(rows: Seq[(Long, String, String)], dir: String): Unit = {
+    import SparkTestSession.spark.implicits._
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  test("token entropy laws on random corpora: permutation invariance, bounds") {
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    for (seed <- 1L to 4L) {
+      val docs = sample(Gen.listOfN(20,
+        Gen.nonEmptyListOf(Gen.oneOf(vocab))), seed)
+      val rng = new scala.util.Random(seed)
+      val rows = docs.zipWithIndex.flatMap { case (ts, i) =>
+        // each doc paired with a random permutation of itself
+        Seq((i.toLong * 2, ts.mkString(" "), "s"),
+          (i.toLong * 2 + 1, rng.shuffle(ts).mkString(" "), "s"))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("entprop").toFile
+      try {
+        writeDocs(rows, dir.toString)
+        val m = graft.llm.TextOps.tokenEntropy(SparkTestSession.spark,
+            dir.toString).collect()
+          .map(r => (r.getLong(0),
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+        docs.indices.foreach { i =>
+          val a = m(i.toLong * 2)
+          val b = m(i.toLong * 2 + 1)
+          assert(a == b, s"seed $seed doc $i: permutation changed entropy")
+          val (n, types, _, ent) = a
+          assert(types <= n)
+          assert(ent >= 0.0, s"seed $seed doc $i: negative entropy $ent")
+          assert(ent <= math.log(types.toDouble) + 1e-6,
+            s"seed $seed doc $i: entropy $ent above ln(types)")
+        }
+      } finally rmTree(dir)
+    }
+  }
+
+  test("source drift law: a source replicating another's text has identical PSI") {
+    val vocab = Vector("one", "two", "three", "four", "five", "six", "seven")
+    for (seed <- 1L to 4L) {
+      val texts = sample(Gen.listOfN(10,
+        Gen.nonEmptyListOf(Gen.oneOf(vocab))), seed).map(_.mkString(" "))
+      val other = sample(Gen.listOfN(10,
+        Gen.nonEmptyListOf(Gen.oneOf(vocab))), seed + 100).map(_.mkString(" "))
+      val rows =
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "sa") } ++
+          texts.zipWithIndex.map { case (t, i) => (100L + i, t, "sb") } ++
+          other.zipWithIndex.map { case (t, i) => (200L + i, t, "sc") }
+      val dir = java.nio.file.Files.createTempDirectory("driftprop").toFile
+      try {
+        writeDocs(rows, dir.toString)
+        val psi = graft.llm.TextOps.sourceDrift(SparkTestSession.spark,
+            dir.toString).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        // identical token multisets ⇒ identical counts ⇒ identical PSI bits
+        assert(psi("sa") == psi("sb"),
+          s"seed $seed: replicated source diverged: ${psi("sa")} vs ${psi("sb")}")
+        psi.values.foreach { case (_, p) => assert(p >= 0.0) }
+      } finally rmTree(dir)
+    }
+  }
+
   test("banded Hamming pairs == brute force in BOTH regimes, across the multi-probe boundary") {
     import spark.implicits._
     // radii straddling the exact-banding/multi-probe switch at 8,
