@@ -86,7 +86,14 @@ object Bench {
       if (mode != "warm") runSuite(cold = true) else (Nil, Nil)
 
     val headline = if (mode == "cold") coldOk else warmOk
-    val errs = (warmErr ++ coldErr).distinct
+    // namespace the cold-pass failures: the same query can fail with
+    // DIFFERENT exceptions warm vs cold, and duplicate JSON keys would
+    // silently drop one of them in most parsers
+    val warmKeyed = warmErr.map { case (k, e) => (k, e) }
+    val coldKeyed = coldErr.map { case (k, e) =>
+      (if (warmErr.exists(_._1 == k)) s"${k}_cold" else k, e)
+    }
+    val errs = (warmKeyed ++ coldKeyed).distinct
     val es = errs.map { case (k, e) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = headline.map(_._2).sum

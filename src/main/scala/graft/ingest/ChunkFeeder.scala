@@ -66,7 +66,12 @@ object ChunkFeeder {
       val out = fs.create(tmp, true)
       try out.write(body.getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, name))
+      val dst = new org.apache.hadoop.fs.Path(dir, name)
+      // FileSystem.rename reports failure by returning false (the old
+      // Files.move threw) — a swallowed false leaves the chunk as a
+      // hidden .tmp the stream source never lists: a silently truncated feed
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"chunk publish rename failed: $tmp -> $dst")
       buf.clear()
       part += 1
       if (intervalMs > 0) Thread.sleep(intervalMs)
@@ -130,7 +135,9 @@ object ChunkFeeder {
         val out = fs.create(tmp, true)
         try out.write(body.getBytes(StandardCharsets.UTF_8))
         finally out.close()
-        fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, name))
+        val dst = new org.apache.hadoop.fs.Path(dir, name)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"chunk publish rename failed: $tmp -> $dst")
       }
     }
     nChunks

@@ -136,7 +136,11 @@ object Retrieval {
         col("rrf"))
   }
 
-  def hybridTopKSql(queryId: Long = 0L, nLeg: Int = 50, k: Int = 25): String = {
+  /** The shared BM25 scoring CTE chain (tk → t → s → sc; sc carries
+    * doc_id, dl, score) — both oracle generators build on it, so the
+    * lexical pipeline cannot silently diverge between `bm25_topk` and
+    * `hybrid_topk`'s lexical leg. Returned pre-stripped. */
+  private def bm25ScoreCtes: String = {
     val tfCols = queryTerms.map(t =>
       s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n|        ")
     val dfCols = queryTerms.map(t =>
@@ -144,16 +148,20 @@ object Retrieval {
     val scoreExpr = queryTerms.map(t =>
       s"(ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * (tf_$t * ${K1 + 1})) / " +
         s"(tf_$t + $K1 * (${1 - B} + $B * (dl / avgdl)))").mkString("\n|          + ")
-    s"""WITH tk AS (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
+    s"""tk AS (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
        |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
        |        $tfCols
        |      FROM tk),
        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
        |        $dfCols
        |      FROM t),
-       |sc AS (SELECT doc_id,
+       |sc AS (SELECT doc_id, dl,
        |          $scoreExpr AS score
-       |       FROM t CROSS JOIN (SELECT *, sum_dl / n_docs AS avgdl FROM s)),
+       |       FROM t CROSS JOIN (SELECT *, sum_dl / n_docs AS avgdl FROM s))""".stripMargin
+  }
+
+  def hybridTopKSql(queryId: Long = 0L, nLeg: Int = 50, k: Int = 25): String = {
+    s"""WITH $bm25ScoreCtes,
        |lex AS (SELECT doc_id, rn AS lex_rank FROM (
        |          SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rn
        |          FROM sc) WHERE rn <= $nLeg),
@@ -175,25 +183,8 @@ object Retrieval {
        |FROM f ORDER BY rrf DESC, doc_id LIMIT $k""".stripMargin
   }
 
-  def bm25TopKSql(k: Int = 25): String = {
-    val tfCols = queryTerms.map(t =>
-      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n|        ")
-    val dfCols = queryTerms.map(t =>
-      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n|        ")
-    val scoreExpr = queryTerms.map(t =>
-      s"(ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * (tf_$t * ${K1 + 1})) / " +
-        s"(tf_$t + $K1 * (${1 - B} + $B * (dl / avgdl)))").mkString("\n|          + ")
-    s"""WITH tk AS (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
-       |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-       |        $tfCols
-       |      FROM tk),
-       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
-       |        $dfCols
-       |      FROM t),
-       |sc AS (SELECT doc_id, dl,
-       |          $scoreExpr AS score
-       |       FROM t CROSS JOIN (SELECT *, sum_dl / n_docs AS avgdl FROM s))
+  def bm25TopKSql(k: Int = 25): String =
+    s"""WITH $bm25ScoreCtes
        |SELECT doc_id, dl, round(score, 6) AS bm25
        |FROM sc ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
-  }
 }

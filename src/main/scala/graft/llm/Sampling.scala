@@ -332,11 +332,12 @@ object Sampling {
     * Scale: the naive formulation (`row_number() OVER (ORDER BY …)`) is
     * the oracle — and a single-partition serialization point on a
     * cluster. The Spark side computes the SAME ordinal in two phases:
-    * (1) a tiny per-stratum count frame over the first hex nibble of
-    * the hash (16 strata; one map-side-combinable shuffle), prefix-
-    * summed into stratum offsets on 16 rows; (2) row_number WITHIN each
-    * stratum (16-way parallel window) + broadcast offset join. Because
-    * strata are ordered by the hash's leading nibble, stratum offset +
+    * (1) a tiny per-stratum count frame over the leading hex nibbles
+    * of the hash (the default 2 nibbles = 256 strata; one map-side-
+    * combinable shuffle), prefix-summed into stratum offsets on those
+    * ≤256 rows; (2) row_number WITHIN each stratum (strata-way parallel
+    * window) + broadcast offset join. Because
+    * strata are ordered by the hash's leading nibbles, stratum offset +
     * within-stratum rank ≡ the global rank — a distributed ordinal with
     * no global window. The stratum width is a knob, not a semantic: any
     * hex-prefix length yields the identical permutation (the default 2
@@ -351,7 +352,7 @@ object Sampling {
     val docs = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), col("source"), h.as("h"),
         substring(h, 1, stratumNibbles).as("stratum"))
-    // prefix sum over ≤16 stratum rows as a triangular broadcast join —
+    // prefix sum over the ≤256 stratum rows as a triangular broadcast join —
     // the global-window formulation would WARN about (and plan) a
     // single-partition sort even though the frame is tiny
     val counts = docs.groupBy(col("stratum")).agg(count(lit(1)).as("c"))

@@ -687,10 +687,12 @@ object Vectors {
     * BIGINT headroom: |q| ≤ ~1.5e4 ⇒ products ≤ ~2.3e8, so the sums
     * stay exact to ~4e10 rows; past that, re-scale or switch the
     * accumulator to DECIMAL(38,0). */
-  def embCovariance(spark: SparkSession, dir: String, p: Int = 8): DataFrame =
+  def embCovariance(spark: SparkSession, dir: String, p: Int = 8): DataFrame = {
+    val aggs = momentAggs(p)
     momentStatsToCov(
       momentQuantize(Tables.fanOut(Tables.embeddings(spark, dir)), p)
-        .agg(momentAggs(p).head, momentAggs(p).tail: _*), p)
+        .agg(aggs.head, aggs.tail: _*), p)
+  }
 
   /** The quantized per-dimension projection feeding the moment
     * aggregate — works on batch AND streaming frames (shared with

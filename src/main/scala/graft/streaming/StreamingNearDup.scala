@@ -225,9 +225,14 @@ object StreamingNearDup extends Serializable {
     // operator emits each pair stamped with the ARRIVING row's event
     // time — a row that just passed the same batch's watermark filter —
     // so no output row is ever late for the downstream dedup state; the
-    // blanket check cannot see that invariant, hence the opt-out.
-    docs.sparkSession.conf.set(
-      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    // blanket check cannot see that invariant. The CALLER must start
+    // the query with
+    // `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
+    // (submit-time --conf, or scoped set/restore around start() as
+    // StreamingNearDupSpec does) — this builder deliberately does NOT
+    // flip the session conf itself: a sticky session-global opt-out
+    // would silently disable the guard for every UNRELATED streaming
+    // query started later in the same session.
     // watermark must sit on the fMGWS INPUT for EventTimeTimeout…
     val marked = docs.select(col("doc_id"), col("ts"),
         Dedup.simhash64(col("text")).as("sig"))

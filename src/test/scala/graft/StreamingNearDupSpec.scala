@@ -75,11 +75,22 @@ class StreamingNearDupSpec extends AnyFunSuite {
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
     val docs = mem.toDF.toDF("doc_id", "text", "ts")
     val name = "snd_wm"
-    val q = StreamingNearDup
-      .nearDupStreamWatermarked(docs, maxDist = 3,
-        lateness = "10 minutes", latenessMs = 600000L)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
+    // the fMGWS → dedup chain needs the blanket correctness check off
+    // AT START TIME; scope the opt-out so the shared session keeps the
+    // guard for every other streaming test
+    val ccKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val ccPrev = spark.conf.getOption(ccKey)
+    spark.conf.set(ccKey, "false")
+    val q =
+      try StreamingNearDup
+        .nearDupStreamWatermarked(docs, maxDist = 3,
+          lateness = "10 minutes", latenessMs = 600000L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      finally ccPrev match {
+        case Some(v) => spark.conf.set(ccKey, v)
+        case None => spark.conf.unset(ccKey)
+      }
     // identical text ⇒ identical signature ⇒ the pair collides in ALL
     // 4 bands — the raw operator would emit it 4×; the pipeline must not
     val text = "the exact same document text arrives again and again"

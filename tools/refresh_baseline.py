@@ -16,7 +16,8 @@ warm, cold = bench["queries"], bench["queries_cold"]
 lines = open("BASELINE.md", encoding="utf-8").read().splitlines(keepends=True)
 out = []
 duck = {}
-row_re = re.compile(r"\| (\w+) \| [\d.]+ \| [\d.]+ \| ([\d.]+|n/a) \|")
+# warm/cold cells may read n/a (e.g. a query that errored in one mode)
+row_re = re.compile(r"\| (\w+) \| (?:[\d.]+|n/a) \| (?:[\d.]+|n/a) \| ([\d.]+|n/a) \|")
 for ln in lines:
     m = row_re.match(ln)
     if m:
@@ -28,8 +29,11 @@ while i < len(lines):
     ln = lines[i]
     if row_re.match(ln):
         if not table_written:
-            for q in sorted(warm):
-                out.append(f"| {q} | {warm[q]:.2f} | {cold[q]:.2f} | "
+            for q in sorted(set(warm) | set(cold)):
+                # a query can fail in one mode only — keep the other's cell
+                w = f"{warm[q]:.2f}" if q in warm else "n/a"
+                c = f"{cold[q]:.2f}" if q in cold else "n/a"
+                out.append(f"| {q} | {w} | {c} | "
                            f"{duck.get(q, 'n/a')} |\n")
             table_written = True
         # skip the old row
