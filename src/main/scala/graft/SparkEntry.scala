@@ -93,6 +93,7 @@ object SparkEntry {
     "dedup_editdist"    -> (Dedup.dedupEditDistance(_, _)),
     "dedup_apply"       -> (Dedup.dedupApply(_, _)),
     "cluster_canonical" -> (Dedup.clusterCanonical(_, _)),
+    "containment_pairs" -> (Dedup.containmentPairs(_, _)),
     // LLM-pipeline: benchmark decontamination
     "decontam"          -> (Decontam.decontaminate(_, _)),
     "split_leakage"     -> (Decontam.splitLeakage(_, _)),
@@ -231,6 +232,7 @@ object SparkEntry {
     "dedup_editdist"    -> Dedup.dedupEditDistanceSql(),
     "dedup_apply"       -> Dedup.dedupApplySql(),
     "cluster_canonical" -> Dedup.clusterCanonicalSql(),
+    "containment_pairs" -> Dedup.containmentPairsSql(),
     "decontam"          -> Decontam.decontaminateSql(),
     "split_leakage"     -> Decontam.splitLeakageSql(),
     "decontam_apply"    -> Decontam.decontamApplySql(),

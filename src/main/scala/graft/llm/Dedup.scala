@@ -342,6 +342,60 @@ object Dedup {
        |  1.0 - CAST(n_seen AS DOUBLE) / n_shingles AS novelty
        |FROM a""".stripMargin
 
+  /** Asymmetric CONTAINMENT near-dup: pairs where the smaller
+    * document's shingle set is ≥ `threshold` contained in the other's
+    * (|A∩B| / min(|A|,|B|)). Symmetric Jaccard MISSES exactly this
+    * case — a short doc fully quoted inside a long one scores
+    * J = |A|/|B| ≈ 0 but containment 1.0 — and it is the shape
+    * aggregator/excerpt pages take in a web corpus.
+    *
+    * Both sides are computed over the DF-CAPPED shingle universe
+    * (corpus-hot shingles — boilerplate — are dropped before the join,
+    * and the per-doc sizes are counted over the same capped universe,
+    * so the score is "containment of the doc's distinctive content",
+    * not diluted by navigation chrome).
+    *
+    * Scale: one posting shuffle on the shingle with the df cap
+    * bounding every posting list (the join is Σ df² over kept
+    * shingles, never all-pairs), one pair aggregate, two size joins.
+    * Rides the memoized [[shingleArrays]]. */
+  def containmentPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.9, maxDf: Int = 64): DataFrame = {
+    val sh = shingleArrays(spark, dir)
+      .select(col("doc_id"), explode(col("shset")).as("shingle"))
+    val kept = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+      .select(col("shingle"))
+    val fsh = sh.join(kept, Seq("shingle"))
+    val sizes = fsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    fsh.select(col("doc_id").as("ida"), col("shingle"))
+      .join(fsh.select(col("doc_id").as("idb"), col("shingle")), Seq("shingle"))
+      .filter(col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("ida"), col("n").as("na")), Seq("ida"))
+      .join(sizes.select(col("doc_id").as("idb"), col("n").as("nb")), Seq("idb"))
+      .withColumn("containment", round(
+        col("common").cast("double") / least(col("na"), col("nb")), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("ida"), col("idb"), col("na"), col("nb"),
+        col("common"), col("containment"))
+  }
+
+  def containmentPairsSql(threshold: Double = 0.9, maxDf: Int = 64): String =
+    s"""WITH tk AS (SELECT doc_id, ${graft.llm.TextOps.tokensSql} AS toks FROM documents),
+       |s AS (SELECT doc_id, unnest(list_distinct(${shinglesSql})) AS shingle FROM tk),
+       |d AS (SELECT shingle FROM s GROUP BY 1 HAVING count(*) <= $maxDf),
+       |f AS (SELECT s.doc_id, s.shingle FROM s JOIN d USING (shingle)),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1),
+       |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(count(*) AS BIGINT) AS common
+       |      FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |c AS (SELECT ida, idb, x.n AS na, y.n AS nb, common,
+       |        round(CAST(common AS DOUBLE) / least(x.n, y.n), 6) AS containment
+       |      FROM p JOIN sz x ON p.ida = x.doc_id JOIN sz y ON p.idb = y.doc_id)
+       |SELECT ida, idb, na, nb, common, containment
+       |FROM c WHERE containment >= $threshold""".stripMargin
+
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris et al., SoCC'14) — O(log n) rounds regardless
     * of component diameter, vs [[dedupClusters]]'s O(diameter)

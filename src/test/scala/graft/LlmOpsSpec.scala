@@ -1114,6 +1114,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(selEn > baseEn, s"selected en-share $selEn <= base $baseEn")
   }
 
+  test("containment pairs: matches a driver-side refold; catches a quoted-inside pair Jaccard misses") {
+    val maxDf = 64
+    val sets = Dedup.shingleArrays(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val df_ = sets.toSeq.flatMap(_._2).groupBy(identity)
+      .collect { case (s, xs) if xs.length <= maxDf => s }.toSet
+    val capped = sets.map { case (id, ss) => (id, ss.filter(df_)) }
+      .filter(_._2.nonEmpty)
+    val want = (for {
+      (a, sa) <- capped; (b, sb) <- capped if a < b
+      common = (sa & sb).size if common > 0
+      cont = BigDecimal(common.toDouble / math.min(sa.size, sb.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cont >= 0.9
+    } yield (a, b, sa.size.toLong, sb.size.toLong, common.toLong, cont)).toSet
+    val got = Dedup.containmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(got == want)
+    // the asymmetric case: at least one pair where the contained doc is
+    // much smaller than its container — Jaccard would score it far
+    // below the containment threshold
+    assert(want.exists { case (_, _, na, nb, common, _) =>
+      val j = common.toDouble / (na + nb - common)
+      j < 0.9
+    }, "no size-asymmetric containment pair found — corpus too symmetric for the law")
+  }
+
   test("weighted_sample: top-k priorities match a plain-Scala md5 recomputation") {
     val got = graft.llm.Sampling.weightedSample(spark, sf, k = 20)
       .collect().map(r => (r.getLong(0), r.getDouble(2)))
