@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ANN ladder recall/latency artifact generator: measures recall@k of
+  * every approximate similarity rung against the brute-force truth
+  * (`similarity_topk`), plus warm/cold per-query wall time, and writes
+  * one JSON line to `SPARK_GRAFT_ANN_OUT` (default ANN_RECALL.json).
+  * The BASELINE.md "ANN ladder" table is generated from this artifact,
+  * so the ladder's quality trade-offs are committed numbers, not
+  * spec-buried assertions (LlmOpsSpec still enforces the recall floors
+  * per rung — this records the actual values).
+  *
+  * Timing mirrors [[Bench]] exactly: full-output materialization via
+  * `queryExecution.toRdd`, min-of-2 passes, cold = `Caches.release`
+  * before every pass (so index/codebook build cost is attributed),
+  * warm = session caches retained.
+  */
+object AnnRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_ANN_OUT", "ANN_RECALL.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$sfDir/embeddings.parquet").count() // untimed IO warmup
+
+    import graft.llm.Vectors
+    val rungs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "brute" -> (Vectors.simTopK(_, _)),
+      "ivf" -> (Vectors.simTopKIvf(_, _)),
+      "sq8" -> (Vectors.simTopKSq8(_, _)),
+      "pq" -> (Vectors.simTopKPq(_, _)),
+      "pq_idx" -> (Vectors.pqIndexTopK(_, _)))
+
+    def topkSets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+
+    def time(fn: (SparkSession, String) => DataFrame, cold: Boolean): Double = {
+      def once(): Double = {
+        if (cold) Caches.release(spark)
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+
+    val truth = topkSets(rungs.head._2(spark, sfDir))
+    val k = truth.values.map(_.size).max
+    val rows = rungs.map { case (name, fn) =>
+      val got = topkSets(fn(spark, sfDir))
+      val recall =
+        truth.keys.toSeq.map { q =>
+          got.getOrElse(q, Set.empty).intersect(truth(q)).size.toDouble /
+            truth(q).size
+        }.sum / truth.size
+      val warm = time(fn, cold = false)
+      val cold = time(fn, cold = true)
+      f""""$name":{"recall":$recall%.4f,"warm_sec":$warm%.3f,"cold_sec":$cold%.3f}"""
+    }
+    val line = s"""{"sf":"$sfDir","k":$k,"n_queries":${truth.size},""" +
+      s""""rungs":{${rows.mkString(",")}}}"""
+    println(line)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}

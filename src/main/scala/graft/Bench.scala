@@ -90,8 +90,14 @@ object Bench {
     // DIFFERENT exceptions warm vs cold, and duplicate JSON keys would
     // silently drop one of them in most parsers
     val warmKeyed = warmErr.map { case (k, e) => (k, e) }
+    // suffix until unique against ALL emitted keys (warm plus cold so
+    // far) — a real query literally named "<k>_cold" must not collide
+    val usedKeys = scala.collection.mutable.Set[String](warmKeyed.map(_._1): _*)
     val coldKeyed = coldErr.map { case (k, e) =>
-      (if (warmErr.exists(_._1 == k)) s"${k}_cold" else k, e)
+      var kk = if (usedKeys.contains(k)) s"${k}_cold" else k
+      while (usedKeys.contains(kk)) kk += "_"
+      usedKeys += kk
+      (kk, e)
     }
     val errs = (warmKeyed ++ coldKeyed).distinct
     val es = errs.map { case (k, e) => "\"" + k + "\":\"" + e + "\"" }

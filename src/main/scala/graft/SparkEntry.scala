@@ -94,6 +94,8 @@ object SparkEntry {
     "dedup_apply"       -> (Dedup.dedupApply(_, _)),
     "cluster_canonical" -> (Dedup.clusterCanonical(_, _)),
     "containment_pairs" -> (Dedup.containmentPairs(_, _)),
+    "containment_probe" -> (Dedup.containmentProbe(_, _)),
+    "novelty_probe"     -> (Dedup.noveltyProbe(_, _)),
     // LLM-pipeline: benchmark decontamination
     "decontam"          -> (Decontam.decontaminate(_, _)),
     "split_leakage"     -> (Decontam.splitLeakage(_, _)),
@@ -134,6 +136,8 @@ object SparkEntry {
     "boilerplate_scrub" -> (TextOps.boilerplateScrub(_, _)),
     "boilerplate_scrub_cdc" -> (TextOps.boilerplateScrubCdc(_, _)),
     "dup_span_scrub"    -> (TextOps.dupSpanScrub(_, _)),
+    "dup_spans_maximal" -> (TextOps.dupSpansMaximal(_, _)),
+    "dup_span_scrub_maximal" -> (TextOps.dupSpanScrubMaximal(_, _)),
     "corpus_mix"        -> (TextOps.corpusMix(_, _)),
     "source_drift"      -> (TextOps.sourceDrift(_, _)),
     "token_budget_mix"  -> (Sampling.tokenBudgetMix(_, _)),
@@ -233,6 +237,8 @@ object SparkEntry {
     "dedup_apply"       -> Dedup.dedupApplySql(),
     "cluster_canonical" -> Dedup.clusterCanonicalSql(),
     "containment_pairs" -> Dedup.containmentPairsSql(),
+    "containment_probe" -> Dedup.containmentProbeSql(),
+    "novelty_probe"     -> Dedup.noveltyProbeSql(),
     "decontam"          -> Decontam.decontaminateSql(),
     "split_leakage"     -> Decontam.splitLeakageSql(),
     "decontam_apply"    -> Decontam.decontamApplySql(),
@@ -260,6 +266,8 @@ object SparkEntry {
     "ngram_novelty"     -> Dedup.ngramNoveltySql(),
     "boilerplate_scrub" -> TextOps.boilerplateScrubSql(),
     "dup_span_scrub"    -> TextOps.dupSpanScrubSql(),
+    "dup_spans_maximal" -> TextOps.dupSpansMaximalSql(),
+    "dup_span_scrub_maximal" -> TextOps.dupSpanScrubMaximalSql(),
     "token_budget_mix"  -> Sampling.tokenBudgetMixSql(),
     "epoch_shuffle"     -> Sampling.epochShuffleSql,
     "corpus_shards"     -> Sampling.corpusShardsSql(),

@@ -160,9 +160,12 @@ class ObjectStoreFileSystem extends FileSystem {
     var dk = key(dst)
     val dstObj = store.get(dk)
     if (dstObj != null) return false // dst object exists: HDFS-style refusal
-    if (dk.isEmpty) // bucket root: always a directory; no leading "/" key
+    if (dk.isEmpty) { // bucket root: always a directory; no leading "/" key
       dk = src.getName
-    else if (dirMarks.contains(dk) || hasChildren(dk))
+      // a same-named DIRECTORY at root must refuse (HDFS semantics), not
+      // be shadowed by a freshly-written object
+      if (dirMarks.contains(dk) || hasChildren(dk)) return false
+    } else if (dirMarks.contains(dk) || hasChildren(dk))
       dk = dk + "/" + src.getName // dst is a directory: move INTO it
     if (store.get(dk) != null) return false
     val now = System.currentTimeMillis()

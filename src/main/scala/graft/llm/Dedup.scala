@@ -381,6 +381,125 @@ object Dedup {
         col("common"), col("containment"))
   }
 
+  /** INCREMENTAL containment — the ingest-time form of
+    * [[containmentPairs]], mirroring [[dedupIncremental]]'s standing-
+    * index shape: which documents of a NEW batch are mostly ALREADY IN
+    * the corpus. The corpus side is a standing postings index
+    * (shingle → doc_id) plus its per-shingle df counts, both built once
+    * and memoized (persisted as pfx-partitioned parquet in the
+    * [[DedupIndex]] layout at production scale, df updated additively
+    * per fold-in); each batch probes with its own shingles only. The
+    * score is asymmetric BY THE INGEST QUESTION: containment of the
+    * new document (common / n_new over the df-capped universe) — "is
+    * this arrival distinctive, or a quote of what we hold" — so the
+    * corpus doc's size is never needed and the probe never rescans the
+    * index beyond the batch's own shingle keys. New-vs-new pairs are
+    * deliberately out of scope (they surface at fold-in), exactly like
+    * [[dedupIncremental]].
+    *
+    * Per-batch cost: batch postings + one df-merge LEFT join keyed on
+    * the batch's shingles + a postings join where every kept shingle
+    * carries ≤ maxDf corpus rows — O(batch · maxDf) candidates, never
+    * index-sized. The df cap equals the full-corpus-so-far df
+    * (index + batch), so the carved registration equals the batch
+    * truth and shares a plain-SQL oracle. */
+  def containmentProbe(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, maxDf: Int = 64, batchMod: Int = 10): DataFrame = {
+    val sh = shingleArrays(spark, dir)
+      .select(col("doc_id"), explode(col("shset")).as("shingle"))
+    val isBatch = col("doc_id") % batchMod === 0
+    val postings = graft.Caches.memo(spark,
+      s"containPostings:$dir:$batchMod")(sh.filter(!isBatch))
+    val dfIdx = graft.Caches.memo(spark, s"containDf:$dir:$batchMod") {
+      postings.groupBy(col("shingle")).agg(count(lit(1)).as("dfi"))
+    }
+    val batchSh = sh.filter(isBatch)
+    // df known at probe time = standing df + this batch's df; keyed on
+    // the BATCH's shingles only (left join), so the standing df store
+    // is a lookup, not a scan
+    val kept = batchSh.groupBy(col("shingle")).agg(count(lit(1)).as("dfb"))
+      .join(dfIdx, Seq("shingle"), "left")
+      .filter(col("dfb") + coalesce(col("dfi"), lit(0L)) <= maxDf)
+      .select(col("shingle"))
+    val bKept = batchSh.join(kept, Seq("shingle"))
+    val nNew = bKept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
+    postings.join(bKept.select(col("doc_id").as("new_id"), col("shingle")),
+        Seq("shingle"))
+      .groupBy(col("new_id"), col("doc_id").as("corpus_id"))
+      .agg(count(lit(1)).as("common"))
+      .join(nNew.select(col("doc_id").as("new_id"), col("n_new")), Seq("new_id"))
+      .withColumn("containment", round(
+        col("common").cast("double") / col("n_new"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("n_new"), col("common"),
+        col("containment"))
+  }
+
+  def containmentProbeSql(threshold: Double = 0.5, maxDf: Int = 64,
+      batchMod: Int = 10): String =
+    s"""WITH tk AS (SELECT doc_id, ${graft.llm.TextOps.tokensSql} AS toks FROM documents),
+       |s AS (SELECT doc_id, unnest(list_distinct(${shinglesSql})) AS shingle FROM tk),
+       |d AS (SELECT shingle FROM s GROUP BY 1 HAVING count(*) <= $maxDf),
+       |f AS (SELECT s.doc_id, s.shingle FROM s JOIN d USING (shingle)),
+       |nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new
+       |       FROM f WHERE doc_id % $batchMod = 0 GROUP BY 1),
+       |p AS (SELECT b.doc_id AS new_id, a.doc_id AS corpus_id,
+       |        CAST(count(*) AS BIGINT) AS common
+       |      FROM f a JOIN f b ON a.shingle = b.shingle
+       |      WHERE b.doc_id % $batchMod = 0 AND a.doc_id % $batchMod <> 0
+       |      GROUP BY 1, 2),
+       |c AS (SELECT new_id, corpus_id, n_new, common,
+       |        round(CAST(common AS DOUBLE) / n_new, 6) AS containment
+       |      FROM p JOIN nb ON p.new_id = nb.doc_id)
+       |SELECT new_id, corpus_id, n_new, common, containment
+       |FROM c WHERE containment >= $threshold""".stripMargin
+
+  /** INCREMENTAL novelty probe — [[ngramNovelty]]'s ingest-time form,
+    * sharing [[containmentProbe]]'s standing df store: for each NEW
+    * batch document, the share of its distinct shingles absent from
+    * the standing corpus. A live crawl gate reads this per micro-batch
+    * — a batch whose novelty collapses is re-crawling held content —
+    * without the full-corpus posting join the batch form pays.
+    *
+    * Per-batch cost: the batch's shingles LEFT-join the df store
+    * (one row per distinct standing shingle — membership is
+    * `dfi IS NOT NULL`, no posting lists shipped) + one doc_id
+    * aggregate. The df store is the same memoized frame
+    * [[containmentProbe]] consults, so an ingest pipeline running both
+    * probes pays for it once. */
+  def noveltyProbe(spark: SparkSession, dir: String,
+      batchMod: Int = 10): DataFrame = {
+    val sh = shingleArrays(spark, dir)
+      .select(col("doc_id"), explode(col("shset")).as("shingle"))
+    val isBatch = col("doc_id") % batchMod === 0
+    val postings = graft.Caches.memo(spark,
+      s"containPostings:$dir:$batchMod")(sh.filter(!isBatch))
+    val dfIdx = graft.Caches.memo(spark, s"containDf:$dir:$batchMod") {
+      postings.groupBy(col("shingle")).agg(count(lit(1)).as("dfi"))
+    }
+    sh.filter(isBatch)
+      .join(dfIdx, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("dfi").isNotNull, 1L).otherwise(0L)).as("n_seen"))
+      // raw division over exact ints — IEEE-identical in both engines
+      .withColumn("novelty",
+        lit(1.0) - col("n_seen").cast("double") / col("n_shingles"))
+  }
+
+  def noveltyProbeSql(batchMod: Int = 10): String =
+    s"""WITH tk AS (SELECT doc_id, ${graft.llm.TextOps.tokensSql} AS toks FROM documents),
+       |s AS (SELECT doc_id, unnest(list_distinct(${shinglesSql})) AS shingle FROM tk),
+       |idx AS (SELECT DISTINCT shingle FROM s WHERE doc_id % $batchMod <> 0),
+       |a AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |        CAST(sum(CASE WHEN idx.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+       |      FROM s LEFT JOIN idx ON s.shingle = idx.shingle
+       |      WHERE s.doc_id % $batchMod = 0
+       |      GROUP BY 1)
+       |SELECT doc_id, n_shingles, n_seen,
+       |  1.0 - CAST(n_seen AS DOUBLE) / n_shingles AS novelty
+       |FROM a""".stripMargin
+
   def containmentPairsSql(threshold: Double = 0.9, maxDf: Int = 64): String =
     s"""WITH tk AS (SELECT doc_id, ${graft.llm.TextOps.tokensSql} AS toks FROM documents),
        |s AS (SELECT doc_id, unnest(list_distinct(${shinglesSql})) AS shingle FROM tk),

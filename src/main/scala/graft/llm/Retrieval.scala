@@ -93,7 +93,8 @@ object Retrieval {
     * document's embedding (`vec_id = queryId`), fused as
     * Σ_legs 1/(60 + rank). RRF is how production retrieval stacks
     * combine incommensurable scores — ranks, not raw values, so neither
-    * leg's scale dominates.
+    * leg's scale dominates. The query document itself is excluded from
+    * BOTH legs (it would trivially rank first in each).
     *
     * Scale shape: each leg is a TakeOrdered(nLeg) reduction over one
     * corpus scan (BM25's stats broadcast + the broadcast 1-row query
@@ -109,6 +110,7 @@ object Retrieval {
     // nLeg-row frame — the unpartitioned window is deliberate (≤ nLeg
     // rows by then), keeping the full-corpus sort out of the plan
     val lexTop = bm25Scored(Tables.fanOut(Tables.documents(spark, dir)))
+      .filter(col("doc_id") =!= queryId) // mirror the dense leg's self-exclusion
       .orderBy(col("score").desc, col("doc_id")).limit(nLeg)
       .withColumn("lex_rank", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))))
@@ -164,7 +166,7 @@ object Retrieval {
     s"""WITH $bm25ScoreCtes,
        |lex AS (SELECT doc_id, rn AS lex_rank FROM (
        |          SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rn
-       |          FROM sc) WHERE rn <= $nLeg),
+       |          FROM sc WHERE doc_id <> $queryId) WHERE rn <= $nLeg),
        |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = $queryId),
        |dsc AS (SELECT e.vec_id AS doc_id,
        |          round(CAST(list_dot_product(q.qvec, e.embedding) AS DOUBLE)

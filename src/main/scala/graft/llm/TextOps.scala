@@ -528,13 +528,30 @@ object TextOps {
     * ANSI-expressible ⇒ ContractSpec-pinned; FunctionsSpec verifies the
     * learned sequence by hand on a crafted vocabulary and pins
     * determinism. Memoized per (dir, n): the vocab collect is the
-    * expensive pass and the table is the artifact. */
-  def bpeMerges(spark: SparkSession, dir: String, nMerges: Int = 30): DataFrame =
-    graft.Caches.memo(spark, s"bpeMerges:$dir:$nMerges") {
+    * expensive pass and the table is the artifact.
+    *
+    * Driver-memory bound: the collect is capped at `maxVocab` entries
+    * (TakeOrdered by frequency desc, word asc — a deterministic cut
+    * even across frequency ties) after a `minFreq` floor, so driver
+    * heap is ≤ maxVocab·(avg word bytes + 8) ≈ tens of MB at the
+    * 2^20 default — NOT O(corpus vocabulary), which at web scale is
+    * 10⁸-10⁹ noise entries (typos/URLs/numbers). Every production BPE
+    * trainer applies the same bound; merges learned from the top-M
+    * frequency mass are invariant to the tail cut on any realistic
+    * corpus (a pair championed only by sub-minFreq words cannot win an
+    * argmax over frequencies) — FunctionsSpec pins invariance of the
+    * learned table under a non-binding cap at test scale and the
+    * deterministic cut under a binding one. */
+  def bpeMerges(spark: SparkSession, dir: String, nMerges: Int = 30,
+      minFreq: Long = 1L, maxVocab: Int = 1 << 20): DataFrame =
+    graft.Caches.memo(spark, s"bpeMerges:$dir:$nMerges:$minFreq:$maxVocab") {
       import spark.implicits._
       val vocab = Tables.fanOut(Tables.documents(spark, dir))
         .select(explode(tokens(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .filter(col("f") >= minFreq)
+        .orderBy(col("f").desc, col("w")) // TakeOrderedAndProject with limit
+        .limit(maxVocab)
         .as[(String, Long)].collect().toSeq
       graft.functions.BpeTokenCount.learnMerges(vocab, nMerges)
         .zipWithIndex
@@ -1067,15 +1084,23 @@ object TextOps {
       .select(col("doc_id"), col("w.p").as("p"), col("w.gram").as("gram"))
   }
 
-  private def dupSpanFromGrams(base: DataFrame, grams: DataFrame, k: Int,
-      minDf: Int): DataFrame = {
+  /** (doc_id, dps) — the sorted 1-based start positions of every
+    * duplicated k-window per document: ONE map-side-combinable df
+    * shuffle on the gram plus one doc_id shuffle. Shared by the
+    * window-granularity scrub and the maximal-span family. */
+  private def dupPositions(grams: DataFrame, minDf: Int): DataFrame = {
     val dup = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= minDf)
       .select(col("gram"))
-    val dupPos = grams.join(dup, Seq("gram"), "left_semi")
+    grams.join(dup, Seq("gram"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(col("p"))).as("dps"))
+  }
+
+  private def dupSpanFromGrams(base: DataFrame, grams: DataFrame, k: Int,
+      minDf: Int): DataFrame = {
+    val dupPos = dupPositions(grams, minDf)
     base.join(dupPos, Seq("doc_id"), "left")
       .select(col("doc_id"), col("toks"),
         coalesce(col("dps"), array().cast("array<int>")).as("dps"))
@@ -1089,15 +1114,199 @@ object TextOps {
         concat_ws(" ", col("kept")).as("clean_text"))
   }
 
-  def dupSpanScrubSql(k: Int = 15, minDf: Int = 2): String =
-    s"""WITH tk AS (SELECT doc_id, ${tokensSql} AS toks FROM documents),
+  /** MAXIMAL duplicated spans (Lee et al.'s suffix-array ExactSubstr
+    * output shape): overlapping/contiguous duplicated k-windows merge
+    * into maximal intervals per document — one row per maximal span,
+    * (doc_id, span_start, span_end, span_len, n_windows), positions
+    * 1-based over the normalized token sequence. This is the artifact
+    * a dedup audit reads ("WHICH passages repeat, and how long are
+    * they"), where [[dupSpanScrub]] only reports window counts.
+    *
+    * Scale: everything up to the per-doc duplicated-position list is
+    * [[dupSpanScrub]]'s plan (shared memoized gram frame — running
+    * both costs one pipeline); the interval merge itself is a per-row
+    * `aggregate` fold over the already-sorted position array — zero
+    * extra shuffles, no window function, no per-token explode. The
+    * oracle replays the merge as a textbook gaps-and-islands window
+    * (equal window lengths make "new island ⟺ p − lag(p) > k" exact). */
+  def dupSpansMaximal(spark: SparkSession, dir: String, k: Int = 15,
+      minDf: Int = 2): DataFrame = {
+    val base = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val grams = graft.Caches.memo(spark, s"dupSpanGrams:$dir:$k") {
+      windowGrams(base, k)
+    }
+    mergedIvs(dupPositions(grams, minDf), k)
+      .select(col("doc_id"), explode(col("ivs")).as("iv"))
+      .select(col("doc_id"),
+        col("iv.s").as("span_start"),
+        col("iv.e").as("span_end"),
+        (col("iv.e") - col("iv.s") + 1).as("span_len"),
+        col("iv.nw").cast("long").as("n_windows"))
+  }
+
+  def dupSpansMaximalFromDocs(docs: DataFrame, k: Int,
+      minDf: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    mergedIvs(dupPositions(windowGrams(base, k), minDf), k)
+      .select(col("doc_id"), explode(col("ivs")).as("iv"))
+      .select(col("doc_id"),
+        col("iv.s").as("span_start"),
+        col("iv.e").as("span_end"),
+        (col("iv.e") - col("iv.s") + 1).as("span_len"),
+        col("iv.nw").cast("long").as("n_windows"))
+  }
+
+  /** MAXIMAL-SPAN scrub — Lee et al.'s actual removal rule: merge
+    * duplicated windows into maximal spans first, then remove only the
+    * spans of length ≥ `minSpanLen` (their suffix-array pipeline uses
+    * a 50-token floor; the registered form uses a 40-token floor, which
+    * splits the test corpus's 15-99-token span population both ways).
+    * Short incidental repeats (idioms, n-gram collisions) SURVIVE,
+    * where [[dupSpanScrub]] removes every duplicated window — this
+    * variant closes that over-scrub margin at exact span extents.
+    * Output mirrors [[dupSpanScrub]]:
+    * (doc_id, n_tokens, n_spans, n_removed, clean_text).
+    *
+    * Scale: the span filter is a per-row array `filter` over the
+    * folded interval list — the explode/regroup a naive plan would pay
+    * is avoided entirely; beyond [[dupSpanScrub]]'s exchanges this
+    * adds NOTHING. Coverage is O(n_tokens · n_spans) per row with
+    * n_spans ≤ n_dup_windows (the merge only shrinks the list). */
+  def dupSpanScrubMaximal(spark: SparkSession, dir: String, k: Int = 15,
+      minDf: Int = 2, minSpanLen: Int = 40): DataFrame = {
+    val base = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val grams = graft.Caches.memo(spark, s"dupSpanGrams:$dir:$k") {
+      windowGrams(base, k)
+    }
+    scrubMaximalFromParts(base, dupPositions(grams, minDf), k, minSpanLen)
+  }
+
+  def dupSpanScrubMaximalFromDocs(docs: DataFrame, k: Int, minDf: Int,
+      minSpanLen: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    scrubMaximalFromParts(base, dupPositions(windowGrams(base, k), minDf),
+      k, minSpanLen)
+  }
+
+  /** Per-doc maximal intervals from the sorted duplicated-window
+    * positions: a single `aggregate` fold — current interval (cs,ce,cn)
+    * extends while the next window starts at or before ce+1 (equal
+    * window lengths keep interval ends monotone, so no lookahead is
+    * needed), else flushes to `done`. Returns (doc_id, ivs:
+    * array<struct<s,e,nw>>). */
+  private def mergedIvs(dupPos: DataFrame, k: Int): DataFrame = {
+    val emptyIvs = array().cast("array<struct<s:int,e:int,nw:int>>")
+    def closed(a: Column) = array(struct(
+      a.getField("cs").as("s"), a.getField("ce").as("e"),
+      a.getField("cn").as("nw")))
+    val acc0 = struct(emptyIvs.as("done"),
+      lit(-1).as("cs"), lit(-1).as("ce"), lit(0).as("cn"))
+    dupPos.select(col("doc_id"),
+      aggregate(col("dps"), acc0,
+        (a, p) =>
+          when(a.getField("cs") < 0,
+            struct(a.getField("done").as("done"), p.as("cs"),
+              (p + lit(k - 1)).as("ce"), lit(1).as("cn")))
+          .when(p <= a.getField("ce") + 1,
+            struct(a.getField("done").as("done"), a.getField("cs").as("cs"),
+              greatest(a.getField("ce"), p + lit(k - 1)).as("ce"),
+              (a.getField("cn") + 1).as("cn")))
+          .otherwise(
+            struct(concat(a.getField("done"), closed(a)).as("done"),
+              p.as("cs"), (p + lit(k - 1)).as("ce"), lit(1).as("cn"))),
+        a => when(a.getField("cs") < 0, a.getField("done"))
+          .otherwise(concat(a.getField("done"), closed(a)))).as("ivs"))
+  }
+
+  private def scrubMaximalFromParts(base: DataFrame, dupPos: DataFrame,
+      k: Int, minSpanLen: Int): DataFrame = {
+    val ivs = mergedIvs(dupPos, k)
+      .select(col("doc_id"),
+        filter(col("ivs"),
+          iv => iv.getField("e") - iv.getField("s") + 1 >= minSpanLen)
+          .as("ivs"))
+    base.join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("ivs"), array().cast("array<struct<s:int,e:int,nw:int>>"))
+          .as("ivs"))
+      .withColumn("kept",
+        filter(col("toks"), (t, i) =>
+          !exists(col("ivs"), iv =>
+            iv.getField("s") <= i + 1 && i + 1 <= iv.getField("e"))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("ivs")).cast("long").as("n_spans"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
+  /** The shared CTE prefix of the dup-span oracle family (tokens →
+    * rolling windows → duplicated grams → per-window positions) — the
+    * three oracles build on it, so the window pipeline cannot silently
+    * diverge between them. Pre-stripped. */
+  private def dupWindowCtes(k: Int, minDf: Int): String =
+    s"""tk AS (SELECT doc_id, ${tokensSql} AS toks FROM documents),
        |g AS (SELECT doc_id, toks,
        |        unnest(range(1, greatest(len(toks) - ${k - 2}, 1))) AS p
        |      FROM tk),
        |h AS (SELECT doc_id, CAST(p AS INT) AS p,
        |        array_to_string(toks[p : p + ${k - 1}], ' ') AS gram
        |      FROM g),
-       |dup AS (SELECT gram FROM h GROUP BY 1 HAVING count(*) >= $minDf),
+       |dup AS (SELECT gram FROM h GROUP BY 1 HAVING count(*) >= $minDf)""".stripMargin
+
+  /** Gaps-and-islands CTEs over the duplicated positions: with equal
+    * window lengths and sorted positions, a new island starts exactly
+    * when p − lag(p) > k. Appends `isl` = (doc_id, p, gid). */
+  private def islandCtes(k: Int): String =
+    s"""dpp AS (SELECT doc_id, p FROM h WHERE gram IN (SELECT gram FROM dup)),
+       |brki AS (SELECT doc_id, p,
+       |        CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= $k
+       |             THEN 0 ELSE 1 END AS brk
+       |      FROM dpp),
+       |isl AS (SELECT doc_id, p,
+       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid
+       |      FROM brki)""".stripMargin
+
+  def dupSpansMaximalSql(k: Int = 15, minDf: Int = 2): String =
+    s"""WITH ${dupWindowCtes(k, minDf)},
+       |${islandCtes(k)}
+       |SELECT doc_id,
+       |  CAST(min(p) AS INT) AS span_start,
+       |  CAST(max(p) + ${k - 1} AS INT) AS span_end,
+       |  CAST(max(p) + ${k - 1} - min(p) + 1 AS INT) AS span_len,
+       |  CAST(count(*) AS BIGINT) AS n_windows
+       |FROM isl GROUP BY doc_id, gid""".stripMargin
+
+  def dupSpanScrubMaximalSql(k: Int = 15, minDf: Int = 2,
+      minSpanLen: Int = 40): String =
+    s"""WITH ${dupWindowCtes(k, minDf)},
+       |${islandCtes(k)},
+       |iv AS (SELECT doc_id, CAST(min(p) AS INT) AS s,
+       |         CAST(max(p) + ${k - 1} AS INT) AS e
+       |       FROM isl GROUP BY doc_id, gid
+       |       HAVING max(p) + ${k - 1} - min(p) + 1 >= $minSpanLen),
+       |cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS cp FROM iv),
+       |cl AS (SELECT doc_id, list(cp) AS cps FROM cov GROUP BY 1),
+       |nsp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+       |        FROM iv GROUP BY 1),
+       |o AS (SELECT tk.doc_id, toks, coalesce(cps, []) AS cps,
+       |        coalesce(n_spans, 0) AS n_spans
+       |      FROM tk LEFT JOIN cl ON tk.doc_id = cl.doc_id
+       |        LEFT JOIN nsp ON tk.doc_id = nsp.doc_id),
+       |r AS (SELECT doc_id, toks, cps, n_spans,
+       |        list_filter(toks, (x, i) -> NOT list_contains(cps, i)) AS kept
+       |      FROM o)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(n_spans AS BIGINT) AS n_spans,
+       |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+       |  coalesce(array_to_string(kept, ' '), '') AS clean_text
+       |FROM r""".stripMargin
+
+  def dupSpanScrubSql(k: Int = 15, minDf: Int = 2): String =
+    s"""WITH ${dupWindowCtes(k, minDf)},
        |dp AS (SELECT doc_id, list_sort(list(p)) AS dps
        |       FROM h WHERE gram IN (SELECT gram FROM dup) GROUP BY 1),
        |o AS (SELECT tk.doc_id, toks, coalesce(dps, []) AS dps

@@ -44,7 +44,14 @@ object StreamingDrift {
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination()
     finally q.stop()
-    TextOps.psiOverTop(spark.table(name), top, sources, topN, alpha)
+    // materialize the tiny converged state (≤ topN·|sources| rows) and
+    // drop the memory-sink view — repeated cold runs must not accumulate
+    // orphaned driver-memory tables
+    val state = spark.table(name)
+    val rows = java.util.Arrays.asList(state.collect(): _*)
+    val local = spark.createDataFrame(rows, state.schema)
+    spark.catalog.dropTempView(name)
+    TextOps.psiOverTop(local, top, sources, topN, alpha)
   }
 
   /** The registered bounded query: stream the documents table against

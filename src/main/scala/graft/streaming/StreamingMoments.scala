@@ -44,7 +44,13 @@ object StreamingMoments {
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination()
     finally q.stop()
-    Vectors.momentStatsToCov(spark.table(name), p)
+    // materialize the 1-row converged state and drop the memory-sink
+    // view — repeated cold runs must not leak driver-memory tables
+    val state = spark.table(name)
+    val rows = java.util.Arrays.asList(state.collect(): _*)
+    val local = spark.createDataFrame(rows, state.schema)
+    spark.catalog.dropTempView(name)
+    Vectors.momentStatsToCov(local, p)
   }
 
   /** The registered bounded query: stream the embeddings table through

@@ -270,8 +270,14 @@ object StreamingNearDup extends Serializable {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       try q.awaitTermination()
       finally q.stop()
-      spark.table(name)
+      // materialize the bounded pair set and drop the memory-sink view
+      // — cold reruns must not accumulate driver-memory tables
+      val state = spark.table(name)
         .select(col("ida"), col("idb"), col("hamming"))
         .distinct()
+      val rows = java.util.Arrays.asList(state.collect(): _*)
+      val local = spark.createDataFrame(rows, state.schema)
+      spark.catalog.dropTempView(name)
+      local
     }
 }

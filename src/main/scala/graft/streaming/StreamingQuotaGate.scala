@@ -35,6 +35,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (source, feeder-file) upstream if a single source dominates a batch.
   * `NoTimeout` is deliberate: a quota total must never evict (dropping
   * it would re-open a closed source); O(sources) state needs no bound.
+  *
+  * Guarantees, by arrival pattern (StreamingQuotaGateSpec pins each):
+  *
+  *  - doc_id-ordered cross-batch arrival (the feeder contract):
+  *    admitted set == the SQL window oracle, exactly.
+  *  - ANY intra-batch order: irrelevant — the handler sorts each
+  *    batch's rows per source before admitting.
+  *  - out-of-doc_id-order CROSS-batch arrival: admission is by
+  *    ARRIVAL prefix — a late-arriving earlier doc_id is charged when
+  *    it arrives and may be rejected even though the doc_id-ordered
+  *    window would have admitted it. This is inherent to ANY online
+  *    prefix gate (no oracle claim applies then).
+  *  - determinism: the admitted set (and every cum_tokens value) is a
+  *    pure function of the arrival sequence — replaying the same
+  *    batches in the same order reproduces it bit-for-bit.
+  *  - monotone close: once a source's running total passes quota, no
+  *    later arrival of that source is ever admitted.
   */
 object StreamingQuotaGate extends Serializable {
 
@@ -87,9 +104,15 @@ object StreamingQuotaGate extends Serializable {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       try q.awaitTermination()
       finally q.stop()
-      spark.table(name)
+      // materialize the bounded admitted set and drop the memory-sink
+      // view — cold reruns must not accumulate driver-memory tables
+      val state = spark.table(name)
         .select(col("doc_id"), col("source"), col("n_toks"),
           col("cum_tokens"))
+      val rows = java.util.Arrays.asList(state.collect(): _*)
+      val local = spark.createDataFrame(rows, state.schema)
+      spark.catalog.dropTempView(name)
+      local
     }
 
   def quotaGateSql(quota: Long = 800L): String =

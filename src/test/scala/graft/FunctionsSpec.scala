@@ -97,6 +97,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.forall(r => r.getString(1).nonEmpty && r.getString(2).nonEmpty))
   }
 
+  test("bpeMerges vocab cap: non-binding cap is invariant, binding cap deterministic") {
+    def tbl(minFreq: Long, maxVocab: Int) =
+      graft.llm.TextOps.bpeMerges(spark, sf, nMerges = 10, minFreq, maxVocab)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    val corpusVocab = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.llm.TextOps.tokens(org.apache.spark.sql.functions.col("text"))).as("w"))
+      .distinct().count()
+    // the default 2^20 cap is non-binding at test scale — learned table
+    // must be bit-identical to an even larger explicit cap
+    assert(corpusVocab < (1 << 20))
+    assert(tbl(1L, 1 << 20) == tbl(1L, 1 << 22))
+    // a BINDING cap (top-50 words only) still learns a valid ranked
+    // table and the frequency-desc/word-asc cut is deterministic
+    val capped = tbl(1L, 50)
+    assert(capped == tbl(1L, 50))
+    assert(capped.map(_._1) == (1 to capped.length))
+    // min-frequency floor: merges learned from f>=2 words are a
+    // deterministic subsequence-style table, ranked dense from 1
+    val floored = tbl(2L, 1 << 20)
+    assert(floored == tbl(2L, 1 << 20))
+    assert(floored.map(_._1) == (1 to floored.length))
+  }
+
   test("learned-table token count == independent reimpl; corpus-fit compresses harder") {
     import graft.functions.BpeTokenCount
     val table = graft.llm.TextOps.bpeMerges(spark, sf, nMerges = 30).collect()

@@ -1142,6 +1142,54 @@ class LlmOpsSpec extends AnyFunSuite {
     }, "no size-asymmetric containment pair found — corpus too symmetric for the law")
   }
 
+  test("containment probe: standing-index probe == brute-force cross pairs at full-corpus df") {
+    val (maxDf, batchMod, threshold) = (64, 10, 0.5)
+    val sets = Dedup.shingleArrays(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    // df cap over the FULL corpus-so-far (standing + batch) — the df a
+    // live probe knows at arrival time
+    val df_ = sets.toSeq.flatMap(_._2).groupBy(identity)
+      .collect { case (s, xs) if xs.length <= maxDf => s }.toSet
+    val capped = sets.map { case (id, ss) => (id, ss.filter(df_)) }
+    val (batch, corpus) = capped.partition(_._1 % batchMod == 0)
+    val want = (for {
+      (b, sb) <- batch if sb.nonEmpty
+      (a, sa) <- corpus
+      common = (sa & sb).size if common > 0
+      cont = BigDecimal(common.toDouble / sb.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cont >= threshold
+    } yield (b, a, sb.size.toLong, common.toLong, cont)).toSet
+    val got = Dedup.containmentProbe(spark, sf, threshold, maxDf, batchMod)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "carved batch should contain quoted-in-corpus docs")
+    // the probe is strictly the cross slice: no batch-batch or
+    // corpus-corpus pair leaks through
+    assert(got.forall { case (n, c, _, _, _) =>
+      n % batchMod == 0 && c % batchMod != 0 })
+  }
+
+  test("novelty probe: per-new-doc unseen share == brute force against the standing shingle set") {
+    val batchMod = 10
+    val sets = Dedup.shingleArrays(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val standing = sets.filter(_._1 % batchMod != 0).flatMap(_._2).toSet
+    val want = sets.filter(s => s._1 % batchMod == 0 && s._2.nonEmpty)
+      .map { case (id, ss) =>
+        val seen = ss.count(standing)
+        (id, ss.size.toLong, seen.toLong, 1.0 - seen.toDouble / ss.size)
+      }.toSet
+    val got = Dedup.noveltyProbe(spark, sf, batchMod).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want)
+    // the metric discriminates on this corpus: not all-novel, not all-seen
+    assert(want.exists(_._4 < 1.0) && want.exists(_._4 > 0.0))
+  }
+
   test("weighted_sample: top-k priorities match a plain-Scala md5 recomputation") {
     val got = graft.llm.Sampling.weightedSample(spark, sf, k = 20)
       .collect().map(r => (r.getLong(0), r.getDouble(2)))
@@ -1225,6 +1273,86 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
     assert(hashed == want)
+  }
+
+  test("maximal dup spans: interval merge matches brute force; threshold scrub spares short spans") {
+    import spark.implicits._
+    val k = 15
+    // plain-Scala maximal-interval merge over sorted window starts
+    def mergeIvs(ps: Seq[Int]): Seq[(Int, Int, Int)] =
+      ps.sorted.foldLeft(Vector.empty[(Int, Int, Int)]) {
+        case (acc, p) if acc.nonEmpty && p <= acc.last._2 + 1 =>
+          acc.init :+ ((acc.last._1, math.max(acc.last._2, p + k - 1),
+            acc.last._3 + 1))
+        case (acc, p) => acc :+ ((p, p + k - 1, 1))
+      }
+    val shared20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val shared15 = (1 to 15).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"alpha beta gamma $shared20 delta"),   // 20-token span at 4..23
+      (1L, s"one $shared20 two three"),            // same span at 2..21
+      (3L, s"p1 p2 $shared15 q1 q2 q3 q4 q5"),     // 15-token span at 3..17
+      (4L, s"r1 $shared15 r2 r3 r4 r5 r6 r7"),     // same at 2..16
+      (9L, (1 to 40).map(i => s"u$i").mkString(" "))) // clean
+      .toDF("doc_id", "text")
+    val spans = TextOps.dupSpansMaximalFromDocs(docs, k, minDf = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4))).toSet
+    assert(spans == Set(
+      (0L, 4, 23, 20, 6L), (1L, 2, 21, 20, 6L),
+      (3L, 3, 17, 15, 1L), (4L, 2, 16, 15, 1L)), spans.toString)
+    // threshold 20: the 20-token passage scrubs, the 15-token one SURVIVES
+    // (dupSpanScrub would remove both — this is the over-scrub margin)
+    val scrub = TextOps.dupSpanScrubMaximalFromDocs(docs, k, minDf = 2,
+      minSpanLen = 20).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(scrub(0L)._4 == "alpha beta gamma delta")
+    assert(scrub(1L)._4 == "one two three")
+    assert(scrub(3L) == ((22L, 0L, 0L,
+      s"p1 p2 $shared15 q1 q2 q3 q4 q5")), scrub(3L).toString)
+    assert(scrub(4L)._3 == 0L && scrub(4L)._4.contains("s1 "))
+    assert(scrub(9L)._3 == 0L)
+
+    // corpus parity at the registered config (k=15, minDf=2, floor=40)
+    val corpus = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty) }.toMap
+    val grams = toks.toSeq.flatMap { case (id, ts) =>
+      if (ts.length < k) Seq.empty
+      else ts.sliding(k).zipWithIndex.map { case (g, p) =>
+        (id, p + 1, g.mkString(" ")) }.toSeq }
+    val cnt = grams.groupBy(_._3).map { case (g, v) => g -> v.size }
+    val dupPs = grams.filter(g => cnt(g._3) >= 2)
+      .groupBy(_._1).map { case (id, v) => id -> v.map(_._2).toSeq }
+    val wantSpans = dupPs.toSeq.flatMap { case (id, ps) =>
+      mergeIvs(ps).map { case (s, e, nw) =>
+        (id, s, e, e - s + 1, nw.toLong) } }.toSet
+    val gotSpans = TextOps.dupSpansMaximal(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4))).toSet
+    assert(gotSpans == wantSpans)
+    assert(wantSpans.nonEmpty, "corpus should contain maximal dup spans")
+
+    val minLen = 40
+    val wantScrub = toks.map { case (id, ts) =>
+      val ivs = mergeIvs(dupPs.getOrElse(id, Seq.empty))
+        .filter(iv => iv._2 - iv._1 + 1 >= minLen)
+      val kept = ts.zipWithIndex.collect {
+        case (t, i) if !ivs.exists(iv => iv._1 <= i + 1 && i + 1 <= iv._2) => t }
+      id -> ((ts.length.toLong, ivs.size.toLong,
+        (ts.length - kept.length).toLong, kept.mkString(" ")))
+    }
+    val gotScrub = TextOps.dupSpanScrubMaximal(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(gotScrub == wantScrub)
+    // the floor bites both ways on this corpus: some spans survive, some scrub
+    assert(wantScrub.values.exists(_._3 > 0), "floor should scrub some spans")
+    assert(wantSpans.exists(_._4 < minLen), "corpus should carry sub-floor spans")
   }
 
   test("token budget mix: rates and kept masses match a plain-Scala recomputation; budget nesting holds") {

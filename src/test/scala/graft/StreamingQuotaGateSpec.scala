@@ -93,4 +93,39 @@ class StreamingQuotaGateSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(3))).toSet
     assert(got == Set((10L, 3L)))
   }
+
+  test("determinism: replaying the same out-of-order arrival sequence reproduces admissions bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // an out-of-doc_id-order, multi-source feed split over 3 batches
+    val batches = Seq(
+      Seq((30L, "x", "a b"), (7L, "y", "c d e")),
+      Seq((2L, "x", "f g h"), (40L, "y", "i")),
+      Seq((15L, "x", "j"), (1L, "y", "k l m n")))
+    def run(tag: String): Seq[(Long, String, Long, Long)] = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)]
+      val docs = mem.toDF.toDF("doc_id", "source", "text")
+      val name = s"sqg_det_$tag"
+      val q = StreamingQuotaGate.admissions(docs, quota = 6L).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime("1 second")).start()
+      for (b <- batches) { mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(r => (r._2, r._1)).toSeq
+      spark.catalog.dropTempView(name)
+      rows
+    }
+    val a = run("a")
+    val b = run("b")
+    assert(a == b, s"replay diverged:\n$a\n$b")
+    // and the admitted set is the arrival-prefix truth: x admits 30
+    // (cum 2) then 2 (cum 5) then closes at 15 (cum 6 <= 6 → admitted);
+    // y admits 7 (cum 3) then closes at 40 (cum 4 <= 6 → admitted),
+    // rejects 1 (cum 8)
+    assert(a == Seq((2L, "x", 3L, 5L), (15L, "x", 1L, 6L), (30L, "x", 2L, 2L),
+      (7L, "y", 3L, 3L), (40L, "y", 1L, 4L)), a.toString)
+  }
 }
