@@ -33,11 +33,17 @@ object AnnRecall {
     spark.read.parquet(s"$sfDir/embeddings.parquet").count() // untimed IO warmup
 
     import graft.llm.Vectors
+    // registered defaults PLUS one tuned config per approximate rung, so
+    // the artifact records the knob each rung trades recall with (IVF:
+    // cells probed; PQ: exact-refine window)
     val rungs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "brute" -> (Vectors.simTopK(_, _)),
       "ivf" -> (Vectors.simTopKIvf(_, _)),
+      "ivf_probe8" -> ((s, d) => Vectors.simTopKIvf(s, d, nProbe = 8)),
+      "ivf_probe16" -> ((s, d) => Vectors.simTopKIvf(s, d, nProbe = 16)),
       "sq8" -> (Vectors.simTopKSq8(_, _)),
       "pq" -> (Vectors.simTopKPq(_, _)),
+      "pq_refine32" -> ((s, d) => Vectors.simTopKPq(s, d, refine = 32)),
       "pq_idx" -> (Vectors.pqIndexTopK(_, _)))
 
     def topkSets(df: DataFrame): Map[Long, Set[Long]] =
