@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
   * Layout under `path`:
   *   - `buckets/` (doc_id, band_id, band_hash), partitioned by
   *     `pfx = pmod(band_hash, 64)`;
-  *   - `sets/` (doc_id, shset) for exact candidate verification.
+  *   - `sets/` (doc_id, shset) for exact candidate verification;
+  *   - `postings/` (shingle, doc_id), partitioned by
+  *     `pfx = pmod(xxhash64(shingle), 64)`, serving
+  *     [[containmentProbe]] — the asymmetric quoted-inside screen the
+  *     banded probe is blind to.
   *
   * 100 TB scale: a probe computes the batch's buckets, collects their
   * distinct `pfx` values (≤ 64 ints — a bounded driver set, not data),
@@ -43,6 +47,16 @@ object DedupIndex {
   private def withPfx(buckets: DataFrame): DataFrame =
     buckets.withColumn("pfx", pmod(col("band_hash"), lit(nPfx)))
 
+  /** Shingle-keyed partition prefix for the `postings/` component —
+    * same ≤64-slice pruning idea as the bucket table, keyed on the
+    * shingle hash so a containment probe reads only the slices the
+    * batch's own shingles can live in. */
+  private def withSpfx(postings: DataFrame): DataFrame =
+    postings.withColumn("pfx", pmod(xxhash64(col("shingle")), lit(nPfx)))
+
+  private def postingsOf(sets: DataFrame): DataFrame =
+    withSpfx(sets.select(col("doc_id"), explode(col("shset")).as("shingle")))
+
   private def bucketsOf(sets: DataFrame, bands: Int, rows: Int): DataFrame =
     Dedup.bandedBuckets(Dedup.minhashSignatures(
       sets.select(col("doc_id"), explode(col("shset")).as("shingle"))), bands, rows)
@@ -61,6 +75,9 @@ object DedupIndex {
         .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/buckets")
       sets.coalesce(setFiles)
         .write.mode("overwrite").parquet(s"$path/sets")
+      postingsOf(sets)
+        .repartition(col("pfx"))
+        .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/postings")
     } finally sets.unpersist()
   }
 
@@ -78,6 +95,9 @@ object DedupIndex {
         .write.mode("append").partitionBy("pfx").parquet(s"$path/buckets")
       sets.coalesce(setFiles)
         .write.mode("append").parquet(s"$path/sets")
+      postingsOf(sets)
+        .repartition(col("pfx"))
+        .write.mode("append").partitionBy("pfx").parquet(s"$path/postings")
     } finally sets.unpersist()
   }
 
@@ -115,6 +135,59 @@ object DedupIndex {
     val out = verified.localCheckpoint(true)
     batchSets.unpersist()
     probeBuckets.unpersist()
+    out
+  }
+
+  /** (new_id, corpus_id, n_new, common, containment) for every batch
+    * doc ≥ `threshold` CONTAINED in an indexed doc — the persisted-
+    * index form of [[Dedup.containmentProbe]], against the `postings/`
+    * component. MinHash banding cannot serve this probe: a short doc
+    * quoted inside a long one has LOW Jaccard, so its bands never
+    * collide — which is exactly the pair containment exists to catch.
+    *
+    * Same pruning discipline as [[probe]]: the batch's shingle-hash
+    * prefixes (≤ 64 ints) prune the postings scan, the batch shingles
+    * broadcast into it, and the df cap (standing df from the pruned
+    * slices + the batch's own counts — together the full
+    * corpus-so-far df for every probed shingle) bounds each posting
+    * list at maxDf rows, so candidates are O(batch · maxDf). The
+    * score divides by the NEW doc's capped size only, so no corpus-doc
+    * sizes are ever recomputed. */
+  def containmentProbe(spark: SparkSession, path: String, batch: DataFrame,
+      threshold: Double = 0.5, maxDf: Int = 64): DataFrame = {
+    val batchSh = Dedup.shingleSets(batch)
+      .select(col("doc_id"), explode(col("shset")).as("shingle"))
+      .persist()
+    val batchDf = batchSh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("dfb")).persist()
+    // bounded by construction: at most nPfx distinct values
+    val pfxs = withSpfx(batchDf).select(col("pfx")).distinct()
+      .collect().map(_.getLong(0))
+    val idx = spark.read.parquet(s"$path/postings")
+      .filter(col("pfx").isin(pfxs: _*)) // partition-pruned scan
+      .join(broadcast(batchDf.select(col("shingle"))), Seq("shingle"))
+      .persist()
+    val kept = batchDf
+      .join(idx.groupBy(col("shingle")).agg(count(lit(1)).as("dfi")),
+        Seq("shingle"), "left")
+      .filter(col("dfb") + coalesce(col("dfi"), lit(0L)) <= maxDf)
+      .select(col("shingle"))
+    val bKept = batchSh.join(kept, Seq("shingle")).persist()
+    val nNew = bKept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
+    val scored = idx
+      .join(broadcast(bKept.select(col("doc_id").as("new_id"), col("shingle"))),
+        Seq("shingle"))
+      .groupBy(col("new_id"), col("doc_id").as("corpus_id"))
+      .agg(count(lit(1)).as("common"))
+      .join(nNew.select(col("doc_id").as("new_id"), col("n_new")), Seq("new_id"))
+      .withColumn("containment", round(
+        col("common").cast("double") / col("n_new"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("n_new"), col("common"),
+        col("containment"))
+    // materialize before unpersisting the inputs the plan references
+    val out = scored.localCheckpoint(true)
+    Seq(batchSh, batchDf, idx, bKept).foreach(_.unpersist())
     out
   }
 }

@@ -16,6 +16,11 @@ import org.apache.spark.sql.types._
   *   1. `probe`: batch docs near-duplicating the already-curated corpus
   *      are dropped (MinHash-LSH banded probe, partition-pruned index
   *      scan — per-batch cost O(batch + candidates), never O(corpus));
+  *   1b. (optional, `containment = Some(t)`) containment screen: batch
+  *      docs ≥ t contained in an indexed doc drop
+  *      ([[DedupIndex.containmentProbe]] against the `postings/`
+  *      component) — the short-quoted-inside-long case whose Jaccard
+  *      is too LOW for the banded probe to ever candidate;
   *   2. within-batch self-dedup: exact prefix-filtered n-gram Jaccard
   *      over the micro-batch ([[Dedup.ngramJaccardFromSets]] — a batch
   *      is small, exactness is cheap here), keeping the smaller doc_id
@@ -63,7 +68,9 @@ class CurationPipeline(
     decontamN: Int = 13,
     lmRef: Option[DataFrame] = None,
     lmScoreFloor: Double = -10.0,
-    lmAlpha: Double = 0.1) {
+    lmAlpha: Double = 0.1,
+    containment: Option[Double] = None,
+    containMaxDf: Int = 64) {
 
   import CurationPipeline._
 
@@ -136,11 +143,23 @@ class CurationPipeline(
             .select(col("new_id").as("doc_id")).distinct()
           batch.join(dups, Seq("doc_id"), "left_anti")
         } else batch)
+      // 1b. containment screen (optional): batch docs mostly QUOTED
+      //     inside the curated corpus drop — the low-Jaccard
+      //     short-inside-long case the banded probe is blind to
+      //     (a quote's MinHash bands never collide with its host's)
+      val own = stage(containment match {
+        case Some(t) if haveIndex =>
+          val contained = DedupIndex
+            .containmentProbe(spark, indexPath, fresh, t, containMaxDf)
+            .select(col("new_id").as("doc_id")).distinct()
+          fresh.join(contained, Seq("doc_id"), "left_anti")
+        case _ => fresh
+      })
       // 2. within-batch self-dedup; ida < idb by construction, so
       //    dropping every idb keeps the first-seen (smallest) id
-      val selfDups = Dedup.ngramJaccardFromSets(Dedup.shingleSets(fresh), threshold)
+      val selfDups = Dedup.ngramJaccardFromSets(Dedup.shingleSets(own), threshold)
         .select(col("idb").as("doc_id")).distinct()
-      val unique = stage(fresh.join(selfDups, Seq("doc_id"), "left_anti"))
+      val unique = stage(own.join(selfDups, Seq("doc_id"), "left_anti"))
       // 3. benchmark screen: any shared decontamN-gram disqualifies
       val clean = stage(benchGrams match {
         case Some(bg) =>
@@ -190,14 +209,16 @@ class CurationPipeline(
           // counts re-run only the short post-persist chains.
           val nIn = batch.count()
           val nFresh = fresh.count()
+          val nOwn = own.count()
           val nUnique = unique.count()
           val nClean = clean.count()
           val nGated = gated.count()
           import spark.implicits._
-          Seq((nIn, nIn - nFresh, nFresh - nUnique, nUnique - nClean,
-              nClean - nGated, nGated - nKept, nKept))
-            .toDF("n_in", "drop_index_dup", "drop_self_dup",
-              "drop_contaminated", "drop_quality", "drop_lm", "n_kept")
+          Seq((nIn, nIn - nFresh, nFresh - nOwn, nOwn - nUnique,
+              nUnique - nClean, nClean - nGated, nGated - nKept, nKept))
+            .toDF("n_in", "drop_index_dup", "drop_contained",
+              "drop_self_dup", "drop_contaminated", "drop_quality",
+              "drop_lm", "n_kept")
             .coalesce(1)
             .write.mode("overwrite").parquet(s"$outDir/metrics/epoch=$epochId")
           if (nKept > 0) {

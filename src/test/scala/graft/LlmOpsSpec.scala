@@ -116,6 +116,10 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSet
     assert(buckets(s"$base/folded") == buckets(s"$base/full"))
     assert(sets(s"$base/folded") == sets(s"$base/full"))
+    def postings(p: String) = spark.read.parquet(s"$p/postings")
+      .select("doc_id", "shingle", "pfx")
+      .collect().map(_.toSeq).toSet
+    assert(postings(s"$base/folded") == postings(s"$base/full"))
 
     // probing the persisted index == the in-session incremental operator
     // (same split: corpus = doc_id % 10 != 0, batch = doc_id % 10 == 0)
@@ -127,6 +131,18 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(want.nonEmpty)
     assert(got == want)
+
+    // persisted containment probe (postings/ component) == the
+    // memoized incremental operator on the same carve
+    val gotC = DedupIndex.containmentProbe(spark, s"$base/corpus",
+        docs.filter(col("doc_id") % 10 === 0), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val wantC = Dedup.containmentProbe(spark, sf, 0.5, 64, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(wantC.nonEmpty)
+    assert(gotC == wantC)
   }
 
   test("iterative loops under a reliable checkpoint dir: same results, checkpoints written") {

@@ -370,6 +370,54 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("curation loop: containment screen drops a doc quoted inside the curated corpus") {
+    import graft.streaming.CurationPipeline
+    import spark.implicits._
+    val long = "the river flows gently through a green valley where tall " +
+      "trees stand in quiet morning light and old books line the wooden " +
+      "shelves of a dusty library where scholars read ancient pages in silence"
+    val other = "bright stars fill the night sky and a cool wind moves " +
+      "softly over sleeping hills far away from the coast"
+    // a verbatim contiguous excerpt of `long`: every shingle is a
+    // subset, so containment = 1.0 while Jaccard is far below 0.6
+    val excerpt = "a green valley where tall trees stand in quiet morning " +
+      "light and old books line the wooden shelves"
+    val keeper = "small waves lap against the old stone pier while white " +
+      "gulls circle slowly in the warm afternoon air"
+    val batches = Seq(
+      Seq((1L, long), (2L, other)),
+      Seq((10L, excerpt), (11L, keeper)))
+
+    def run(base: String, contain: Option[Double]): (Set[Long], Map[Int, (Long, Long)]) = {
+      val p = new CurationPipeline(spark, s"$base/idx", s"$base/out",
+        containment = contain)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        p.processBatch(b.toDF("doc_id", "text"), i.toLong)
+      }
+      val kept = spark.read.parquet(s"$base/out/kept")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val m = spark.read.parquet(s"$base/out/metrics")
+        .select("epoch", "drop_contained", "n_kept")
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      (kept, m)
+    }
+    val baseOff = Files.createTempDirectory("graft-curate-cont-off").toString
+    val baseOn = Files.createTempDirectory("graft-curate-cont-on").toString
+    // WITHOUT the screen, nothing else catches the quote: the banded
+    // probe never candidates a low-Jaccard subset pair
+    val (keptOff, mOff) = run(baseOff, None)
+    assert(keptOff == Set(1L, 2L, 10L, 11L), keptOff.toString)
+    assert(mOff(1) == ((0L, 2L)), mOff.toString)
+    // WITH it, the quoted doc drops with its own attribution column
+    val (keptOn, mOn) = run(baseOn, Some(0.8))
+    assert(keptOn == Set(1L, 2L, 11L), keptOn.toString)
+    assert(mOn(1) == ((1L, 1L)), mOn.toString)
+    // and the index only ever grew by kept docs
+    val ids = spark.read.parquet(s"$baseOn/idx/postings")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 11L))
+  }
+
   test("curation loop: NFC ingest unifies composed and decomposed duplicate docs") {
     import graft.llm.Dedup
     import graft.streaming.CurationPipeline
