@@ -92,6 +92,7 @@ object SparkEntry {
     "dedup_incremental" -> (Dedup.dedupIncremental(_, _)),
     "dedup_editdist"    -> (Dedup.dedupEditDistance(_, _)),
     "dedup_apply"       -> (Dedup.dedupApply(_, _)),
+    "dup_cluster_hist"  -> (Dedup.dupClusterHist(_, _)),
     "cluster_canonical" -> (Dedup.clusterCanonical(_, _)),
     "containment_pairs" -> (Dedup.containmentPairs(_, _)),
     "containment_probe" -> (Dedup.containmentProbe(_, _)),
@@ -111,6 +112,7 @@ object SparkEntry {
     "emb_neardup_lsh"   -> (Vectors.embNearDupLsh(_, _)),
     "dedup_semantic"    -> (Vectors.semanticDedup(_, _)),
     "quality_classifier"-> (Quality.classifierScores(_, _)),
+    "quality_by_source" -> (Quality.qualityBySource(_, _)),
     "emb_centroids"     -> (Vectors.embCentroids(_, _)),
     "emb_covariance"    -> (Vectors.embCovariance(_, _)),
     "emb_pca_project"   -> (Vectors.embPcaProject(_, _)),
@@ -140,6 +142,7 @@ object SparkEntry {
     "dup_span_scrub_maximal" -> (TextOps.dupSpanScrubMaximal(_, _)),
     "corpus_mix"        -> (TextOps.corpusMix(_, _)),
     "source_drift"      -> (TextOps.sourceDrift(_, _)),
+    "source_overlap"    -> (Dedup.sourceOverlap(_, _)),
     "token_budget_mix"  -> (Sampling.tokenBudgetMix(_, _)),
     "epoch_shuffle"     -> (Sampling.epochShuffle(_, _)),
     "corpus_shards"     -> (Sampling.corpusShards(_, _)),
@@ -164,6 +167,7 @@ object SparkEntry {
     "bm25_topk"         -> (graft.llm.Retrieval.bm25TopK(_, _)),
     "hybrid_topk"       -> (graft.llm.Retrieval.hybridTopK(_, _)),
     "weighted_sample"   -> (Sampling.weightedSample(_, _)),
+    "corpus_split"      -> (Sampling.corpusSplit(_, _)),
     "weighted_sample_grouped" -> (Sampling.weightedSampleBySource(_, _)),
     "span_shared"       -> (Dedup.spanSharedPairs(_, _)),
     "cdc_shared"        -> (Dedup.cdcSharedPairs(_, _)),
@@ -235,6 +239,7 @@ object SparkEntry {
     "dedup_clusters"    -> Dedup.dedupClustersSql(),
     "dedup_editdist"    -> Dedup.dedupEditDistanceSql(),
     "dedup_apply"       -> Dedup.dedupApplySql(),
+    "dup_cluster_hist"  -> Dedup.dupClusterHistSql(),
     "cluster_canonical" -> Dedup.clusterCanonicalSql(),
     "containment_pairs" -> Dedup.containmentPairsSql(),
     "containment_probe" -> Dedup.containmentProbeSql(),
@@ -253,6 +258,7 @@ object SparkEntry {
     // inverse — not SQL-expressible; LlmOpsSpec pins eigenpair laws and
     // the plain-Scala Mahalanobis refold, ContractSpec the accounting.
     "text_stats"        -> TextOps.textStatsSql,
+    "quality_by_source" -> Quality.qualityBySourceSql(),
     "text_normalize"    -> TextOps.textNormalizeSql,
     "lang_id"           -> TextOps.langIdSql,
     "token_count"       -> TextOps.tokenCountSql,
@@ -277,6 +283,7 @@ object SparkEntry {
     "lm_score"          -> TextOps.lmScoreSql(),
     "corpus_mix"        -> TextOps.corpusMixSql(),
     "source_drift"      -> TextOps.sourceDriftSql(),
+    "source_overlap"    -> Dedup.sourceOverlapSql(),
     "media_features"    -> Multimodal.mediaFeaturesSql,
     "media_framesample" -> Multimodal.mediaFrameSampleSql(),
     "sample_hash"       -> Sampling.sampleHashSql,
@@ -290,6 +297,7 @@ object SparkEntry {
     "bm25_topk"         -> graft.llm.Retrieval.bm25TopKSql(),
     "hybrid_topk"       -> graft.llm.Retrieval.hybridTopKSql(),
     "weighted_sample"   -> Sampling.weightedSampleSql(),
+    "corpus_split"      -> Sampling.corpusSplitSql(),
     "weighted_sample_grouped" -> Sampling.weightedSampleBySourceSql(),
     "span_shared"       -> Dedup.spanSharedSql(),
     "salted_agg"        -> graft.scale.ScaleTechniques.saltedAggSql,

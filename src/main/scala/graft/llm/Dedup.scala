@@ -487,6 +487,86 @@ object Dedup {
         lit(1.0) - col("n_seen").cast("double") / col("n_shingles"))
   }
 
+  /** Duplication-multiplicity HISTOGRAM — the "how duplicated is this
+    * corpus" curve (Lee et al. 2021 fig. 1 shape): for each near-dup
+    * cluster size, how many clusters and how many documents sit at that
+    * multiplicity. The single chart a dedup decision is made from: a
+    * long tail of size-2 clusters is organic, a spike at size-50 is a
+    * mirrored site.
+    *
+    * Scale: rides the memoized [[dedupClusters]] assignment (the
+    * convergence already serves dedup_clusters/dedup_apply/
+    * cluster_canonical — warm cost here is two tiny aggregates); output
+    * is ≤ max-multiplicity rows, driver-scale. */
+  def dupClusterHist(spark: SparkSession, dir: String,
+      threshold: Double = 0.6): DataFrame =
+    dedupClusters(spark, dir, threshold)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"),  col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
+  def dupClusterHistSql(threshold: Double = 0.6): String =
+    s"""WITH clusters AS (
+       |${dedupClustersSql(threshold)}
+       |),
+       |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM clusters GROUP BY 1)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+       |FROM cs GROUP BY 1""".stripMargin
+
+  /** CROSS-SOURCE overlap matrix — the leakage diagnostic a corpus
+    * audit runs before mixing sources: for every source pair, the
+    * distinct-shingle overlap as Jaccard AND containment-of-smaller.
+    * Two crawls mirroring the same sites show up as a high-containment
+    * pair here long before doc-level dedup quantifies it, and the
+    * matrix is what decides whether "10 sources" are really 10
+    * independent distributions or 3.
+    *
+    * Scale: one scan collapses the corpus to DISTINCT (source, shingle)
+    * rows — the text never shuffles, and per-shingle posting lists are
+    * ≤ |sources| entries, so the pair join is Σ_sh k_sh² ≤
+    * |sources|²·|shingles| with tiny constants (the all-pairs matrix is
+    * |sources|²/2 rows — driver-scale output no matter the corpus). */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ss = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("source"), graft.llm.TextOps.tokens(col("text")).as("toks"))
+      .select(col("source"),
+        explode(shinglesFromTokens(col("toks"))).as("shingle"))
+      .distinct()
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    ss.select(col("source").as("src_a"), col("shingle"))
+      .join(ss.select(col("source").as("src_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("source").as("src_a"), col("n").as("na")),
+        Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("n").as("nb")),
+        Seq("src_b"))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")), 6))
+      .withColumn("containment", round(col("common").cast("double") /
+        least(col("na"), col("nb")), 6))
+      .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+        col("common"), col("jaccard"), col("containment"))
+  }
+
+  def sourceOverlapSql(): String =
+    s"""WITH tk AS (SELECT source, ${graft.llm.TextOps.tokensSql} AS toks FROM documents),
+       |s AS (SELECT DISTINCT source, shingle FROM
+       |        (SELECT source, unnest(${shinglesSql}) AS shingle FROM tk)),
+       |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+       |p AS (SELECT a.source AS src_a, b.source AS src_b,
+       |        CAST(count(*) AS BIGINT) AS common
+       |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.source < b.source
+       |      GROUP BY 1, 2)
+       |SELECT src_a, src_b, x.n AS na, y.n AS nb, common,
+       |  round(CAST(common AS DOUBLE) / (x.n + y.n - common), 6) AS jaccard,
+       |  round(CAST(common AS DOUBLE) / least(x.n, y.n), 6) AS containment
+       |FROM p JOIN sz x ON p.src_a = x.source JOIN sz y ON p.src_b = y.source""".stripMargin
+
   def noveltyProbeSql(batchMod: Int = 10): String =
     s"""WITH tk AS (SELECT doc_id, ${graft.llm.TextOps.tokensSql} AS toks FROM documents),
        |s AS (SELECT doc_id, unnest(list_distinct(${shinglesSql})) AS shingle FROM tk),

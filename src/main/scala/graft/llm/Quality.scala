@@ -139,6 +139,46 @@ object Quality {
         col("prediction").cast("int").as("pred_keep"))
   }
 
+  /** Per-SOURCE quality profile — the drill-down behind the corpus
+    * quality gate: for each source, document/token mass, how many docs
+    * pass each Gopher-style rule, and the overall keep rate. The table
+    * an operator reads when a source's keep rate collapses ("which rule
+    * started failing").
+    *
+    * Scale: [[gate]]'s per-row projections (it carries every input
+    * column through, `source` included) + one map-side-combinable
+    * rollup to |sources| rows — zero joins. */
+  def qualityBySource(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    gate(graft.Tables.fanOut(graft.Tables.documents(spark, dir)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("word_count")).as("n_tokens"),
+        sum(col("r_nwords")).cast("long").as("pass_nwords"),
+        sum(col("r_awl")).cast("long").as("pass_awl"),
+        sum(col("r_stop")).cast("long").as("pass_stop"),
+        sum(col("r_alpha")).cast("long").as("pass_alpha"),
+        sum(col("r_repeat")).cast("long").as("pass_repeat"),
+        sum(col("keep")).cast("long").as("n_keep"))
+      .withColumn("keep_rate",
+        round(col("n_keep").cast("double") / col("n_docs"), 6))
+  }
+
+  def qualityBySourceSql(): String =
+    s"""SELECT d.source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(q.word_count) AS BIGINT) AS n_tokens,
+       |  CAST(sum(q.r_nwords) AS BIGINT) AS pass_nwords,
+       |  CAST(sum(q.r_awl) AS BIGINT) AS pass_awl,
+       |  CAST(sum(q.r_stop) AS BIGINT) AS pass_stop,
+       |  CAST(sum(q.r_alpha) AS BIGINT) AS pass_alpha,
+       |  CAST(sum(q.r_repeat) AS BIGINT) AS pass_repeat,
+       |  CAST(sum(q.keep) AS BIGINT) AS n_keep,
+       |  round(CAST(sum(q.keep) AS DOUBLE) / count(*), 6) AS keep_rate
+       |FROM ($qualityFilterSql) q
+       |JOIN documents d ON q.doc_id = d.doc_id
+       |GROUP BY 1""".stripMargin
+
   val qualityFilterSql: String = {
     val stopList = stopwords.map("'" + _ + "'").mkString(", ")
     s"""WITH t AS (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),

@@ -191,6 +191,55 @@ object Sampling {
       .limit(k)
   }
 
+  /** DETERMINISTIC train/val/test split summary — the reproducible
+    * corpus partition every training run needs: each document draws the
+    * same md5-uniform u as [[weightedSample]] (a pure function of
+    * doc_id — adding or removing OTHER documents never moves a doc
+    * across splits, which is the property that keeps a growing corpus's
+    * val set stable), lands in train/val/test by fixed thresholds, and
+    * the registered query reports the (source, split) grid with doc and
+    * token masses — the sanity table checked before any run ("did the
+    * split starve a source's val slice").
+    *
+    * Scale: one narrow scan (hash, token count are per-row projections)
+    * into a (|sources|·3)-row aggregate — map-side combinable, output
+    * driver-scale. The per-doc assignment frame (the actual split
+    * consumers read) is [[corpusSplitAssign]], the same projection
+    * without the rollup. */
+  def corpusSplit(spark: SparkSession, dir: String, trainFrac: Double = 0.8,
+      valFrac: Double = 0.1): DataFrame =
+    corpusSplitAssign(spark, dir, trainFrac, valFrac)
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+
+  /** Per-document split assignment: (doc_id, source, n_toks, split). */
+  def corpusSplitAssign(spark: SparkSession, dir: String,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(graft.llm.TextOps.tokens(col("text"))).cast("long").as("n_toks"),
+        when(u < trainFrac, "train")
+          .when(u < trainFrac + valFrac, "val")
+          .otherwise("test").as("split"))
+  }
+
+  def corpusSplitSql(trainFrac: Double = 0.8, valFrac: Double = 0.1): String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    CAST(len(${graft.llm.TextOps.tokensSql}) AS BIGINT) AS n_toks,
+       |    ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+       |     / 4503599627370496.0) AS u
+       |  FROM documents)
+       |SELECT source,
+       |  CASE WHEN u < $trainFrac THEN 'train'
+       |       WHEN u < ${trainFrac + valFrac} THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |FROM d GROUP BY 1, 2""".stripMargin
+
   def weightedSampleSql(k: Int = 60): String =
     s"""SELECT doc_id, n_chars,
        |  CAST(n_chars AS DOUBLE) /

@@ -1206,6 +1206,104 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(want.exists(_._4 < 1.0) && want.exists(_._4 > 0.0))
   }
 
+  test("source overlap matrix: pairwise jaccard/containment match a plain-Scala refold") {
+    val rows = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def shingles(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    val bySrc = rows.groupBy(_._1)
+      .map { case (s, v) => s -> v.flatMap(d => shingles(d._2)).toSet }
+    val srcs = bySrc.keys.toSeq.sorted
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = (for {
+      a <- srcs; b <- srcs if a < b
+      common = (bySrc(a) & bySrc(b)).size
+      na = bySrc(a).size; nb = bySrc(b).size
+    } yield (a, b, na.toLong, nb.toLong, common.toLong,
+      r6(common.toDouble / (na + nb - common)),
+      r6(common.toDouble / math.min(na, nb)))).toSet
+    val got = Dedup.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
+    assert(got == want)
+    assert(want.exists(_._5 > 0), "no cross-source shingle overlap found")
+  }
+
+  test("corpus split: grid matches a plain-Scala md5 recomputation; assignment is per-doc stable") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.split("\\s+").count(_.nonEmpty).toLong))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 4503599627370496.0
+    }
+    def splitOf(id: Long): String = {
+      val x = u(id)
+      if (x < 0.8) "train" else if (x < 0.8 + 0.1) "val" else "test"
+    }
+    val want = docs.groupBy(d => (d._2, splitOf(d._1)))
+      .map { case ((s, sp), v) =>
+        (s, sp, v.length.toLong, v.map(_._3).sum) }.toSet
+    val got = graft.llm.Sampling.corpusSplit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    assert(Set("train", "val", "test").subsetOf(got.map(_._2)))
+    // stability: a doc's split is a pure function of doc_id — restricting
+    // the corpus to one source reassigns nothing
+    val oneSrc = docs.head._2
+    val sub = graft.llm.Sampling
+      .corpusSplitAssign(spark, sf).filter(col("source") === oneSrc)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(sub.forall { case (id, sp) => sp == splitOf(id) })
+  }
+
+  test("dup cluster histogram: refolds the cluster assignment and conserves the corpus") {
+    val assign = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = assign.groupBy(_._2).values.map(_.size)
+      .groupBy(identity).map { case (sz, v) =>
+        (sz.toLong, v.size.toLong, sz.toLong * v.size) }.toSet
+    val got = Dedup.dupClusterHist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // conservation: every document sits in exactly one histogram cell
+    assert(got.map(_._3).sum == Tables.documents(spark, sf).count())
+    // the corpus is neither dup-free nor fully duplicated
+    assert(got.exists(_._1 == 1L) && got.exists(_._1 > 1L))
+  }
+
+  test("quality by source: per-source rollup == refolding the per-doc gate; keep rates discriminate") {
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val perDoc = graft.llm.Quality.qualityFilter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = perDoc.groupBy(d => srcOf(d._1)).map { case (s, v) =>
+      (s, v.length.toLong, v.map(_._2).sum,
+        v.map(_._3.toLong).sum, v.map(_._4.toLong).sum, v.map(_._5.toLong).sum,
+        v.map(_._6.toLong).sum, v.map(_._7.toLong).sum, v.map(_._8.toLong).sum,
+        r6(v.map(_._8).sum.toDouble / v.length))
+    }.toSet
+    val got = graft.llm.Quality.qualityBySource(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getDouble(9))).toSet
+    assert(got == want)
+    assert(got.map(_._10).size > 1, "keep rate identical across all sources")
+  }
+
   test("weighted_sample: top-k priorities match a plain-Scala md5 recomputation") {
     val got = graft.llm.Sampling.weightedSample(spark, sf, k = 20)
       .collect().map(r => (r.getLong(0), r.getDouble(2)))
