@@ -26,6 +26,12 @@ object RunQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
+    // SPARK_GRAFT_EXPLAIN=1: dump the formatted physical plan before
+    // executing — the per-operator plan-audit loop (exchange count,
+    // PushedFilters, WholeStageCodegen spans)
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     outDir match {
       case Some(out) =>
         df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")

@@ -168,6 +168,7 @@ object SparkEntry {
     "hybrid_topk"       -> (graft.llm.Retrieval.hybridTopK(_, _)),
     "weighted_sample"   -> (Sampling.weightedSample(_, _)),
     "corpus_split"      -> (Sampling.corpusSplit(_, _)),
+    "export_manifest"   -> (graft.llm.CorpusExport.exportManifest(_, _)),
     "weighted_sample_grouped" -> (Sampling.weightedSampleBySource(_, _)),
     "span_shared"       -> (Dedup.spanSharedPairs(_, _)),
     "cdc_shared"        -> (Dedup.cdcSharedPairs(_, _)),
@@ -298,6 +299,7 @@ object SparkEntry {
     "hybrid_topk"       -> graft.llm.Retrieval.hybridTopKSql(),
     "weighted_sample"   -> Sampling.weightedSampleSql(),
     "corpus_split"      -> Sampling.corpusSplitSql(),
+    "export_manifest"   -> graft.llm.CorpusExport.exportManifestSql(),
     "weighted_sample_grouped" -> Sampling.weightedSampleBySourceSql(),
     "span_shared"       -> Dedup.spanSharedSql(),
     "salted_agg"        -> graft.scale.ScaleTechniques.saltedAggSql,

@@ -1,0 +1,129 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** FINAL-MILE corpus materialization — the sink a training run actually
+  * reads: every document lands in `split=<train|val|test>/shard=<id>/`
+  * partitioned parquet, where the split is [[Sampling.corpusSplitAssign]]'s
+  * deterministic md5 draw and shards are TOKEN-balanced within each
+  * split (a data loader schedules shards as units of work — doc-count
+  * balance would make one shard of long documents the straggler).
+  *
+  * Shard assignment is the distributed prefix sum [[Sampling.corpusShards]]
+  * uses, run per split: documents order by (md5, doc_id) — a
+  * deterministic shuffle, so re-exports are bit-stable — and the
+  * cumulative token mass before each document places it in
+  * `floor(cum·nShards / total)`. The window is partitioned by
+  * (split, stratum = first md5 byte), never a single partition: strata
+  * are ordered prefixes of the sort key, so per-stratum sums + a
+  * 256-row offset join reconstruct the exact per-split prefix sum at
+  * any scale.
+  *
+  * The registered query `export_manifest` returns the
+  * (split, shard_id, n_docs, n_tokens) manifest — plain-SQL-expressible,
+  * so the whole assignment (split draw + balance math) is
+  * DuckDB-oracled — and, like the ORC mirror, publishes the parquet
+  * tree ONCE per source-table stamp under java.io.tmpdir (atomic
+  * rename publish; a re-run against unchanged data reads the marker
+  * and skips the write, so cold bench passes time the manifest math,
+  * not repeated IO).
+  */
+object CorpusExport {
+
+  /** Where the published tree for `dir`'s current documents table
+    * lives (stamp-keyed: a regenerated table re-exports). */
+  def exportPath(spark: SparkSession, dir: String, nShards: Int): String = {
+    val stamp = Tables.fileStamp(spark, s"$dir/documents.parquet")
+    s"${System.getProperty("java.io.tmpdir")}/graft_export/" +
+      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${nShards}_$stamp"
+  }
+
+  /** (doc_id, source, n_toks, split, shard_id) — the full assignment. */
+  def assignments(spark: SparkSession, dir: String, nShards: Int = 4,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col("doc_id").cast("string"))
+    val base = Sampling.corpusSplitAssign(spark, dir, trainFrac, valFrac)
+      .withColumn("h", h)
+      .withColumn("stratum", substring(col("h"), 1, 2))
+    val w = Window.partitionBy(col("split"), col("stratum"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumIn = base.withColumn("cum_in",
+      coalesce(sum(col("n_toks")).over(w), lit(0L)))
+    val tot = base.groupBy(col("split"), col("stratum"))
+      .agg(sum(col("n_toks")).as("st"))
+    val before = tot.select(col("split").as("sp2"), col("stratum").as("s2"),
+      col("st").as("st2"))
+    val offs = tot.join(broadcast(before),
+        col("sp2") === col("split") && col("s2") < col("stratum"), "left")
+      .groupBy(col("split"), col("stratum"))
+      .agg(coalesce(sum(col("st2")), lit(0L)).as("off"))
+    val totals = base.groupBy(col("split")).agg(sum(col("n_toks")).as("t_total"))
+    cumIn.join(broadcast(offs), Seq("split", "stratum"))
+      .join(broadcast(totals), Seq("split"))
+      .withColumn("cum_before", col("off") + col("cum_in"))
+      .withColumn("shard_id",
+        least(lit((nShards - 1).toLong),
+          expr(s"(cum_before * $nShards) div t_total")).cast("int"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("split"),
+        col("shard_id"))
+  }
+
+  /** Publish the partitioned tree (once per stamp) and return the
+    * manifest. */
+  def exportManifest(spark: SparkSession, dir: String, nShards: Int = 4,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    val base = exportPath(spark, dir, nShards)
+    val fin = new org.apache.hadoop.fs.Path(s"$base/final")
+    val fs = fin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/final/_SUCCESS"))) {
+      val attempt = new org.apache.hadoop.fs.Path(
+        s"$base/v_${java.util.UUID.randomUUID().toString.take(8)}")
+      assignments(spark, dir, nShards, trainFrac, valFrac)
+        .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+          Seq("doc_id"))
+        .repartition(col("split"), col("shard_id"))
+        .write.partitionBy("split", "shard_id").parquet(attempt.toString)
+      // same strict-rename publish as the ORC mirror: the loser of a
+      // concurrent publish race drops its attempt
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fin.toUri, spark.sparkContext.hadoopConfiguration)
+      try fc.rename(attempt, fin)
+      catch {
+        case e: java.io.IOException =>
+          fs.delete(attempt, true)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/final/_SUCCESS")))
+            throw e
+      }
+    }
+    assignments(spark, dir, nShards, trainFrac, valFrac)
+      .groupBy(col("split"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+  }
+
+  def exportManifestSql(nShards: Int = 4, trainFrac: Double = 0.8,
+      valFrac: Double = 0.1): String =
+    s"""WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+       |    CAST(len(${TextOps.tokensSql}) AS BIGINT) AS n_toks,
+       |    CASE WHEN ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+       |               / 4503599627370496.0) < $trainFrac THEN 'train'
+       |         WHEN ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+       |               / 4503599627370496.0) < ${trainFrac + valFrac} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |c AS (SELECT split, n_toks,
+       |        coalesce(sum(n_toks) OVER (PARTITION BY split ORDER BY h, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS cum_before,
+       |        sum(n_toks) OVER (PARTITION BY split) AS t_total
+       |      FROM d)
+       |SELECT split,
+       |  CAST(least(${nShards - 1}, (cum_before * $nShards) // t_total)
+       |    AS INT) AS shard_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |FROM c GROUP BY 1, 2""".stripMargin
+}

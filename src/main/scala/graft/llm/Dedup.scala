@@ -528,13 +528,18 @@ object Dedup {
     * rows — the text never shuffles, and per-shingle posting lists are
     * ≤ |sources| entries, so the pair join is Σ_sh k_sh² ≤
     * |sources|²·|shingles| with tiny constants (the all-pairs matrix is
-    * |sources|²/2 rows — driver-scale output no matter the corpus). */
+    * |sources|²/2 rows — driver-scale output no matter the corpus).
+    * The distinct frame is memoized: it feeds BOTH self-join sides and
+    * the size rollup, so without it the plan re-scans the corpus 4×
+    * (seen in the round-12 plan audit). */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val ss = Tables.fanOut(Tables.documents(spark, dir))
-      .select(col("source"), graft.llm.TextOps.tokens(col("text")).as("toks"))
-      .select(col("source"),
-        explode(shinglesFromTokens(col("toks"))).as("shingle"))
-      .distinct()
+    val ss = graft.Caches.memo(spark, s"sourceShingles:$dir") {
+      Tables.fanOut(Tables.documents(spark, dir))
+        .select(col("source"), graft.llm.TextOps.tokens(col("text")).as("toks"))
+        .select(col("source"),
+          explode(shinglesFromTokens(col("toks"))).as("shingle"))
+        .distinct()
+    }
     val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
     ss.select(col("source").as("src_a"), col("shingle"))
       .join(ss.select(col("source").as("src_b"), col("shingle")),

@@ -1196,7 +1196,7 @@ object TextOps {
     * window lengths keep interval ends monotone, so no lookahead is
     * needed), else flushes to `done`. Returns (doc_id, ivs:
     * array<struct<s,e,nw>>). */
-  private def mergedIvs(dupPos: DataFrame, k: Int): DataFrame = {
+  private[graft] def mergedIvs(dupPos: DataFrame, k: Int): DataFrame = {
     val emptyIvs = array().cast("array<struct<s:int,e:int,nw:int>>")
     def closed(a: Column) = array(struct(
       a.getField("cs").as("s"), a.getField("ce").as("e"),

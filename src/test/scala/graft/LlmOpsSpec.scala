@@ -1304,6 +1304,48 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.map(_._10).size > 1, "keep rate identical across all sources")
   }
 
+  test("corpus export: manifest conserves the corpus, shards token-balanced, published tree reads back whole") {
+    import graft.llm.CorpusExport
+    val nShards = 4
+    val manifest = CorpusExport.exportManifest(spark, sf, nShards).collect()
+      .map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // conservation: every document in exactly one (split, shard) cell
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(manifest.values.map(_._1).sum == nDocs)
+    // balance law: the prefix-sum cut bounds every shard's token mass
+    // within one document of the ideal slice
+    val assign = CorpusExport.assignments(spark, sf, nShards).collect()
+      .map(r => (r.getString(3), r.getInt(4), r.getLong(2)))
+    for (split <- assign.map(_._1).distinct) {
+      val inSplit = assign.filter(_._1 == split)
+      val total = inSplit.map(_._3).sum
+      val maxDoc = inSplit.map(_._3).max
+      val ideal = total.toDouble / nShards
+      for (((s, sh), (_, toks)) <- manifest if s == split)
+        assert(math.abs(toks - ideal) <= maxDoc + 1,
+          s"split=$s shard=$sh tokens=$toks ideal=$ideal maxDoc=$maxDoc")
+    }
+    // the published tree holds exactly the corpus, hive-partitioned
+    val path = s"${CorpusExport.exportPath(spark, sf, nShards)}/final"
+    val back = spark.read.parquet(path)
+    assert(back.select("doc_id").distinct().count() == nDocs)
+    assert(back.columns.toSet ==
+      Set("doc_id", "source", "n_toks", "text", "split", "shard_id"))
+    // re-running is stable and serves the published tree (no rewrite):
+    // the manifest recomputes identically and the marker is present
+    val again = CorpusExport.exportManifest(spark, sf, nShards).collect()
+      .map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(again == manifest)
+    // a doc's (split, shard) in the tree matches the assignment frame
+    val fromTree = back.select("doc_id", "split", "shard_id").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getInt(2)))).toMap
+    val fromAssign = CorpusExport.assignments(spark, sf, nShards).collect()
+      .map(r => (r.getLong(0), (r.getString(3), r.getInt(4)))).toMap
+    assert(fromTree == fromAssign)
+  }
+
   test("weighted_sample: top-k priorities match a plain-Scala md5 recomputation") {
     val got = graft.llm.Sampling.weightedSample(spark, sf, k = 20)
       .collect().map(r => (r.getLong(0), r.getDouble(2)))

@@ -254,4 +254,36 @@ class PropertySpec extends AnyFunSuite {
       assert(got == brute, s"maxDist=$maxDist seed=$seed")
     }
   }
+
+  test("maximal-span interval merge: random window sets match a brute fold; intervals disjoint and separated") {
+    import spark.implicits._
+    def brute(ps: Seq[Int], k: Int): Seq[(Int, Int, Int)] =
+      ps.sorted.foldLeft(Vector.empty[(Int, Int, Int)]) {
+        case (acc, p) if acc.nonEmpty && p <= acc.last._2 + 1 =>
+          acc.init :+ ((acc.last._1, math.max(acc.last._2, p + k - 1),
+            acc.last._3 + 1))
+        case (acc, p) => acc :+ ((p, p + k - 1, 1))
+      }
+    for (seed <- 1L to 8L; k <- Seq(2, 5, 15)) {
+      val ps = sample(Gen.listOfN(40, Gen.chooseNum(1, 150)), seed * 31 + k)
+        .distinct.sorted
+      val df = Seq((1L, ps)).toDF("doc_id", "dps")
+      val got = graft.llm.TextOps.mergedIvs(df, k)
+        .select(explode(col("ivs")).as("iv"))
+        .select(col("iv.s"), col("iv.e"), col("iv.nw"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+        .sortBy(_._1)
+      val want = brute(ps, k)
+      assert(got == want, s"seed=$seed k=$k\n$got\n$want")
+      // structural laws: intervals sorted, disjoint AND separated by a
+      // true gap (adjacent coverage must have merged), window-count
+      // conservation, every interval at least one window long
+      got.sliding(2).foreach {
+        case Seq((_, e1, _), (s2, _, _)) => assert(s2 > e1 + 1)
+        case _ => ()
+      }
+      assert(got.map(_._3).sum == ps.length)
+      assert(got.forall { case (s, e, _) => e - s + 1 >= k })
+    }
+  }
 }
