@@ -96,6 +96,7 @@ object SparkEntry {
     "cluster_canonical" -> (Dedup.clusterCanonical(_, _)),
     "containment_pairs" -> (Dedup.containmentPairs(_, _)),
     "containment_probe" -> (Dedup.containmentProbe(_, _)),
+    "containment_probe_idx" -> (Dedup.containmentProbeIdx(_, _)),
     "novelty_probe"     -> (Dedup.noveltyProbe(_, _)),
     // LLM-pipeline: benchmark decontamination
     "decontam"          -> (Decontam.decontaminate(_, _)),
@@ -244,6 +245,7 @@ object SparkEntry {
     "cluster_canonical" -> Dedup.clusterCanonicalSql(),
     "containment_pairs" -> Dedup.containmentPairsSql(),
     "containment_probe" -> Dedup.containmentProbeSql(),
+    "containment_probe_idx" -> Dedup.containmentProbeSql(),
     "novelty_probe"     -> Dedup.noveltyProbeSql(),
     "decontam"          -> Decontam.decontaminateSql(),
     "split_leakage"     -> Decontam.splitLeakageSql(),

@@ -435,6 +435,32 @@ object Dedup {
         col("containment"))
   }
 
+  /** The PERSISTED-index form of [[containmentProbe]] as a registered
+    * query: builds the full [[DedupIndex]] (buckets + sets + postings)
+    * over the standing carve ONCE per source-table stamp under
+    * java.io.tmpdir, then probes the batch through
+    * [[DedupIndex.containmentProbe]]'s partition-pruned postings scan.
+    * Output equals the memoized operator by construction (same df-cap
+    * math over the same corpus-so-far), so it shares
+    * [[containmentProbeSql]]'s DuckDB oracle — the persisted path gets
+    * the hash gate end-to-end, not just a spec. */
+  def containmentProbeIdx(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, maxDf: Int = 64, batchMod: Int = 10): DataFrame = {
+    val stamp = graft.Tables.fileStamp(spark, s"$dir/documents.parquet")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_contain_index/" +
+      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${batchMod}_$stamp"
+    val marker = new org.apache.hadoop.fs.Path(s"$path/postings/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // overwrite-mode build is idempotent, so existence of the final
+    // component's _SUCCESS is a sufficient re-use fence here (a torn
+    // earlier attempt just rebuilds)
+    if (!fs.exists(marker))
+      DedupIndex.build(docs.filter(col("doc_id") % batchMod =!= 0), path)
+    DedupIndex.containmentProbe(spark, path,
+      docs.filter(col("doc_id") % batchMod === 0), threshold, maxDf)
+  }
+
   def containmentProbeSql(threshold: Double = 0.5, maxDf: Int = 64,
       batchMod: Int = 10): String =
     s"""WITH tk AS (SELECT doc_id, ${graft.llm.TextOps.tokensSql} AS toks FROM documents),

@@ -155,7 +155,13 @@ object DedupIndex {
     * sizes are ever recomputed. */
   def containmentProbe(spark: SparkSession, path: String, batch: DataFrame,
       threshold: Double = 0.5, maxDf: Int = 64): DataFrame = {
-    val batchSh = Dedup.shingleSets(batch)
+    // persist the SETS before exploding: a Generate whose child is the
+    // raw array_sort(array_distinct(...)) expression re-evaluates that
+    // child per OUTPUT row (measured 30× — 11 s vs 0.35 s on a 500-doc
+    // batch); over a cached frame the generator child is a plain
+    // attribute and the explode is linear
+    val batchSets = Dedup.shingleSets(batch).persist()
+    val batchSh = batchSets
       .select(col("doc_id"), explode(col("shset")).as("shingle"))
       .persist()
     val batchDf = batchSh.groupBy(col("shingle"))
@@ -187,7 +193,7 @@ object DedupIndex {
         col("containment"))
     // materialize before unpersisting the inputs the plan references
     val out = scored.localCheckpoint(true)
-    Seq(batchSh, batchDf, idx, bKept).foreach(_.unpersist())
+    Seq(batchSets, batchSh, batchDf, idx, bKept).foreach(_.unpersist())
     out
   }
 }

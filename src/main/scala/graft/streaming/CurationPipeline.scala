@@ -156,8 +156,14 @@ class CurationPipeline(
         case _ => fresh
       })
       // 2. within-batch self-dedup; ida < idb by construction, so
-      //    dropping every idb keeps the first-seen (smallest) id
-      val selfDups = Dedup.ngramJaccardFromSets(Dedup.shingleSets(own), threshold)
+      //    dropping every idb keeps the first-seen (smallest) id.
+      //    The shingle-set frame is STAGED (persisted) before the
+      //    posting explode: a Generate over the raw
+      //    array_sort(array_distinct(...)) expression re-evaluates it
+      //    per output row — measured 30× on a 500-doc batch — while a
+      //    cached frame gives the generator a plain attribute child
+      val ownSets = stage(Dedup.shingleSets(own))
+      val selfDups = Dedup.ngramJaccardFromSets(ownSets, threshold)
         .select(col("idb").as("doc_id")).distinct()
       val unique = stage(own.join(selfDups, Seq("doc_id"), "left_anti"))
       // 3. benchmark screen: any shared decontamN-gram disqualifies
