@@ -445,7 +445,9 @@ object Dedup {
     * [[containmentProbeSql]]'s DuckDB oracle — the persisted path gets
     * the hash gate end-to-end, not just a spec. */
   def containmentProbeIdx(spark: SparkSession, dir: String,
-      threshold: Double = 0.5, maxDf: Int = 64, batchMod: Int = 10): DataFrame = {
+      threshold: Double = 0.5, maxDf: Int = 64, batchMod: Int = 10): DataFrame =
+   graft.Caches.memo(spark,
+       s"containmentProbeIdx:$dir:$threshold:$maxDf:$batchMod") {
     val stamp = graft.Tables.fileStamp(spark, s"$dir/documents.parquet")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_contain_index/" +
       s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${batchMod}_$stamp"
