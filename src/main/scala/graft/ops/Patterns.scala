@@ -150,39 +150,65 @@ object Patterns {
           when(col("customer") % 2 === 0, lit("M")).otherwise(lit("F")))
     }
 
+  /** Second-tier rollup at the (customer, merchant) grain — the ONE
+    * shared shuffle all three pattern-state tables derive from. Without
+    * it, a union_detections plan aggregates the 586k-row finest grain
+    * once per summary (and twice for custMerchantSummary — patId1's
+    * highTx side plus patId2 — since Spark does not reuse identical
+    * aggregation subplans); with it, those become rollups of a 48.5k-row
+    * cached frame. gender rides along because it is a function of the
+    * customer key (parity), so the gender summary needs no category
+    * grain. Sums stay DECIMAL inside the memo — rounding happens at the
+    * consumer — so rollups are bit-identical to direct aggregation. */
+  def custMerchantGrain(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(spark, s"custMerchantGrain:$dir") {
+      finestAgg(spark, dir)
+        .groupBy(col("customer").as("customer_id"), col("merchant").as("merchant_id"),
+          col("gender"))
+        .agg(sum(col("cnt")).as("cnt"), sum(col("amt_sum")).as("amt_sum"))
+    }
+
   def merchantSummary(spark: SparkSession, dir: String): DataFrame =
-    finestAgg(spark, dir).groupBy(col("merchant").as("merchant_id"))
+    custMerchantGrain(spark, dir).groupBy(col("merchant_id"))
       .agg(sum(col("cnt")).as("total_transactions"))
 
   def custMerchantSummary(spark: SparkSession, dir: String): DataFrame =
-    finestAgg(spark, dir)
-      .groupBy(col("customer").as("customer_id"), col("merchant").as("merchant_id"))
-      .agg(sum(col("cnt")).as("transaction_count"),
-        round(sum(col("amt_sum")).cast("double"), 2).as("total_amount_sum"))
+    custMerchantGrain(spark, dir)
+      .select(col("customer_id"), col("merchant_id"),
+        col("cnt").as("transaction_count"),
+        round(col("amt_sum").cast("double"), 2).as("total_amount_sum"))
 
   def genderSummary(spark: SparkSession, dir: String): DataFrame =
-    finestAgg(spark, dir).groupBy(col("merchant").as("merchant_id"))
+    custMerchantGrain(spark, dir).groupBy(col("merchant_id"))
       .agg(
         sum(when(col("gender") === "M", col("cnt")).otherwise(0L))
           .as("male_transaction_count"),
         sum(when(col("gender") === "F", col("cnt")).otherwise(0L))
           .as("female_transaction_count"))
 
-  def patId1Query(spark: SparkSession, dir: String): DataFrame = {
-    val fin = finestAgg(spark, dir)
-    val imp = fin.select(col("customer"), col("merchant"), col("category"),
-      round(col("disc_sum").cast("double") / col("cnt"), 6).as("weight"))
-    val pct = imp.groupBy(col("merchant").as("merchant_key"), col("category").as("category_key"))
-      .agg(round(expr(s"percentile(weight, ${DefaultConfig.detectionPercentile})"), 6)
-        .as("p_weight"))
-    val lw = imp.join(pct,
-        imp("merchant") === pct("merchant_key") &&
-        imp("category") === pct("category_key"), "inner")
-      .filter(col("weight") < col("p_weight"))
-      .select(col("customer"), col("merchant"))
-      .distinct()
-    patId1(merchantSummary(spark, dir), custMerchantSummary(spark, dir), lw)
-  }
+  /** The detection-percentile low-weight pair set, memoized: patId1 (and
+    * therefore union_detections) re-reads a 2-column cached frame instead
+    * of re-running percentile + join + distinct over the finest grain on
+    * every invocation. ~84k rows at sf0.1 — cheap to pin. */
+  def lowWeightDetectionPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(spark, s"lowWeightDetectionPairs:$dir") {
+      val fin = finestAgg(spark, dir)
+      val imp = fin.select(col("customer"), col("merchant"), col("category"),
+        round(col("disc_sum").cast("double") / col("cnt"), 6).as("weight"))
+      val pct = imp.groupBy(col("merchant").as("merchant_key"), col("category").as("category_key"))
+        .agg(round(expr(s"percentile(weight, ${DefaultConfig.detectionPercentile})"), 6)
+          .as("p_weight"))
+      imp.join(pct,
+          imp("merchant") === pct("merchant_key") &&
+          imp("category") === pct("category_key"), "inner")
+        .filter(col("weight") < col("p_weight"))
+        .select(col("customer"), col("merchant"))
+        .distinct()
+    }
+
+  def patId1Query(spark: SparkSession, dir: String): DataFrame =
+    patId1(merchantSummary(spark, dir), custMerchantSummary(spark, dir),
+      lowWeightDetectionPairs(spark, dir))
 
   val patId1QuerySql: String =
     s"""WITH imp AS (${Tables.importanceSql}),
