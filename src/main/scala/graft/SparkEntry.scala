@@ -64,14 +64,13 @@ object SparkEntry {
       graft.functions.KllSketch.quantileSketch(s, d, k = 1 << 20,
         requireExact = true)),
     "hll_distinct"      -> (graft.functions.HllSketch.hllDistinct(_, _)),
-    // eps=2e-5 (width 100k): the r10 eps=1e-4 registration left sf0.1's
-    // 1500 distinct users at a ~2e-5 full-depth-collision risk — the new
-    // requireExact guard flagged it; width 100k puts the bound at
-    // 2.6e-10 (< the guard's 1e-9) while keeping the mergeable
-    // aggregate at ~2.8 MB (eps=1e-5 doubled that for no extra nines
-    // the guard needs)
+    // deep-narrow exact-when-wide geometry (CmsSketch.ExactEps): same
+    // <1e-9 collision bound as the r11 7x100k config at 3.1x fewer
+    // sketch cells, so the treeAggregate merge is proportionally cheaper
     "cms_topk"          -> ((s, d) =>
-      graft.functions.CmsSketch.cmsTopK(s, d, eps = 2e-5,
+      graft.functions.CmsSketch.cmsTopK(s, d,
+        eps = graft.functions.CmsSketch.ExactEps,
+        confidence = graft.functions.CmsSketch.ExactConfidence,
         requireExact = true)),
     "events_window"     -> (RelOps.eventsWindow(_, _)),
     // §2.1/2.2 extension: ORC lang-partitioned mirror + pruned scan
@@ -86,10 +85,18 @@ object SparkEntry {
     // LLM-pipeline: dedup family
     "dedup_exact"       -> (Dedup.dedupExact(_, _)),
     "dedup_ngram"       -> (Dedup.ngramJaccardPairs(_, _)),
-    "dedup_minhash"     -> (Dedup.dedupMinhash(_, _)),
+    // threshold 0.9 (like dedup_incremental): banding recall is total
+    // there, and candidates are exact-verified, so the brute pair join
+    // is a valid oracle; the 0.6 banding-tradeoff config stays pinned
+    // in LlmOpsSpec
+    "dedup_minhash"     -> ((s, d) =>
+      Dedup.dedupMinhash(s, d, threshold = 0.9)),
     "dedup_simhash"     -> (Dedup.dedupSimhash(_, _)),
     "dedup_clusters"    -> (Dedup.dedupClusters(_, _)),
-    "dedup_incremental" -> (Dedup.dedupIncremental(_, _)),
+    // threshold 0.9: banding recall is total there (miss p ~ 4e-8 per
+    // pair), so the brute cross-slice join is a valid DuckDB oracle
+    "dedup_incremental" -> ((s, d) =>
+      Dedup.dedupIncremental(s, d, threshold = 0.9)),
     "dedup_editdist"    -> (Dedup.dedupEditDistance(_, _)),
     "dedup_apply"       -> (Dedup.dedupApply(_, _)),
     "dup_cluster_hist"  -> (Dedup.dupClusterHist(_, _)),
@@ -245,14 +252,19 @@ object SparkEntry {
     "cluster_canonical" -> Dedup.clusterCanonicalSql(),
     "containment_pairs" -> Dedup.containmentPairsSql(),
     "containment_probe" -> Dedup.containmentProbeSql(),
+    "dedup_incremental" -> Dedup.dedupIncrementalSql(),
+    "dedup_minhash"     -> Dedup.ngramJaccardSql(threshold = 0.9),
     "containment_probe_idx" -> Dedup.containmentProbeSql(),
     "novelty_probe"     -> Dedup.noveltyProbeSql(),
     "decontam"          -> Decontam.decontaminateSql(),
     "split_leakage"     -> Decontam.splitLeakageSql(),
     "decontam_apply"    -> Decontam.decontamApplySql(),
-    // dedup_minhash / dedup_simhash / emb_neardup_lsh / fingerprint:
-    // engine-specific hash families — not ANSI-SQL-expressible; covered
-    // by DedupSpec/VectorsSpec/TextOpsSpec against brute-force truth.
+    // dedup_simhash / emb_neardup_lsh / fingerprint: engine-specific
+    // hash families — not ANSI-SQL-expressible; covered by
+    // DedupSpec/VectorsSpec/TextOpsSpec against brute-force truth.
+    // (dedup_minhash and dedup_incremental ARE oracled above: their
+    // registered threshold-0.9 forms exact-verify candidates and the
+    // banding miss probability there is ~4e-8 per pair.)
     "similarity_topk"   -> Vectors.simTopKSql(),
     "emb_neardup"       -> Vectors.embNearDupSql(),
     "emb_centroids"     -> Vectors.embCentroidsSql,

@@ -38,6 +38,16 @@ object CmsSketch {
     out.toByteArray
   }
 
+  /** Exact-when-wide registration geometry. The guard needs
+    * n·((n−1)/w)^d < 1e-9; for a FIXED cell budget d·w, deeper-and-
+    * narrower wins (w scales as (n/1e-9)^(1/d)), and the treeAggregate
+    * merge traffic is proportional to cells, not to the ε the width was
+    * derived from. depth 14 × width 16384 (ε=2/16384, δ=2^-14) gives
+    * p ≈ 6e-12 at n=1500 — same nines as the old 7×100k config at 3.1×
+    * fewer cells (1.8 MB vs 5.6 MB per merge buffer). */
+  val ExactEps: Double = 2.0 / 16384
+  val ExactConfidence: Double = 1.0 - 1.0 / 16384 // depth = ceil(log2(16384)) = 14
+
   /** Estimate counts for every key in `candidates` under a broadcast
     * sketch: per-partition deserialization, no driver-side loop over
     * keys. */
@@ -56,20 +66,30 @@ object CmsSketch {
 
   /** Registered query: top-k event-generating users by CMS estimate.
     *
-    * The registration runs EXACT-WHEN-WIDE (ε=1e-4 → width 20,000 vs
-    * ~10² distinct users/10⁴ per-SF): a key's estimate exceeds its true
-    * count only if it collides in EVERY depth row, P ≈ (d/w)^7 ≈ 3e-16
-    * here, so the sketch output equals a plain GROUP BY — which is the
-    * DuckDB oracle ([[cmsTopKSql]]). FunctionsSpec separately pins the
-    * exact-when-wide law on a fixture; the narrow production
-    * configuration (ε=0.005, 400 ints) keeps its one-sided ≤ ε·N error
-    * contract in the same suite. */
+    * The registration runs EXACT-WHEN-WIDE ([[ExactEps]]/
+    * [[ExactConfidence]] — depth 14 × width 16384 vs ~1.5k distinct
+    * users): a key's estimate exceeds its true count only if it
+    * collides in EVERY depth row, so the sketch output equals a plain
+    * GROUP BY — which is the DuckDB oracle ([[cmsTopKSql]]); the
+    * `requireExact` guard below re-derives the bound at runtime.
+    * FunctionsSpec separately pins the exact-when-wide law on a
+    * fixture; the narrow production configuration (ε=0.005, 400 ints)
+    * keeps its one-sided ≤ ε·N error contract in the same suite. */
   def cmsTopK(spark: SparkSession, dir: String, k: Int = 25,
       eps: Double = 0.005, confidence: Double = 0.99,
       seed: Int = 42, requireExact: Boolean = false): DataFrame = {
-    val ev = Tables.fanOut(Tables.events(spark, dir))
-    val sk = sketchBytes(ev, "user_id", eps, confidence, seed)
-    val cand = ev.select(col("user_id")).distinct()
+    // memoized like every other build-once/probe-many artifact: the
+    // sketch build (a fanned-out treeAggregate) and the candidate
+    // distinct are paid once per session, and Bench's cold mode still
+    // re-pays both via Caches.release
+    val sk = graft.Caches.memoObj(spark,
+        s"cmsSketch:$dir:$eps:$confidence:$seed") {
+      sketchBytes(Tables.fanOut(Tables.events(spark, dir)), "user_id",
+        eps, confidence, seed)
+    }
+    val cand = graft.Caches.memo(spark, s"cmsCandidates:$dir") {
+      Tables.events(spark, dir).select(col("user_id")).distinct()
+    }
     if (requireExact) {
       // The exact-when-wide oracle registration assumes the distinct-key
       // set is far narrower than the sketch (so no key collides in all

@@ -66,8 +66,15 @@ object CorpusExport {
       .join(broadcast(totals), Seq("split"))
       .withColumn("cum_before", col("off") + col("cum_in"))
       .withColumn("shard_id",
+        // coalesce the division: a split whose documents all tokenize
+        // to zero tokens gives t_total = 0 -> NULL div, which least()
+        // would silently null-skip into shard nShards-1; pin the
+        // degenerate-split behavior to shard 0 explicitly (and mirror
+        // the same coalesce in the oracle SQL so the match is by
+        // definition, not by DuckDB's coincident NULL semantics)
         least(lit((nShards - 1).toLong),
-          expr(s"(cum_before * $nShards) div t_total")).cast("int"))
+          coalesce(expr(s"(cum_before * $nShards) div t_total"), lit(0L)))
+          .cast("int"))
       .select(col("doc_id"), col("source"), col("n_toks"), col("split"),
         col("shard_id"))
   }
@@ -121,7 +128,7 @@ object CorpusExport {
        |        sum(n_toks) OVER (PARTITION BY split) AS t_total
        |      FROM d)
        |SELECT split,
-       |  CAST(least(${nShards - 1}, (cum_before * $nShards) // t_total)
+       |  CAST(least(${nShards - 1}, coalesce((cum_before * $nShards) // t_total, 0))
        |    AS INT) AS shard_id,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens

@@ -451,14 +451,35 @@ object Dedup {
     val stamp = graft.Tables.fileStamp(spark, s"$dir/documents.parquet")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_contain_index/" +
       s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${batchMod}_$stamp"
-    val marker = new org.apache.hadoop.fs.Path(s"$path/postings/_SUCCESS")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fin = new org.apache.hadoop.fs.Path(path)
+    val fs = fin.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    // overwrite-mode build is idempotent, so existence of the final
-    // component's _SUCCESS is a sufficient re-use fence here (a torn
-    // earlier attempt just rebuilds)
-    if (!fs.exists(marker))
-      DedupIndex.build(docs.filter(col("doc_id") % batchMod =!= 0), path)
+    // attempt-dir + atomic-rename publish (the CorpusExport pattern): a
+    // bare in-place overwrite build fenced by a _SUCCESS existence check
+    // lets a session racing a completed one transiently expose a
+    // marker-present index with a half-rewritten buckets/ or sets/
+    // component; with the rename, the published path only ever appears
+    // fully built, and the loser of a concurrent publish drops its
+    // attempt
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/postings/_SUCCESS"))) {
+      // a torn or older-layout dir at the final path would make the
+      // publish rename fail forever — clear it first (it is by
+      // definition not a fully-built index)
+      if (fs.exists(fin)) fs.delete(fin, true)
+      val attempt = new org.apache.hadoop.fs.Path(
+        s"${path}_attempt_${java.util.UUID.randomUUID().toString.take(8)}")
+      DedupIndex.build(docs.filter(col("doc_id") % batchMod =!= 0),
+        attempt.toString)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fin.toUri, spark.sparkContext.hadoopConfiguration)
+      try fc.rename(attempt, fin)
+      catch {
+        case e: java.io.IOException =>
+          fs.delete(attempt, true)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/postings/_SUCCESS")))
+            throw e
+      }
+    }
     DedupIndex.containmentProbe(spark, path,
       docs.filter(col("doc_id") % batchMod === 0), threshold, maxDf)
   }
@@ -789,9 +810,15 @@ object Dedup {
     * Here the "batch" is carved from the documents table by
     * `doc_id % batchMod == 0` so the result is reproducible; in
     * production the index would be a persisted table and the batch a
-    * stream micro-batch. Engine-specific hash family ⇒ no SQL oracle;
-    * LlmOpsSpec checks exactness (subset of the brute cross pairs) and
-    * recall 1.0 at j ≥ 0.9, like the self-join MinHash path. */
+    * stream micro-batch. Candidates are banding-filtered but VERIFIED
+    * with the exact jaccard, so output pairs are always a subset of the
+    * brute cross-slice join; at j ≥ 0.9 the 16×4 banding's miss
+    * probability per qualifying pair is (1−0.9⁴)¹⁶ ≈ 4e-8 — the
+    * registered threshold-0.9 form therefore equals the brute join and
+    * carries [[dedupIncrementalSql]] as a DuckDB oracle (the same
+    * slice-carve construction that oracled containment_probe).
+    * LlmOpsSpec additionally checks subset-exactness at looser
+    * thresholds, like the self-join MinHash path. */
   def dedupIncremental(spark: SparkSession, dir: String,
       threshold: Double = 0.6, batchMod: Int = 10): DataFrame = {
     val sets = shingleArrays(spark, dir)
@@ -821,6 +848,27 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Oracle for the threshold-0.9 registration of [[dedupIncremental]]:
+    * the brute cross-slice jaccard join (batch slice × corpus slice),
+    * valid because banding recall at j ≥ 0.9 is total up to a 4e-8
+    * per-pair miss probability and every emitted pair is exact-verified. */
+  def dedupIncrementalSql(threshold: Double = 0.9, batchMod: Int = 10): String =
+    s"""WITH tk AS (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest(${shinglesSql}) AS shingle
+       |            FROM tk),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS i
+       |          FROM sh a JOIN sh b USING (shingle)
+       |          WHERE a.doc_id % $batchMod = 0 AND b.doc_id % $batchMod <> 0
+       |          GROUP BY 1, 2)
+       |SELECT new_id, corpus_id, round(j, 6) AS jaccard FROM (
+       |  SELECT new_id, corpus_id,
+       |    CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+       |  FROM inter
+       |  JOIN sz sa ON new_id = sa.doc_id
+       |  JOIN sz sb ON corpus_id = sb.doc_id)
+       |WHERE j >= ${threshold}""".stripMargin
 
   // ---- SimHash ----
 

@@ -89,15 +89,26 @@ object DedupIndex {
     try {
       // same one-file-per-pfx-per-epoch discipline as [[build]]; a
       // batch-sized shuffle, and Compaction.compactPartitioned packs
-      // the per-epoch files when they accumulate
-      withPfx(bucketsOf(sets, bands, rows))
-        .repartition(col("pfx"))
-        .write.mode("append").partitionBy("pfx").parquet(s"$path/buckets")
-      sets.coalesce(setFiles)
-        .write.mode("append").parquet(s"$path/sets")
-      postingsOf(sets)
-        .repartition(col("pfx"))
-        .write.mode("append").partitionBy("pfx").parquet(s"$path/postings")
+      // the per-epoch files when they accumulate. The three component
+      // writes go to DISJOINT paths off the same cached frame, so they
+      // run as CONCURRENT jobs (BlockManager serializes the first
+      // compute of each cached partition): per-epoch wall-clock is one
+      // write's latency instead of three — at micro-batch granularity
+      // the scheduler floor of the extra two jobs was most of foldIn's
+      // cost.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writes = Seq(
+        Future(withPfx(bucketsOf(sets, bands, rows))
+          .repartition(col("pfx"))
+          .write.mode("append").partitionBy("pfx").parquet(s"$path/buckets")),
+        Future(sets.coalesce(setFiles)
+          .write.mode("append").parquet(s"$path/sets")),
+        Future(postingsOf(sets)
+          .repartition(col("pfx"))
+          .write.mode("append").partitionBy("pfx").parquet(s"$path/postings")))
+      writes.foreach(Await.result(_, Duration.Inf))
     } finally sets.unpersist()
   }
 

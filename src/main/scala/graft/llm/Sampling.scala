@@ -466,7 +466,8 @@ object Sampling {
       .withColumn("cum_before", col("off") + col("cum_in"))
       .withColumn("shard_id",
         least(lit((nShards - 1).toLong),
-          expr(s"(cum_before * $nShards) div t_total")).cast("int"))
+          coalesce(expr(s"(cum_before * $nShards) div t_total"), lit(0L)))
+          .cast("int"))
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
   }
@@ -481,7 +482,7 @@ object Sampling {
        |          AS cum_before,
        |        sum(n_toks) OVER () AS t_total
        |      FROM d)
-       |SELECT CAST(least(${nShards - 1}, (cum_before * $nShards) // t_total)
+       |SELECT CAST(least(${nShards - 1}, coalesce((cum_before * $nShards) // t_total, 0))
        |         AS INT) AS shard_id,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens

@@ -346,7 +346,9 @@ object Vectors {
     * cut into m subspaces, each subspace gets its own KMeans codebook
     * (nCodes codewords), and every corpus vector is stored as its m
     * nearest-codeword ids — m·log2(nCodes) bits per vector (here 8
-    * codes ≈ 4 bytes vs 256 bytes float32, a 64× compression). A query
+    * 6-bit codes ≈ 6 bytes vs 256 bytes float32, a ~43× compression;
+    * the r12 16-code default read 0.44 recall@5 at sf0.1 — codebook
+    * resolution, not refine width, was the starved axis). A query
     * scans via ADC (asymmetric distance computation, Jégou et al. 2011):
     * per query, the m×nCodes table of ⟨query_subvector, codeword⟩ dots
     * is precomputed ONCE, and each corpus vector's approximate dot is m
@@ -364,7 +366,7 @@ object Vectors {
     * oracle; LlmOpsSpec pins recall@k vs [[simTopK]] and bit-exact
     * survivor cosines (the SQ8 laws, one compression rung further). */
   def simTopKPq(spark: SparkSession, dir: String, nQueries: Int = 10,
-      k: Int = 5, m: Int = 8, nCodes: Int = 16, refine: Int = 8,
+      k: Int = 5, m: Int = 8, nCodes: Int = 64, refine: Int = 32,
       dim: Int = 64, trainSample: Int = 2048): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val sub = dim / m
@@ -377,34 +379,48 @@ object Vectors {
     // 8·maxIter scheduled jobs before the scan starts). The sample is
     // the first trainSample ids — deterministic, and id order is
     // uncorrelated with vector geometry in any hash-sharded corpus.
-    val sample = emb.orderBy(col("vec_id")).limit(trainSample)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toArray)
-    val codebooks = Array.tabulate(m) { j =>
-      val pts = sample.map { v =>
-        val p = new Array[Double](sub)
-        var i = 0; while (i < sub) { p(i) = v(j * sub + i); i += 1 }
-        p
+    // Codebooks and the encoded corpus are session-memoized: encode
+    // once, probe many — the inline rung's analogue of the persisted
+    // index's build-once contract.
+    val codebooks = graft.Caches.memoObj(spark,
+        s"pqCodebooks:$dir:$m:$nCodes:$dim:$trainSample") {
+      val sample = emb.orderBy(col("vec_id")).limit(trainSample)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      Array.tabulate(m) { j =>
+        val pts = sample.map { v =>
+          val p = new Array[Double](sub)
+          var i = 0; while (i < sub) { p(i) = v(j * sub + i); i += 1 }
+          p
+        }
+        lloyd(pts, nCodes, iters = 5)
       }
-      lloyd(pts, nCodes, iters = 5)
     }
-    adcQuery(pqEncode(emb, codebooks, m, sub), emb, codebooks,
-      nQueries, k, refine, m, nCodes, sub)
+    val encoded = graft.Caches.memo(spark,
+        s"pqEncoded:$dir:$m:$nCodes:$dim:$trainSample") {
+      pqEncode(emb, codebooks, m, sub)
+    }
+    adcQuery(encoded, emb, codebooks, nQueries, k, refine, m, nCodes, sub)
   }
 
   /** Encode vectors to PQ codes IN the scan: per subspace, squared
-    * distance to each of the nCodes literal codewords, argmin — all
-    * inside codegen, one pass; the output carries codes + norm ONLY. */
+    * distance to each of the nCodes codewords, argmin — one pass, the
+    * output carries codes + norm ONLY. The codeword loop is a runtime
+    * `transform` over a LITERAL nCodes×sub array, not nCodes unrolled
+    * aggregate expressions: at the 64-code default the unrolled form
+    * generated 512 nested folds whose codegen compilation alone cost
+    * ~3 s per session — the literal-array form is the same arithmetic
+    * with O(m) generated code regardless of nCodes. */
   private def pqEncode(emb: DataFrame, codebooks: Array[Array[Array[Double]]],
       m: Int, sub: Int): DataFrame = {
     val codeCols = (0 until m).map { j =>
       val subCol = slice(col("embedding"), j * sub + 1, sub)
-      val dists = array(codebooks(j).map { cw =>
+      val cbLit = array(codebooks(j).map(cw => array(cw.map(lit): _*)): _*)
+      val dists = transform(cbLit, cw =>
         aggregate(
-          zip_with(subCol, array(cw.map(lit): _*),
+          zip_with(subCol, cw,
             (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (acc, x) => acc + x)
-      }: _*)
+          lit(0.0), (acc, x) => acc + x))
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
     emb.select(col("vec_id"), col("nrm"), array(codeCols: _*).as("codes"))
@@ -478,7 +494,7 @@ object Vectors {
     * probe-many contract as [[DedupIndex]]. Idempotent: an existing
     * index is left untouched. */
   def buildPqIndex(spark: SparkSession, dir: String, path: String,
-      m: Int = 8, nCodes: Int = 16, dim: Int = 64,
+      m: Int = 8, nCodes: Int = 64, dim: Int = 64,
       trainSample: Int = 2048): Unit = {
     val marker = new org.apache.hadoop.fs.Path(s"$path/codebooks.txt")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -511,7 +527,7 @@ object Vectors {
     * refine survivors rejoin the vector table. Same codebooks ⇒ same
     * results as the inline [[simTopKPq]] (LlmOpsSpec pins equality). */
   def pqIndexTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
-      k: Int = 5, m: Int = 8, nCodes: Int = 16, refine: Int = 8,
+      k: Int = 5, m: Int = 8, nCodes: Int = 64, refine: Int = 32,
       dim: Int = 64, trainSample: Int = 2048): DataFrame = {
     // the path key carries EVERY codebook-shaping parameter — a cached
     // index built under a different dim/trainSample must never be
@@ -548,6 +564,9 @@ object Vectors {
   private def lloyd(pts: Array[Array[Double]], k: Int,
       iters: Int): Array[Array[Double]] = {
     val n = pts.length
+    require(n >= k,
+      s"PQ codebook: $k codewords need >= $k training points, got $n -- " +
+        "shrink nCodes or widen trainSample")
     val d = pts(0).length
     def sq(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0

@@ -127,72 +127,116 @@ class CurationPipeline(
     val batch = batch0.select(col("doc_id"),
       graft.functions.UnicodeNormalize.unicode_normalize(col("text"))
         .as("text")).persist()
-    // every stage frame is persisted: the next stage, its metrics
-    // count, and the kept chain all read it — without the persists
-    // each downstream action re-executes the whole upstream gauntlet
-    // (probe join, shingle self-join, decontam join) per action,
-    // measured ~5× the per-batch cost in CurationDemo
+    // STAGE FUSION (r13): every screen except self-dedup is a PER-DOC
+    // predicate, so screen(survivors) == screen(batch) ∩ survivors —
+    // evaluating each against the full batch changes no decision but
+    // lets all verdicts merge into ONE wide flag frame whose
+    // materialization is a single job. The r12 shape ran the gauntlet
+    // as 5 sequential anti-joins plus 7 per-stage count() actions:
+    // ~13 scheduler-floor jobs per micro-batch, which at local[32]'s
+    // ~0.3-0.5 s/job floor was the entire 44-vs-176 docs/s gap between
+    // the streamed and batch-driven loop. Self-dedup is the one
+    // genuinely ORDER-DEPENDENT stage (a doc whose only dup partner was
+    // index-dropped must survive as its cluster's canonical), so it
+    // still runs on the post-index survivor set. Metrics attribution is
+    // first-failing-stage over the flags — identical numbers to the
+    // sequential counts, in one aggregate.
     val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def stage(df: DataFrame): DataFrame = { staged += df.persist(); df }
+    def flagged(flag: String)(drops: DataFrame): DataFrame =
+      drops.select(col("doc_id"), lit(1L).as(flag)).distinct()
     try {
       val haveIndex = indexExists
-      // 1. standing-index probe: near-dups of the curated corpus drop out
-      val fresh = stage(
-        if (haveIndex) {
-          val dups = DedupIndex.probe(spark, indexPath, batch, threshold)
-            .select(col("new_id").as("doc_id")).distinct()
-          batch.join(dups, Seq("doc_id"), "left_anti")
-        } else batch)
-      // 1b. containment screen (optional): batch docs mostly QUOTED
-      //     inside the curated corpus drop — the low-Jaccard
+      // 1. standing-index probe verdict (near-dups of the curated corpus)
+      val probeDrop: Option[DataFrame] =
+        if (haveIndex) Some(flagged("f_index")(
+          DedupIndex.probe(spark, indexPath, batch, threshold)
+            .select(col("new_id").as("doc_id"))))
+        else None
+      // 1b. containment verdict (optional): batch docs mostly QUOTED
+      //     inside the curated corpus — the low-Jaccard
       //     short-inside-long case the banded probe is blind to
       //     (a quote's MinHash bands never collide with its host's)
-      val own = stage(containment match {
+      val containDrop: Option[DataFrame] = containment match {
         case Some(t) if haveIndex =>
-          val contained = DedupIndex
-            .containmentProbe(spark, indexPath, fresh, t, containMaxDf)
-            .select(col("new_id").as("doc_id")).distinct()
-          fresh.join(contained, Seq("doc_id"), "left_anti")
-        case _ => fresh
-      })
-      // 2. within-batch self-dedup; ida < idb by construction, so
-      //    dropping every idb keeps the first-seen (smallest) id.
-      //    The shingle-set frame is STAGED (persisted) before the
-      //    posting explode: a Generate over the raw
-      //    array_sort(array_distinct(...)) expression re-evaluates it
-      //    per output row — measured 30× on a 500-doc batch — while a
-      //    cached frame gives the generator a plain attribute child
-      val ownSets = stage(Dedup.shingleSets(own))
-      val selfDups = Dedup.ngramJaccardFromSets(ownSets, threshold)
-        .select(col("idb").as("doc_id")).distinct()
-      val unique = stage(own.join(selfDups, Seq("doc_id"), "left_anti"))
-      // 3. benchmark screen: any shared decontamN-gram disqualifies
-      val clean = stage(benchGrams match {
-        case Some(bg) =>
-          val flagged = unique
-            .select(col("doc_id"),
-              graft.functions.NGramGenerate.ngram_gen(
-                TextOps.tokens(col("text")), decontamN).as("gram"))
-            .join(broadcast(bg), Seq("gram"))
-            .select(col("doc_id")).distinct()
-          unique.join(flagged, Seq("doc_id"), "left_anti")
-        case None => unique
-      })
-      // 4. scrub, then gate the scrubbed text
-      val gated = stage(Quality.gate(
-          Pii.scrub(clean, "text")
+          // the postings/ component only exists for indexes built since
+          // it was added — an older-layout index would fail the probe
+          // with a bare path-not-found deep inside the scan; name the
+          // real cause instead (silently skipping a REQUESTED screen is
+          // worse: contaminated batches would pass as curated)
+          val postings = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
+          val pfs = postings.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (!pfs.exists(postings))
+            throw new IllegalStateException(
+              s"CurationPipeline: containment screen enabled but " +
+                s"$indexPath has no postings/ component -- the index " +
+                "predates the containment layout; rebuild it with " +
+                "DedupIndex.build before enabling containment")
+          Some(flagged("f_contained")(
+            DedupIndex.containmentProbe(spark, indexPath, batch, t,
+                containMaxDf)
+              .select(col("new_id").as("doc_id"))))
+        case _ => None
+      }
+      // 3. benchmark-decontamination verdict (per-doc gram containment)
+      val contamDrop: Option[DataFrame] = benchGrams.map { bg =>
+        flagged("f_contam")(batch
+          .select(col("doc_id"),
+            graft.functions.NGramGenerate.ngram_gen(
+              TextOps.tokens(col("text")), decontamN).as("gram"))
+          .join(broadcast(bg), Seq("gram"))
+          .select(col("doc_id")))
+      }
+      // 4. scrub + quality verdict over the SCRUBBED text (what gets
+      //    published is what gets judged); `out_text` is the publish form
+      // staged: the LM scorer AND the judged join both read it — an
+      // unpersisted scrub chain (5 regexp passes over every doc) would
+      // run twice
+      val gateCols = stage(Quality.gate(
+          Pii.scrub(batch, "text")
             .select(col("doc_id"), col("clean_text").as("text")))
-        .filter(col("keep") === 1)
-        .select(col("doc_id"), col("text")))
-      // 5. reference-LM perplexity gate: reference-unlike survivors drop
-      val kept = (lmModel match {
-        case Some((uni, bi)) =>
-          val ok = TextOps.lmScoreUnderModel(gated, uni, bi, lmAlpha)
-            .filter(col("lm_score") >= lmScoreFloor)
-            .select(col("doc_id"))
-          gated.join(ok, Seq("doc_id"))
-        case None => gated
-      }).persist()
+        .select(col("doc_id"), col("text").as("out_text"), col("keep")))
+      // 5. reference-LM verdict on the publish form
+      val lmScores: Option[DataFrame] = lmModel.map { case (uni, bi) =>
+        TextOps.lmScoreUnderModel(
+            gateCols.select(col("doc_id"), col("out_text").as("text")),
+            uni, bi, lmAlpha)
+          .select(col("doc_id"), col("lm_score"))
+      }
+      def withFlag(df: DataFrame, f: Option[DataFrame],
+          flag: String): DataFrame = f match {
+        case Some(d) => df.join(d, Seq("doc_id"), "left_outer")
+          .na.fill(0L, Seq(flag))
+        case None => df.withColumn(flag, lit(0L))
+      }
+      val judged0 = withFlag(withFlag(withFlag(
+          batch, probeDrop, "f_index"), containDrop, "f_contained"),
+          contamDrop, "f_contam")
+        .join(gateCols, Seq("doc_id"))
+        .withColumn("f_quality", when(col("keep") === 1, 0L).otherwise(1L))
+      val judged = stage(lmScores match {
+        case Some(s) => judged0.join(s, Seq("doc_id"))
+          .withColumn("f_lm",
+            when(col("lm_score") >= lmScoreFloor, 0L).otherwise(1L))
+        case None => judged0.withColumn("f_lm", lit(0L))
+      })
+      // 2. within-batch self-dedup on the post-index survivor set;
+      //    ida < idb by construction, so dropping every idb keeps the
+      //    first-seen (smallest) id. The shingle-set frame is STAGED
+      //    (persisted) before the posting explode: a Generate over the
+      //    raw array_sort(array_distinct(...)) expression re-evaluates
+      //    it per output row — measured 30× on a 500-doc batch — while
+      //    a cached frame gives the generator a plain attribute child
+      val ownSets = stage(Dedup.shingleSets(
+        judged.filter(col("f_index") === 0 && col("f_contained") === 0)
+          .select(col("doc_id"), col("text"))))
+      val selfDups = flagged("f_self")(
+        Dedup.ngramJaccardFromSets(ownSets, threshold)
+          .select(col("idb").as("doc_id")))
+      val verdicts = stage(
+        judged.join(selfDups, Seq("doc_id"), "left_outer")
+          .na.fill(0L, Seq("f_self")))
       try {
         // EXACTLY-ONCE under foreachBatch's at-least-once replay: the
         // WHOLE epoch — metrics row, kept output, index fold — is
@@ -208,36 +252,61 @@ class CurationPipeline(
         val marker = new Path(s"$indexPath/_folded_epoch_$epochId")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker)) {
-          val nKept = kept.count()
-          // per-stage drop attribution — the observability row a
-          // curation operator actually watches (a silent 90%
-          // quality-drop epoch is an incident, not a statistic). Stage
-          // counts re-run only the short post-persist chains.
-          val nIn = batch.count()
-          val nFresh = fresh.count()
-          val nOwn = own.count()
-          val nUnique = unique.count()
-          val nClean = clean.count()
-          val nGated = gated.count()
+          // per-stage drop attribution in ONE aggregate — the
+          // observability row a curation operator actually watches (a
+          // silent 90% quality-drop epoch is an incident, not a
+          // statistic). Each doc attributes to its FIRST failing stage,
+          // which reproduces the sequential-anti-join counts exactly.
+          val s1 = col("f_index") === 0
+          val s2 = s1 && col("f_contained") === 0
+          val s3 = s2 && col("f_self") === 0
+          val s4 = s3 && col("f_contam") === 0
+          val s5 = s4 && col("f_quality") === 0
+          val s6 = s5 && col("f_lm") === 0
+          def cnt(c: org.apache.spark.sql.Column) =
+            sum(when(c, 1L).otherwise(0L))
+          val m = verdicts.agg(
+            count(lit(1)).as("n_in"),
+            cnt(col("f_index") === 1).as("drop_index_dup"),
+            cnt(s1 && col("f_contained") === 1).as("drop_contained"),
+            cnt(s2 && col("f_self") === 1).as("drop_self_dup"),
+            cnt(s3 && col("f_contam") === 1).as("drop_contaminated"),
+            cnt(s4 && col("f_quality") === 1).as("drop_quality"),
+            cnt(s5 && col("f_lm") === 1).as("drop_lm"),
+            cnt(s6).as("n_kept")).collect()(0)
+          val nKept = m.getLong(7)
           import spark.implicits._
-          Seq((nIn, nIn - nFresh, nFresh - nOwn, nOwn - nUnique,
-              nUnique - nClean, nClean - nGated, nGated - nKept, nKept))
-            .toDF("n_in", "drop_index_dup", "drop_contained",
-              "drop_self_dup", "drop_contaminated", "drop_quality",
-              "drop_lm", "n_kept")
-            .coalesce(1)
-            .write.mode("overwrite").parquet(s"$outDir/metrics/epoch=$epochId")
-          if (nKept > 0) {
-            kept.write.mode("overwrite").parquet(s"$outDir/kept/epoch=$epochId")
-            if (haveIndex) DedupIndex.foldIn(kept, indexPath)
-            else DedupIndex.build(kept, indexPath)
+          // the epoch's three outputs (metrics row, kept partition,
+          // index fold) are independent paths — run them as concurrent
+          // jobs; the marker still lands only after ALL complete, so
+          // the exactly-once contract is unchanged (a crash now leaves
+          // an arbitrary SUBSET instead of a prefix, which the replay
+          // semantics above already tolerate)
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val metricsW = Future {
+            Seq((m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3),
+                m.getLong(4), m.getLong(5), m.getLong(6), nKept))
+              .toDF("n_in", "drop_index_dup", "drop_contained",
+                "drop_self_dup", "drop_contaminated", "drop_quality",
+                "drop_lm", "n_kept")
+              .coalesce(1)
+              .write.mode("overwrite").parquet(s"$outDir/metrics/epoch=$epochId")
           }
+          val keptW = Future {
+            if (nKept > 0) {
+              val kept = verdicts.filter(s6)
+                .select(col("doc_id"), col("out_text").as("text"))
+              kept.write.mode("overwrite").parquet(s"$outDir/kept/epoch=$epochId")
+              if (haveIndex) DedupIndex.foldIn(kept, indexPath)
+              else DedupIndex.build(kept, indexPath)
+            }
+          }
+          Seq(metricsW, keptW).foreach(Await.result(_, Duration.Inf))
           fs.create(marker, true).close()
         }
-      } finally {
-        kept.unpersist()
-        staged.foreach(_.unpersist())
-      }
+      } finally staged.foreach(_.unpersist())
     } finally batch.unpersist()
   }
 

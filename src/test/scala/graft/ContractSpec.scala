@@ -9,9 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class ContractSpec extends AnyFunSuite {
 
   private val specGatedOnly = Set(
-    "dedup_minhash",      // LlmOpsSpec: recall vs exact Jaccard
     "dedup_simhash",      // LlmOpsSpec: == brute-force Hamming
-    "dedup_incremental",  // LlmOpsSpec: subset of brute cross pairs + recall at j>=0.9
     "emb_neardup_lsh",    // LlmOpsSpec: subset + recall bound vs exact
     "dedup_semantic",     // LlmOpsSpec: drop precision vs exact pairs + in-cell recall
     "quality_classifier", // PiiQualitySpec: holdout agreement with the rule teacher

@@ -448,10 +448,11 @@ class LlmOpsSpec extends AnyFunSuite {
     val pq = Vectors.simTopKPq(spark, sf, nQueries = 5, k = 3).collect()
       .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
     assert(pq.nonEmpty)
-    // 8 subspaces x 16 codes with an 8x refine window: the exact re-rank
-    // recovers most true neighbors from the ADC candidate pool
+    // 8 subspaces x 64 codes with a 32x refine window (the r13 default;
+    // the 16-code book read 0.44 recall@5 at sf0.1): the exact re-rank
+    // recovers nearly all true neighbors from the ADC candidate pool
     val recall = (brute.keySet intersect pq.keySet).size.toDouble / brute.size
-    assert(recall >= 0.6, s"PQ recall $recall < 0.6")
+    assert(recall >= 0.9, s"PQ recall $recall < 0.9")
     // survivors re-rank with the EXACT float kernel — cosines match brute
     // force bit-for-bit on the common pairs (the SQ8 law, one rung on)
     (brute.keySet intersect pq.keySet).foreach { key =>
