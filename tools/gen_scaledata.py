@@ -1,0 +1,36 @@
+#!/usr/bin/env python3
+"""Generate the K-times scaled documents corpus ScaleCurve measures.
+
+Usage: python3 tools/gen_scaledata.py [K] [baseDir] [outDir]
+
+K independent token-remapped copies of the base documents table:
+copy 0 is the original; copies 1..K-1 prefix every token boundary with
+a copy tag ('cKz'), so cross-copy shingle collisions are zero while
+each copy preserves the full within-copy duplicate structure (exact
+dups, near-dups, containment). doc_id offsets are multiples of 10 so
+the mod-10 batch/probe carves used by the incremental queries scale
+with the data. This is the honest load shape for a dedup scaling
+curve: a Kx corpus with Kx the dup mass.
+"""
+import sys
+import duckdb
+
+k = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+out = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/scaledata/sf0.5"
+
+import os
+os.makedirs(out, exist_ok=True)
+duckdb.sql(f"""
+COPY (
+  SELECT doc_id + k*10000000 AS doc_id,
+         CASE WHEN k = 0 THEN text
+              ELSE 'c' || k || 'z ' || replace(text, ' ', ' c' || k || 'z')
+         END AS text,
+         lang, source, n_chars
+  FROM '{base}/documents.parquet', (SELECT unnest(range({k})) AS k)
+  ORDER BY doc_id
+) TO '{out}/documents.parquet' (FORMAT PARQUET)
+""")
+n = duckdb.sql(f"SELECT count(*) FROM '{out}/documents.parquet'").fetchone()[0]
+print(f"{out}/documents.parquet: {n} docs ({k} copies of {base})")
