@@ -116,13 +116,18 @@ object Tables {
     Caches.memo(spark, s"transactions:$dir") {
       val li = lineitem(spark, dir)
       val o  = orders(spark, dir)
+      // discount rides along (not part of the reference's transaction
+      // schema or the oracle CTE) so [[importance]] can roll up from
+      // THIS frame instead of re-running the fact join — cold queries
+      // that need both views pay one lineitem⋈orders pass, not two
       fanOut(li.join(o, li("l_orderkey") === o("o_orderkey"))
         .select(
           o("o_custkey").as("customer"),
           li("l_suppkey").as("merchant"),
           li("l_returnflag").as("category"),
           li("l_extendedprice").as("amount"),
-          when(o("o_custkey") % 2 === 0, lit("M")).otherwise(lit("F")).as("gender")))
+          when(o("o_custkey") % 2 === 0, lit("M")).otherwise(lit("F")).as("gender"),
+          li("l_discount").as("discount")))
     }
 
   /** SQL text of [[transactions]] as a DuckDB CTE body, reused by oracle
@@ -148,15 +153,14 @@ object Tables {
     // partition at test SFs (which would serialize every cached consumer
     // scan), but an already-parallel aggregate is left untouched.
     Caches.memo(spark, s"importance:$dir") {
-      val li = lineitem(spark, dir)
-      val o  = orders(spark, dir)
-      fanOut(li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .groupBy(
-          o("o_custkey").as("customer"),
-          li("l_suppkey").as("merchant"),
-          li("l_returnflag").as("category"))
+      // rolls up from the [[transactions]] memo (which carries discount
+      // for exactly this purpose): one shared fact join feeds both
+      // derived views, warm AND cold — the rollup arithmetic is the
+      // same exact DECIMAL sum as the direct aggregation
+      fanOut(transactions(spark, dir)
+        .groupBy(col("customer"), col("merchant"), col("category"))
         .agg(
-          round(sum(li("l_discount").cast(DecimalType(18, 6))).cast("double") /
+          round(sum(col("discount").cast(DecimalType(18, 6))).cast("double") /
             count(lit(1)), 6).as("weight")))
     }
 

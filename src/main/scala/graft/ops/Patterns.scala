@@ -132,19 +132,19 @@ object Patterns {
       // importance weights, and the percentile thresholds read it
       // instead of re-running the fact join+agg — without the cache,
       // Spark recomputes the 586k-group aggregation per consumer (no
-      // cross-plan exchange reuse), measured 10× slower
-      val li = Tables.lineitem(spark, dir)
-      val o  = Tables.orders(spark, dir)
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .groupBy(
-          o("o_custkey").as("customer"),
-          li("l_suppkey").as("merchant"),
-          li("l_returnflag").as("category"))
+      // cross-plan exchange reuse), measured 10× slower. Rolls up from
+      // the shared Tables.transactions memo (which carries amount +
+      // discount) so the lineitem⋈orders join runs once per session
+      // across the pattern tree AND the transaction-view queries; the
+      // DECIMAL sums are exact, so the rollup is bit-identical to the
+      // direct fused join+agg.
+      Tables.transactions(spark, dir)
+        .groupBy(col("customer"), col("merchant"), col("category"))
         .agg(
           count(lit(1)).as("cnt"),
-          sum(li("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          sum(col("amount").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
             .as("amt_sum"),
-          sum(li("l_discount").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          sum(col("discount").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
             .as("disc_sum"))
         .withColumn("gender",
           when(col("customer") % 2 === 0, lit("M")).otherwise(lit("F")))
