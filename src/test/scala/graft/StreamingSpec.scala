@@ -486,4 +486,57 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keptOpen == Set(1L, 2L))
   }
+
+  test("curation loop: multi-failure docs attribute to their FIRST failing stage") {
+    // The r13 stage fusion evaluates every per-doc screen against the
+    // full batch and derives metrics as one first-failing-stage
+    // aggregate. The per-stage tests above each exercise ONE failure;
+    // this one makes docs fail SEVERAL stages at once and pins the
+    // priority order (index > self-dup > contaminated > quality) the
+    // sequential r12 gauntlet produced by construction.
+    import graft.streaming.CurationPipeline
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-curate-prio").toString
+    val corpusX =
+      "the tall ships sail across a wide ocean and traders carry spice to distant ports in the warm season of calm winds " +
+      "while gulls circle high above the masts and the crew watches the far horizon for the first thin line of land"
+    val corpusY =
+      "a quiet village rests in the valley and farmers tend to green fields of wheat under a bright morning sun with care"
+    // 13 rare non-stopword tokens: a doc of EXACTLY these fails the
+    // stopword quality rule AND shares a benchmark 13-gram
+    val rareGram =
+      "zephyr quartz fjord sphinx glyph crypt lynx nymph vortex plasma quasar nebula photon"
+    val docD =
+      "the old lighthouse stands on a rocky shore and its beam turns slowly through the fog to guide sailors home at night"
+    // E = D plus the benchmark gram appended: self-dup of D (jaccard
+    // ~0.68 >= 0.6) AND contaminated -> must attribute to self-dup
+    val docE = docD + " " + rareGram
+    // A = corpus doc X with one word changed plus the gram appended:
+    // still jaccard ~0.65 vs X (X is long enough that 13 appended
+    // tokens do not dilute below the 0.6 probe threshold), so it is an
+    // index near-dup AND contaminated -> must attribute to index
+    val docA = corpusX.replace("spice", "silk") + " " + rareGram
+    val docF =
+      "soft snow falls on the mountain trail and a lone fox leaves small tracks in the white drifts of the silent forest"
+    val pipeline = new CurationPipeline(spark, s"$base/idx", s"$base/out",
+      benchmark = Some(Seq((900L, rareGram)).toDF("doc_id", "text")))
+    pipeline.processBatch(Seq((1L, corpusX), (2L, corpusY)).toDF("doc_id", "text"), 0L)
+    pipeline.processBatch(Seq(
+      (10L, docA), (11L, rareGram), (12L, docD), (13L, docE), (14L, docF))
+      .toDF("doc_id", "text"), 1L)
+    val m = spark.read.parquet(s"$base/out/metrics/epoch=1")
+      .select("n_in", "drop_index_dup", "drop_contained", "drop_self_dup",
+        "drop_contaminated", "drop_quality", "drop_lm", "n_kept")
+      .collect()(0)
+    // A -> index dup (not contaminated, though it carries the gram);
+    // E -> self dup of D (not contaminated, though it carries the gram);
+    // 11 (the bare gram) -> contaminated (not quality, though it has
+    // zero stopwords); D, F -> kept
+    assert((m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3),
+        m.getLong(4), m.getLong(5), m.getLong(6), m.getLong(7)) ==
+      ((5L, 1L, 0L, 1L, 1L, 0L, 0L, 2L)), s"attribution row: $m")
+    val kept = spark.read.parquet(s"$base/out/kept/epoch=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L, 14L))
+  }
 }
