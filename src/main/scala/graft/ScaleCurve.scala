@@ -39,6 +39,7 @@ object ScaleCurve {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     for (dir <- Seq(dirA, dirB)) {
       spark.read.parquet(s"$dir/documents.parquet").count() // warm IO
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
@@ -51,9 +52,18 @@ object ScaleCurve {
           ((System.nanoTime() - t0) / 1e9, n)
         }
         val best = secs.minBy(_._1)
-        println(f"""{"metric":"scale_curve","query":"$name","dir":"$dir","docs":$nDocs,"cold_sec":${best._1}%.2f,"rows":${best._2}}""")
+        val line = f"""{"metric":"scale_curve","query":"$name","dir":"$dir","docs":$nDocs,"cold_sec":${best._1}%.2f,"rows":${best._2}}"""
+        println(line)
+        lines += line
       }
     }
+    // committed-artifact mirror (same contract as Bench's
+    // SPARK_GRAFT_BENCH_OUT): one JSON line per (query, dir)
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_CURVE.jsonl")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
