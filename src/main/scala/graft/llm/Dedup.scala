@@ -136,21 +136,30 @@ object Dedup {
       .select(col("ida"), col("idb"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  def ngramJaccardSql(threshold: Double = 0.6): String =
+  /** Shared scaffold for every brute pairwise-jaccard oracle: the
+    * tk/sh/sz/inter CTE chain with a caller-chosen pair predicate and
+    * output id names — ngramJaccardSql and dedupIncrementalSql differ
+    * ONLY there, and keeping one copy keeps the shingling/jaccard
+    * semantics in lockstep across oracles. */
+  private def jaccardPairsSql(aName: String, bName: String,
+      pairPredicate: String, threshold: Double): String =
     s"""WITH tk AS (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
        |sh AS (SELECT DISTINCT doc_id, unnest(${shinglesSql}) AS shingle
        |            FROM tk),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+       |inter AS (SELECT a.doc_id AS $aName, b.doc_id AS $bName, count(*) AS i
        |          FROM sh a JOIN sh b USING (shingle)
-       |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-       |SELECT ida, idb, round(j, 6) AS jaccard FROM (
-       |  SELECT ida, idb,
+       |          WHERE $pairPredicate GROUP BY 1, 2)
+       |SELECT $aName, $bName, round(j, 6) AS jaccard FROM (
+       |  SELECT $aName, $bName,
        |    CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
        |  FROM inter
-       |  JOIN sz sa ON ida = sa.doc_id
-       |  JOIN sz sb ON idb = sb.doc_id)
+       |  JOIN sz sa ON $aName = sa.doc_id
+       |  JOIN sz sb ON $bName = sb.doc_id)
        |WHERE j >= ${threshold}""".stripMargin
+
+  def ngramJaccardSql(threshold: Double = 0.6): String =
+    jaccardPairsSql("ida", "idb", "a.doc_id < b.doc_id", threshold)
 
   /** Near-dup CLUSTERS from the exact pair set: connected components
     * with each document labeled by the smallest doc_id in its component
@@ -459,25 +468,42 @@ object Dedup {
     // lets a session racing a completed one transiently expose a
     // marker-present index with a half-rewritten buckets/ or sets/
     // component; with the rename, the published path only ever appears
-    // fully built, and the loser of a concurrent publish drops its
-    // attempt
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/postings/_SUCCESS"))) {
-      // a torn or older-layout dir at the final path would make the
-      // publish rename fail forever — clear it first (it is by
-      // definition not a fully-built index)
-      if (fs.exists(fin)) fs.delete(fin, true)
+    // fully built. Rename-FIRST discipline: a complete (marker-present)
+    // index is never deleted in place — a torn or older-layout dir is
+    // swapped OUT via its own atomic rename before the retry, and the
+    // loser of a concurrent publish race drops its attempt (the builds
+    // are deterministic over the same corpus, so either winner's index
+    // is the same index).
+    val markerOk = () => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$path/postings/_SUCCESS"))
+    if (!markerOk()) {
       val attempt = new org.apache.hadoop.fs.Path(
         s"${path}_attempt_${java.util.UUID.randomUUID().toString.take(8)}")
       DedupIndex.build(docs.filter(col("doc_id") % batchMod =!= 0),
         attempt.toString)
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         fin.toUri, spark.sparkContext.hadoopConfiguration)
-      try fc.rename(attempt, fin)
-      catch {
-        case e: java.io.IOException =>
-          fs.delete(attempt, true)
-          if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/postings/_SUCCESS")))
-            throw e
+      def tryRename(): Boolean =
+        try { fc.rename(attempt, fin); true }
+        catch { case _: java.io.IOException => false }
+      if (!tryRename()) {
+        if (markerOk()) fs.delete(attempt, true) // racer published a complete index
+        else {
+          // torn/older-layout dir at the final path: swap it out
+          // atomically, drop it, retry once
+          val trash = new org.apache.hadoop.fs.Path(
+            s"${path}_trash_${java.util.UUID.randomUUID().toString.take(8)}")
+          try fc.rename(fin, trash)
+          catch { case _: java.io.IOException => () }
+          fs.delete(trash, true)
+          if (!tryRename()) {
+            val ok = markerOk()
+            fs.delete(attempt, true)
+            if (!ok) throw new IllegalStateException(
+              s"containmentProbeIdx: could not publish index at $path " +
+                "(rename failed twice and no complete index is present)")
+          }
+        }
       }
     }
     DedupIndex.containmentProbe(spark, path,
@@ -854,21 +880,8 @@ object Dedup {
     * valid because banding recall at j ≥ 0.9 is total up to a 4e-8
     * per-pair miss probability and every emitted pair is exact-verified. */
   def dedupIncrementalSql(threshold: Double = 0.9, batchMod: Int = 10): String =
-    s"""WITH tk AS (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, unnest(${shinglesSql}) AS shingle
-       |            FROM tk),
-       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       |inter AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS i
-       |          FROM sh a JOIN sh b USING (shingle)
-       |          WHERE a.doc_id % $batchMod = 0 AND b.doc_id % $batchMod <> 0
-       |          GROUP BY 1, 2)
-       |SELECT new_id, corpus_id, round(j, 6) AS jaccard FROM (
-       |  SELECT new_id, corpus_id,
-       |    CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
-       |  FROM inter
-       |  JOIN sz sa ON new_id = sa.doc_id
-       |  JOIN sz sb ON corpus_id = sb.doc_id)
-       |WHERE j >= ${threshold}""".stripMargin
+    jaccardPairsSql("new_id", "corpus_id",
+      s"a.doc_id % $batchMod = 0 AND b.doc_id % $batchMod <> 0", threshold)
 
   // ---- SimHash ----
 

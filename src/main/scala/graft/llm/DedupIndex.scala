@@ -183,6 +183,14 @@ object DedupIndex {
     val idx = spark.read.parquet(s"$path/postings")
       .filter(col("pfx").isin(pfxs: _*)) // partition-pruned scan
       .join(broadcast(batchDf.select(col("shingle"))), Seq("shingle"))
+      // distinct BEFORE counting: a crash between foldIn and its epoch
+      // marker replays the epoch's append, and duplicated posting rows
+      // would inflate both dfi (hiding real containment behind the df
+      // cap) and common (containment > 1.0, spurious threshold
+      // crossings). Buckets tolerate duplicates because probe()
+      // distincts its candidates; postings get the same discipline
+      // here, on the pruned slice only — bounded cost.
+      .select(col("shingle"), col("doc_id")).distinct()
       .persist()
     val kept = batchDf
       .join(idx.groupBy(col("shingle")).agg(count(lit(1)).as("dfi")),

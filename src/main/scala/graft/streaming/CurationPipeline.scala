@@ -127,11 +127,14 @@ class CurationPipeline(
     val batch = batch0.select(col("doc_id"),
       graft.functions.UnicodeNormalize.unicode_normalize(col("text"))
         .as("text")).persist()
-    // STAGE FUSION (r13): every screen except self-dedup is a PER-DOC
-    // predicate, so screen(survivors) == screen(batch) ∩ survivors —
-    // evaluating each against the full batch changes no decision but
-    // lets all verdicts merge into ONE wide flag frame whose
-    // materialization is a single job. The r12 shape ran the gauntlet
+    // STAGE FUSION (r13): the probe, decontam, quality and LM screens
+    // are PER-DOC predicates, so screen(survivors) == screen(batch) ∩
+    // survivors — evaluating each against the full batch changes no
+    // decision but lets all verdicts merge into ONE wide flag frame
+    // whose materialization is a single job. Two screens are NOT pure
+    // per-doc predicates and keep their sequential inputs: containment
+    // (its df cap counts batch-side shingle frequency — see below) and
+    // self-dedup (order-dependent keeper rule). The r12 shape ran the gauntlet
     // as 5 sequential anti-joins plus 7 per-stage count() actions:
     // ~13 scheduler-floor jobs per micro-batch, which at local[32]'s
     // ~0.3-0.5 s/job floor was the entire 44-vs-176 docs/s gap between
@@ -173,8 +176,21 @@ class CurationPipeline(
                 s"$indexPath has no postings/ component -- the index " +
                 "predates the containment layout; rebuild it with " +
                 "DedupIndex.build before enabling containment")
+          // probe the POST-INDEX survivor set, not the full batch: the
+          // containment screen is the one verdict that is NOT a pure
+          // per-doc predicate — its df cap counts batch-side shingle
+          // frequency (dfb) plus index df, so probing index-duplicate
+          // docs alongside fresh ones could push shared shingles over
+          // maxDf and hide real containment. The anti-join is lazy (no
+          // extra action); it becomes a subplan of the probe's own jobs,
+          // exactly like the r12 sequential gauntlet.
+          val fresh = probeDrop match {
+            case Some(d) => batch.join(d.select(col("doc_id")),
+              Seq("doc_id"), "left_anti")
+            case None => batch
+          }
           Some(flagged("f_contained")(
-            DedupIndex.containmentProbe(spark, indexPath, batch, t,
+            DedupIndex.containmentProbe(spark, indexPath, fresh, t,
                 containMaxDf)
               .select(col("new_id").as("doc_id"))))
         case _ => None
@@ -247,8 +263,10 @@ class CurationPipeline(
         // later epochs have since folded into the index and a re-run
         // would re-derive DIFFERENT drops. Crash between fold and
         // marker degrades to at-least-once for that one epoch's index
-        // rows — duplicate bucket entries, which probes tolerate
-        // (candidates are distinct()ed) and compaction packs.
+        // rows — duplicate bucket AND posting entries, which probes
+        // tolerate (probe() distincts its candidates and
+        // containmentProbe distincts the pruned posting slice before
+        // counting) and compaction packs.
         val marker = new Path(s"$indexPath/_folded_epoch_$epochId")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker)) {

@@ -539,4 +539,40 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(12L, 14L))
   }
+
+  test("curation loop: containment screen probes post-index survivors, not the full batch") {
+    // Regression guard for the r13 fusion: the containment screen's df
+    // cap counts BATCH-side shingle frequency (dfb), so probing the
+    // full batch would let a flock of index-duplicate docs sharing a
+    // quoted phrase push that phrase's shingles over maxDf and hide a
+    // real containment hit among the fresh docs. The fused loop must
+    // probe exactly the post-index survivor set, like the sequential
+    // r12 gauntlet did.
+    import graft.streaming.CurationPipeline
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-curate-dfcap").toString
+    val phrase = "the ancient map shows a hidden path to the lost temple of gold"
+    val docZ = phrase +
+      " and travelers speak of it in the old taverns where sailors trade stories about the distant northern coast"
+    val docW = phrase +
+      " but scholars in the city argue that a forgery of this kind is common among the market relic sellers"
+    val pipeline = new CurationPipeline(spark, s"$base/idx", s"$base/out",
+      containment = Some(0.8), containMaxDf = 3)
+    pipeline.processBatch(Seq((1L, docZ), (2L, docW)).toDF("doc_id", "text"), 0L)
+    // C quotes the phrase verbatim (containment 1.0 vs Z and W, jaccard
+    // far below the 0.6 probe threshold); W1-W3 are index near-dups of
+    // W that ALSO carry the phrase — with full-batch probing their
+    // copies lift the phrase shingles' dfb to 4 (+ dfi 2 > maxDf 3) and
+    // C sails through as curated
+    val wCopies = Seq("argue", "common", "sellers").zipWithIndex.map {
+      case (w, i) => (20L + i, docW.replace(w, w + "x"))
+    }
+    pipeline.processBatch(
+      (wCopies :+ ((10L, phrase))).toDF("doc_id", "text"), 1L)
+    val m = spark.read.parquet(s"$base/out/metrics/epoch=1")
+      .select("n_in", "drop_index_dup", "drop_contained", "n_kept")
+      .collect()(0)
+    assert((m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3)) ==
+      ((4L, 3L, 1L, 0L)), s"df-cap attribution row: $m")
+  }
 }

@@ -27,7 +27,10 @@ COPY (
          CASE WHEN k = 0 THEN text
               ELSE 'c' || k || 'z ' || replace(text, ' ', ' c' || k || 'z')
          END AS text,
-         lang, source, n_chars
+         lang, source,
+         CASE WHEN k = 0 THEN n_chars
+              ELSE len('c' || k || 'z ' || replace(text, ' ', ' c' || k || 'z'))
+         END AS n_chars
   FROM '{base}/documents.parquet', (SELECT unnest(range({k})) AS k)
   ORDER BY doc_id
 ) TO '{out}/documents.parquet' (FORMAT PARQUET)
