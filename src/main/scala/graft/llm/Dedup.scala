@@ -118,6 +118,28 @@ object Dedup {
       ngramJaccardFromSets(shingleArrays(spark, dir), threshold)
     }
 
+  /** The ONE exact candidate-verification block every banded/filtered
+    * dedup path funnels through: join the candidate pairs to the two
+    * per-doc shingle-set relations, intersect, exact jaccard, filter,
+    * round. Kept in a single place so the verification semantics (the
+    * rounding precision, the union arithmetic) can never silently
+    * diverge between the self-join, MinHash, incremental and
+    * persisted-index paths — all four are oracle- or spec-pinned
+    * against the same math. */
+  private[llm] def verifiedJaccardPairs(cand: DataFrame,
+      aSets: DataFrame, bSets: DataFrame,
+      aName: String, bName: String, threshold: Double): DataFrame =
+    cand
+      .join(aSets.select(col("doc_id").as(aName), col("shset").as("sa")),
+        Seq(aName))
+      .join(bSets.select(col("doc_id").as(bName), col("shset").as("sb")),
+        Seq(bName))
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard", col("i").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col(aName), col(bName), round(col("jaccard"), 6).as("jaccard"))
+
   /** The prefix-filtered join over an explicit (doc_id, shset) relation —
     * the testable core of [[ngramJaccardPairs]]. */
   def ngramJaccardFromSets(sets: DataFrame, threshold: Double): DataFrame = {
@@ -126,14 +148,7 @@ object Dedup {
       .join(pre.select(col("doc_id").as("idb"), col("shingle")), Seq("shingle"))
       .filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb")).distinct()
-    cand
-      .join(sets.select(col("doc_id").as("ida"), col("shset").as("sa")), Seq("ida"))
-      .join(sets.select(col("doc_id").as("idb"), col("shset").as("sb")), Seq("idb"))
-      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("jaccard", col("i").cast("double") /
-        (size(col("sa")) + size(col("sb")) - col("i")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("ida"), col("idb"), round(col("jaccard"), 6).as("jaccard"))
+    verifiedJaccardPairs(cand, sets, sets, "ida", "idb", threshold)
   }
 
   /** Shared scaffold for every brute pairwise-jaccard oracle: the
@@ -458,10 +473,26 @@ object Dedup {
    graft.Caches.memo(spark,
        s"containmentProbeIdx:$dir:$threshold:$maxDf:$batchMod") {
     val stamp = graft.Tables.fileStamp(spark, s"$dir/documents.parquet")
+    val keyPrefix = s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${batchMod}_"
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_contain_index/" +
-      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${batchMod}_$stamp"
+      keyPrefix + stamp
     val fin = new org.apache.hadoop.fs.Path(path)
     val fs = fin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // GC superseded stamps: every rewrite of the source table mints a
+    // new stamp and a fresh corpus-sized index; without cleanup the old
+    // stamps' complete indexes accumulate under tmpdir forever. Any
+    // sibling for the same (dir, batchMod) whose name does not carry
+    // the CURRENT stamp is stale by definition (the stamp is derived
+    // from the current file's content) — including its attempt/trash
+    // leftovers from crashed runs.
+    try {
+      val parent = fin.getParent
+      if (fs.exists(parent)) fs.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(keyPrefix) && !n.contains(stamp))
+          fs.delete(st.getPath, true)
+      }
+    } catch { case _: java.io.IOException => () } // GC is best-effort
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     // attempt-dir + atomic-rename publish (the CorpusExport pattern): a
     // bare in-place overwrite build fenced by a _SUCCESS existence check
@@ -813,14 +844,7 @@ object Dedup {
     val sets = shingleArrays(spark, dir)
     val sh = sets.select(col("doc_id"), explode(col("shset")).as("shingle"))
     val cand = minhashCandidates(minhashSignatures(sh))
-    cand
-      .join(sets.select(col("doc_id").as("ida"), col("shset").as("sa")), Seq("ida"))
-      .join(sets.select(col("doc_id").as("idb"), col("shset").as("sb")), Seq("idb"))
-      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("jaccard", col("i").cast("double") /
-        (size(col("sa")) + size(col("sb")) - col("i")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("ida"), col("idb"), round(col("jaccard"), 6).as("jaccard"))
+    verifiedJaccardPairs(cand, sets, sets, "ida", "idb", threshold)
   }
 
   /** Incremental near-dedup — the continuous-ingestion shape: which
@@ -863,16 +887,8 @@ object Dedup {
     val cand = probe.as("n").join(index.as("c"), Seq("band_id", "band_hash"))
       .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
       .distinct()
-    cand
-      .join(batchSets.select(col("doc_id").as("new_id"), col("shset").as("sa")),
-        Seq("new_id"))
-      .join(corpusSets.select(col("doc_id").as("corpus_id"), col("shset").as("sb")),
-        Seq("corpus_id"))
-      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("jaccard", col("i").cast("double") /
-        (size(col("sa")) + size(col("sb")) - col("i")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+    verifiedJaccardPairs(cand, batchSets, corpusSets,
+      "new_id", "corpus_id", threshold)
   }
 
   /** Oracle for the threshold-0.9 registration of [[dedupIncremental]]:

@@ -18,11 +18,28 @@ import org.apache.spark.sql.functions._
   * Layout under `path`:
   *   - `buckets/` (doc_id, band_id, band_hash), partitioned by
   *     `pfx = pmod(band_hash, 64)`;
-  *   - `sets/` (doc_id, shset) for exact candidate verification;
+  *   - `sets/` (doc_id, shset) for exact candidate verification,
+  *     partitioned by `dpfx = pmod(xxhash64(doc_id), 64)` so the
+  *     verify join reads only the slices the candidates live in;
   *   - `postings/` (shingle, doc_id), partitioned by
   *     `pfx = pmod(xxhash64(shingle), 64)`, serving
   *     [[containmentProbe]] — the asymmetric quoted-inside screen the
-  *     banded probe is blind to.
+  *     banded probe is blind to;
+  *   - `_meta` — the banding geometry the index was built with
+  *     ([[probe]]/[[foldIn]] refuse mismatched parameters: a probe
+  *     under different banding would silently return near-zero
+  *     collisions, which reads as "no duplicates", not as an error).
+  *
+  * doc_id is the GLOBAL document key: both probes exclude corpus rows
+  * carrying a doc_id present in the probed batch — such rows can only
+  * be the batch's own previously-folded copies (a replayed epoch after
+  * a crash landed between foldIn and the caller's epoch marker), and
+  * counting them would flip the replay's decisions (every kept doc
+  * would self-match at jaccard 1.0). With that exclusion plus
+  * duplicate-tolerant reads (candidate distinct, posting-slice
+  * distinct, pair-level distinct), an epoch replay re-derives exactly
+  * its original verdicts and a double-fold only costs storage until
+  * compaction.
   *
   * 100 TB scale: a probe computes the batch's buckets, collects their
   * distinct `pfx` values (≤ 64 ints — a bounded driver set, not data),
@@ -38,12 +55,6 @@ object DedupIndex {
 
   private val nPfx = 64
 
-  /** Files per epoch for the `sets/` append: bounded write fan-in
-    * without serializing a big batch through one writer (a curation
-    * batch is at most ingest-sized; [[graft.scale.Compaction]] packs
-    * the accumulated epochs). */
-  private val setFiles = 4
-
   private def withPfx(buckets: DataFrame): DataFrame =
     buckets.withColumn("pfx", pmod(col("band_hash"), lit(nPfx)))
 
@@ -56,6 +67,42 @@ object DedupIndex {
 
   private def postingsOf(sets: DataFrame): DataFrame =
     withSpfx(sets.select(col("doc_id"), explode(col("shset")).as("shingle")))
+
+  /** doc_id-keyed partition prefix for the `sets/` component. */
+  private def withDpfx(sets: DataFrame): DataFrame =
+    sets.withColumn("dpfx", pmod(xxhash64(col("doc_id")), lit(nPfx)))
+
+  private def metaPath(path: String) = new org.apache.hadoop.fs.Path(s"$path/_meta")
+
+  private def writeMeta(spark: SparkSession, path: String,
+      bands: Int, rows: Int): Unit = {
+    val mp = metaPath(path)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(mp, true)
+    out.write(s"bands=$bands rows=$rows".getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Refuse banding parameters that differ from the ones the index was
+    * built with. A missing _meta (an index from before this check)
+    * passes — the check exists to turn silent recall loss into a loud
+    * error, not to invalidate old test artifacts. */
+  private def checkMeta(spark: SparkSession, path: String,
+      bands: Int, rows: Int): Unit = {
+    val mp = metaPath(path)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(mp)) {
+      val in = fs.open(mp)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val want = s"bands=$bands rows=$rows"
+      require(text == want,
+        s"DedupIndex at $path was built with [$text] but probed/folded " +
+          s"with [$want] -- mismatched banding returns near-zero " +
+          "collisions (silent recall loss), not an error; pass the " +
+          "build-time parameters")
+    }
+  }
 
   private def bucketsOf(sets: DataFrame, bands: Int, rows: Int): DataFrame =
     Dedup.bandedBuckets(Dedup.minhashSignatures(
@@ -73,11 +120,13 @@ object DedupIndex {
       withPfx(bucketsOf(sets, bands, rows))
         .repartition(col("pfx"))
         .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/buckets")
-      sets.coalesce(setFiles)
-        .write.mode("overwrite").parquet(s"$path/sets")
+      withDpfx(sets)
+        .repartition(col("dpfx"))
+        .write.mode("overwrite").partitionBy("dpfx").parquet(s"$path/sets")
       postingsOf(sets)
         .repartition(col("pfx"))
         .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/postings")
+      writeMeta(docs.sparkSession, path, bands, rows)
     } finally sets.unpersist()
   }
 
@@ -85,6 +134,7 @@ object DedupIndex {
     * folds a batch in AFTER acting on [[probe]]'s verdict, so batch docs
     * judged duplicates can be excluded before they enter the index. */
   def foldIn(docs: DataFrame, path: String, bands: Int = 16, rows: Int = 4): Unit = {
+    checkMeta(docs.sparkSession, path, bands, rows)
     val sets = Dedup.shingleSets(docs).persist()
     try {
       // same one-file-per-pfx-per-epoch discipline as [[build]]; a
@@ -103,8 +153,9 @@ object DedupIndex {
         Future(withPfx(bucketsOf(sets, bands, rows))
           .repartition(col("pfx"))
           .write.mode("append").partitionBy("pfx").parquet(s"$path/buckets")),
-        Future(sets.coalesce(setFiles)
-          .write.mode("append").parquet(s"$path/sets")),
+        Future(withDpfx(sets)
+          .repartition(col("dpfx"))
+          .write.mode("append").partitionBy("dpfx").parquet(s"$path/sets")),
         Future(postingsOf(sets)
           .repartition(col("pfx"))
           .write.mode("append").partitionBy("pfx").parquet(s"$path/postings")))
@@ -118,6 +169,7 @@ object DedupIndex {
     * index. */
   def probe(spark: SparkSession, path: String, batch: DataFrame,
       threshold: Double = 0.6, bands: Int = 16, rows: Int = 4): DataFrame = {
+    checkMeta(spark, path, bands, rows)
     val batchSets = Dedup.shingleSets(batch).persist()
     val probeBuckets = withPfx(bucketsOf(batchSets, bands, rows)).persist()
     // bounded by construction: at most nPfx distinct values
@@ -130,22 +182,35 @@ object DedupIndex {
           col("band_id"), col("band_hash"))),
         Seq("band_id", "band_hash"))
       .select(col("new_id"), col("doc_id").as("corpus_id"))
+      // replay self-exclusion (header note): a corpus row with a batch
+      // doc's id is the batch's own folded copy from a replayed epoch
+      .join(broadcast(batchSets.select(col("doc_id").as("corpus_id"))),
+        Seq("corpus_id"), "left_anti")
       .distinct()
-    val verified = cand
-      .join(batchSets.select(col("doc_id").as("new_id"), col("shset").as("sa")),
-        Seq("new_id"))
-      .join(spark.read.parquet(s"$path/sets")
-          .select(col("doc_id").as("corpus_id"), col("shset").as("sb")),
-        Seq("corpus_id"))
-      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("jaccard", col("i").cast("double") /
-        (size(col("sa")) + size(col("sb")) - col("i")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+      .persist()
+    // candidate corpus_ids live in at most nPfx doc-hash slices: collect
+    // them (a bounded driver set, like the bucket pfxs) and prune the
+    // sets scan the same way the bucket scan is pruned -- without this,
+    // every probe full-scans the corpus-sized shingle-set table, which
+    // at index scale dwarfs the pruned bucket/posting reads
+    val dpfxs = cand
+      .select(pmod(xxhash64(col("corpus_id")), lit(nPfx)).as("dpfx"))
+      .distinct().collect().map(_.getLong(0))
+    val corpusSets =
+      if (dpfxs.isEmpty) spark.read.parquet(s"$path/sets").limit(0)
+      else spark.read.parquet(s"$path/sets")
+        .filter(col("dpfx").isin(dpfxs: _*)) // partition-pruned scan
+    val verified = Dedup.verifiedJaccardPairs(
+        cand, batchSets, corpusSets, "new_id", "corpus_id", threshold)
+      // pair-level distinct: a replayed fold duplicates sets/ rows, and
+      // the verify join would return each pair once per copy (same
+      // jaccard value -- distinct collapses them exactly)
+      .distinct()
     // materialize before unpersisting the inputs the plan references
     val out = verified.localCheckpoint(true)
     batchSets.unpersist()
     probeBuckets.unpersist()
+    cand.unpersist()
     out
   }
 
@@ -183,6 +248,11 @@ object DedupIndex {
     val idx = spark.read.parquet(s"$path/postings")
       .filter(col("pfx").isin(pfxs: _*)) // partition-pruned scan
       .join(broadcast(batchDf.select(col("shingle"))), Seq("shingle"))
+      // replay self-exclusion (header note): posting rows carrying a
+      // batch doc's id are the batch's own folded copies and would
+      // inflate dfi AND score each doc as contained in itself
+      .join(broadcast(batchSets.select(col("doc_id"))), Seq("doc_id"),
+        "left_anti")
       // distinct BEFORE counting: a crash between foldIn and its epoch
       // marker replays the epoch's append, and duplicated posting rows
       // would inflate both dfi (hiding real containment behind the df

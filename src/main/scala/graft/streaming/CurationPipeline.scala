@@ -75,8 +75,22 @@ class CurationPipeline(
   import CurationPipeline._
 
   private def indexExists: Boolean = {
-    val p = new Path(s"$indexPath/buckets")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    // check the COMPLETED markers of both components probe() reads, not
+    // the mere existence of the first-written directory: a crash during
+    // the non-atomic first-epoch build leaves buckets/ on disk without
+    // sets/, and treating that torn state as "index present" made the
+    // replayed epoch's probe throw on the missing sets path forever --
+    // a permanent crash loop nothing repaired (build only runs when
+    // !indexExists). With the marker check, a torn build reads as "no
+    // index" and the replay rebuilds it (build's overwrite mode repairs
+    // the torn components). An index missing only postings/ still
+    // counts as present: probe works, and the containment screen
+    // already names that layout error explicitly.
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("buckets", "sets").forall { c =>
+      val m = new Path(s"$indexPath/$c/_SUCCESS")
+      m.getFileSystem(conf).exists(m)
+    }
   }
 
   /** The standing benchmark posting list: distinct decontamN-grams of
@@ -256,17 +270,19 @@ class CurationPipeline(
       try {
         // EXACTLY-ONCE under foreachBatch's at-least-once replay: the
         // WHOLE epoch — metrics row, kept output, index fold — is
-        // fenced by one per-epoch marker. An immediate replay (crash
-        // before the marker landed) re-derives the same decisions from
-        // the same index state and overwrites its own partition dirs; a
-        // LATE replay (marker present) must be a full no-op, because
-        // later epochs have since folded into the index and a re-run
-        // would re-derive DIFFERENT drops. Crash between fold and
-        // marker degrades to at-least-once for that one epoch's index
-        // rows — duplicate bucket AND posting entries, which probes
-        // tolerate (probe() distincts its candidates and
-        // containmentProbe distincts the pruned posting slice before
-        // counting) and compaction packs.
+        // fenced by one per-epoch marker. A replay before the marker
+        // landed re-derives IDENTICAL decisions whatever subset of the
+        // epoch's concurrent writes survived the crash, because both
+        // index probes exclude corpus rows carrying the batch's own
+        // doc_ids (the epoch's folded copies are invisible to its own
+        // replay — see the DedupIndex header) and the kept/metrics
+        // partition dirs are overwrite-mode. A LATE replay (marker
+        // present) is a full no-op — later epochs have since folded in
+        // and a re-run would see a different index. The only
+        // degradation left is storage: a replayed fold appends
+        // duplicate bucket/sets/posting rows, which every reader
+        // tolerates (candidate distinct, pair-level distinct,
+        // posting-slice distinct) and compaction packs.
         val marker = new Path(s"$indexPath/_folded_epoch_$epochId")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker)) {

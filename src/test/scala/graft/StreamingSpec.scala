@@ -575,4 +575,62 @@ class StreamingSpec extends AnyFunSuite {
     assert((m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3)) ==
       ((4L, 3L, 1L, 0L)), s"df-cap attribution row: $m")
   }
+
+  test("curation loop: epoch replay after a completed fold re-derives identical decisions") {
+    // Crash model: foldIn's appends all landed but the epoch marker did
+    // not -- foreachBatch replays the epoch against an index that now
+    // CONTAINS the epoch's own kept docs. The probes' self-exclusion
+    // (corpus rows carrying batch doc_ids are invisible) must make the
+    // replay re-derive the exact original verdicts, not index-drop
+    // every kept doc against its own folded copy.
+    import graft.streaming.CurationPipeline
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-curate-replay").toString
+    val d1 = "the river flows gently through a green valley where tall trees stand in quiet morning light"
+    val d2 = "bright stars fill the night sky and a cool wind moves softly over sleeping hills far away"
+    val d3 = d2.replace("cool", "cold") // near-dup pair within the batch
+    val pipeline = new CurationPipeline(spark, s"$base/idx", s"$base/out")
+    val batch = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    pipeline.processBatch(batch, 0L)
+    def metricsRow() = spark.read.parquet(s"$base/out/metrics/epoch=0")
+      .collect()(0).toSeq
+    def keptIds() = spark.read.parquet(s"$base/out/kept/epoch=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val m1 = metricsRow(); val k1 = keptIds()
+    assert(k1 == Set(1L, 2L)) // 3 dropped as self-dup of 2
+    // simulate the crash: fold completed, marker lost
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$base/idx/_folded_epoch_0"), false))
+    pipeline.processBatch(batch, 0L) // the replay
+    assert(metricsRow() == m1, "replayed metrics diverged")
+    assert(keptIds() == k1, "replayed kept set diverged")
+    // and the duplicated fold does not double-report a later probe hit
+    pipeline.processBatch(
+      Seq((9L, d1.replace("tall", "old"))).toDF("doc_id", "text"), 1L)
+    val m2 = spark.read.parquet(s"$base/out/metrics/epoch=1").collect()(0)
+    assert(m2.getAs[Long]("drop_index_dup") == 1L && m2.getAs[Long]("n_kept") == 0L)
+  }
+
+  test("curation loop: a torn first-epoch build reads as no-index and is rebuilt") {
+    // Crash model: the first-epoch DedupIndex.build wrote buckets/ but
+    // crashed before sets/ landed. indexExists must read the torn state
+    // as "no index" (else the replay probes a missing sets/ path and
+    // crash-loops forever); the replay then rebuilds via build's
+    // overwrite mode.
+    import graft.streaming.CurationPipeline
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-curate-torn").toString
+    val d1 = "the river flows gently through a green valley where tall trees stand in quiet morning light"
+    val pipeline = new CurationPipeline(spark, s"$base/idx", s"$base/out")
+    val batch = Seq((1L, d1)).toDF("doc_id", "text")
+    pipeline.processBatch(batch, 0L)
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // tear the index: sets incomplete, marker lost
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$base/idx/sets/_SUCCESS"), false))
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$base/idx/_folded_epoch_0"), false))
+    pipeline.processBatch(batch, 0L) // must rebuild, not crash-loop
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/idx/sets/_SUCCESS")))
+    assert(spark.read.parquet(s"$base/out/kept/epoch=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+  }
 }
