@@ -34,10 +34,17 @@ object CorpusExport {
 
   /** Where the published tree for `dir`'s current documents table
     * lives (stamp-keyed: a regenerated table re-exports). */
-  def exportPath(spark: SparkSession, dir: String, nShards: Int): String = {
+  def exportPath(spark: SparkSession, dir: String, nShards: Int,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): String = {
     val stamp = Tables.fileStamp(spark, s"$dir/documents.parquet")
+    // the key carries EVERY assignment-shaping parameter, not just the
+    // shard count: a tree published at one split fraction must never
+    // satisfy the marker check for a different fraction (the manifest
+    // would silently disagree with the published artifact). The "s1"
+    // token versions the salted split draw.
+    val fracs = s"${trainFrac}_$valFrac".replace('.', 'p')
     s"${System.getProperty("java.io.tmpdir")}/graft_export/" +
-      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${nShards}_$stamp"
+      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${nShards}_${fracs}_s1_$stamp"
   }
 
   /** (doc_id, source, n_toks, split, shard_id) — the full assignment. */
@@ -55,13 +62,10 @@ object CorpusExport {
       coalesce(sum(col("n_toks")).over(w), lit(0L)))
     val tot = base.groupBy(col("split"), col("stratum"))
       .agg(sum(col("n_toks")).as("st"))
-    val before = tot.select(col("split").as("sp2"), col("stratum").as("s2"),
-      col("st").as("st2"))
-    val offs = tot.join(broadcast(before),
-        col("sp2") === col("split") && col("s2") < col("stratum"), "left")
-      .groupBy(col("split"), col("stratum"))
-      .agg(coalesce(sum(col("st2")), lit(0L)).as("off"))
-    val totals = base.groupBy(col("split")).agg(sum(col("n_toks")).as("t_total"))
+    val offs = Sampling.stratumOffsets(tot, Seq("split"), "stratum", "st", "off")
+    // per-split totals roll up from the tiny per-stratum frame instead
+    // of a second corpus scan (exact: sums of the same longs)
+    val totals = tot.groupBy(col("split")).agg(sum(col("st")).as("t_total"))
     cumIn.join(broadcast(offs), Seq("split", "stratum"))
       .join(broadcast(totals), Seq("split"))
       .withColumn("cum_before", col("off") + col("cum_in"))
@@ -83,7 +87,7 @@ object CorpusExport {
     * manifest. */
   def exportManifest(spark: SparkSession, dir: String, nShards: Int = 4,
       trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
-    val base = exportPath(spark, dir, nShards)
+    val base = exportPath(spark, dir, nShards, trainFrac, valFrac)
     val fin = new org.apache.hadoop.fs.Path(s"$base/final")
     val fs = fin.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/final/_SUCCESS"))) {
@@ -94,16 +98,35 @@ object CorpusExport {
           Seq("doc_id"))
         .repartition(col("split"), col("shard_id"))
         .write.partitionBy("split", "shard_id").parquet(attempt.toString)
-      // same strict-rename publish as the ORC mirror: the loser of a
-      // concurrent publish race drops its attempt
+      // rename-FIRST publish (the containmentProbeIdx discipline): the
+      // loser of a concurrent race drops its attempt, and a final/ dir
+      // WITHOUT the marker (a torn publish, or a committer configured
+      // to skip _SUCCESS) is swapped out atomically and retried once --
+      // previously that state wedged every call into a full
+      // write-and-rethrow cycle forever
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         fin.toUri, spark.sparkContext.hadoopConfiguration)
-      try fc.rename(attempt, fin)
-      catch {
-        case e: java.io.IOException =>
-          fs.delete(attempt, true)
-          if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/final/_SUCCESS")))
-            throw e
+      def markerOk() =
+        fs.exists(new org.apache.hadoop.fs.Path(s"$base/final/_SUCCESS"))
+      def tryRename(): Boolean =
+        try { fc.rename(attempt, fin); true }
+        catch { case _: java.io.IOException => false }
+      if (!tryRename()) {
+        if (markerOk()) fs.delete(attempt, true)
+        else {
+          val trash = new org.apache.hadoop.fs.Path(
+            s"$base/trash_${java.util.UUID.randomUUID().toString.take(8)}")
+          try fc.rename(fin, trash)
+          catch { case _: java.io.IOException => () }
+          fs.delete(trash, true)
+          if (!tryRename()) {
+            val ok = markerOk()
+            fs.delete(attempt, true)
+            if (!ok) throw new IllegalStateException(
+              s"exportManifest: could not publish $fin (rename failed " +
+                "twice and no complete tree is present)")
+          }
+        }
       }
     }
     assignments(spark, dir, nShards, trainFrac, valFrac)
@@ -115,10 +138,8 @@ object CorpusExport {
       valFrac: Double = 0.1): String =
     s"""WITH d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
        |    CAST(len(${TextOps.tokensSql}) AS BIGINT) AS n_toks,
-       |    CASE WHEN ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
-       |               / 4503599627370496.0) < $trainFrac THEN 'train'
-       |         WHEN ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
-       |               / 4503599627370496.0) < ${trainFrac + valFrac} THEN 'val'
+       |    CASE WHEN ${Sampling.u52Sql(Sampling.splitKeySql)} < $trainFrac THEN 'train'
+       |         WHEN ${Sampling.u52Sql(Sampling.splitKeySql)} < ${trainFrac + valFrac} THEN 'val'
        |         ELSE 'test' END AS split
        |  FROM documents),
        |c AS (SELECT split, n_toks,

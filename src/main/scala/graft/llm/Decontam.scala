@@ -93,10 +93,13 @@ object Decontam {
     * bucketing splitCorpus ships, so this composes two shipped
     * operators rather than inventing a third. */
   def splitLeakage(spark: SparkSession, dir: String, n: Int = 13): DataFrame = {
-    val split = Sampling.splitCorpus(spark, dir).select(col("doc_id"), col("split"))
+    // PROJECT the split (a pure function of doc_id) instead of joining
+    // a corpus-sized recomputation of it back onto the corpus -- the
+    // join formulation shuffled every (doc_id, text) row once before
+    // decontamination even started
     val docs = Tables.fanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("text"))
-      .join(split, Seq("doc_id"))
+      .select(col("doc_id"), col("text"),
+        Sampling.splitColumn(col("doc_id")).as("split"))
     decontaminatePairs(
         docs.filter(col("split") === "train"),
         docs.filter(col("split") === "val"), n)
@@ -141,10 +144,13 @@ object Decontam {
       corpusFpsKey: Option[String] = None): DataFrame = {
     def fps(df: DataFrame) =
       df.select(col("doc_id"), winnowed_fingerprint(col("text"), k, window).as("fp"))
+    // no distinct: WinnowedFingerprint already returns a deduplicated
+    // sorted hash array per doc, so the exploded posting rows are
+    // unique by construction -- a distinct here planned an extra
+    // aggregate/exchange over the benchmark postings for zero change
     val bench = fps(benchmark)
       .select(col("doc_id").as("bench_id"), size(col("fp")).as("bench_fp_size"),
         explode(col("fp")).as("h"))
-      .distinct()
     // corpus side streams into the broadcast join; dedup happens in the
     // post-join distinct-aggregate (see decontaminatePairs). The posting
     // frame is ~16 bytes/fingerprint — the dir path memoizes it so

@@ -19,6 +19,50 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** The ONE 52-bit md5-uniform draw every sampler keys on:
+    * u ∈ (0,1] from the first 13 hex digits of md5(key). A single
+    * division after an exact integer scale — IEEE correctly-rounded, so
+    * Spark and DuckDB compute bit-identical values ([[u52Sql]] is the
+    * oracle-side twin; keep them in lockstep). */
+  private[llm] def u52(key: Column): Column = {
+    val h = conv(substring(md5(key), 1, 13), 16, 10).cast("long")
+    (h + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52
+  }
+
+  /** DuckDB twin of [[u52]] over a SQL key expression. */
+  private[llm] def u52Sql(keyExpr: String): String =
+    s"((CAST(concat('0x', substr(md5($keyExpr), 1, 13)) AS BIGINT) + 1) / 4503599627370496.0)"
+
+  /** The SALTED split draw key: splits must be decorrelated from every
+    * unsalted sampler draw in this file (a doc kept by an unsalted
+    * hash-sample has small u BY CONSTRUCTION — an unsalted split would
+    * put every such doc in 'train' and silently empty the val/test
+    * slices of any sampled corpus). */
+  private[llm] def splitKey(docId: Column): Column =
+    concat(docId.cast("string"), lit(":split"))
+  private[llm] val splitKeySql: String = "CAST(doc_id AS VARCHAR) || ':split'"
+
+  /** Per-stratum prefix offsets via the triangular broadcast join — the
+    * distributed-prefix-sum building block [[epochShuffle]],
+    * [[corpusShards]] and [[graft.llm.CorpusExport.assignments]] share.
+    * `tot` is the ≤256-row (partCols, stratumCol, valueCol) rollup; the
+    * result carries (partCols, stratumCol, outCol = sum of valueCol over
+    * strictly-smaller strata within the partition). A global-window
+    * formulation would WARN about (and plan) a single-partition sort
+    * even though the frame is tiny. */
+  private[llm] def stratumOffsets(tot: DataFrame, partCols: Seq[String],
+      stratumCol: String, valueCol: String, outCol: String): DataFrame = {
+    val before = tot.select(
+      (partCols.map(c => col(c).as(s"${c}__p")) :+
+        col(stratumCol).as("__s2") :+ col(valueCol).as("__v2")): _*)
+    val cond = partCols.map(c => col(s"${c}__p") === col(c))
+      .foldLeft(col("__s2") < col(stratumCol))(_ && _)
+    tot.join(broadcast(before), cond, "left")
+      .groupBy((partCols :+ stratumCol).map(col): _*)
+      .agg(coalesce(sum(col("__v2")), lit(0L)).as(outCol))
+  }
+
+
   /** First hex nibble of md5(key) ∈ {0,1} — a deterministic 1/8 sample. */
   def hashSampleFilter(key: Column, nibbles: Seq[String] = Seq("0", "1")): Column =
     substring(md5(key.cast("string")), 1, 1).isin(nibbles: _*)
@@ -108,13 +152,19 @@ object Sampling {
     * sample. Disjoint + exhaustive by construction; any engine
     * recomputes the identical assignment. Pure scan-side projection —
     * zero shuffle at any corpus size. */
-  def splitCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = substring(md5(concat(col("doc_id").cast("string"),
-      lit(":split"))), 1, 2)
+  def splitCorpus(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
-        when(bucket < "e6", "train").when(bucket < "f3", "val")
-          .otherwise("test").as("split"))
+        splitColumn(col("doc_id")).as("split"))
+
+  /** The salted 256-bucket split expression as a standalone column, so
+    * consumers that already hold a documents frame (splitLeakage) can
+    * PROJECT the split instead of joining a corpus-sized recomputation
+    * of it back onto itself. */
+  def splitColumn(docId: Column): Column = {
+    val bucket = substring(md5(splitKey(docId)), 1, 2)
+    when(bucket < "e6", "train").when(bucket < "f3", "val")
+      .otherwise("test")
   }
 
   val splitCorpusSql: String =
@@ -181,10 +231,7 @@ object Sampling {
     * Scale: zero-shuffle scan to compute priorities + one
     * TakeOrdered(k) — no global sort, no state. */
   def weightedSample(spark: SparkSession, dir: String, k: Int = 60): DataFrame = {
-    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
-      .cast("long")
-    val u = (h + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52
-    val q = col("n_chars").cast("double") / u
+    val q = col("n_chars").cast("double") / u52(col("doc_id").cast("string"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"), q.as("priority"))
       .orderBy(col("priority").desc, col("doc_id"))
@@ -192,11 +239,15 @@ object Sampling {
   }
 
   /** DETERMINISTIC train/val/test split summary — the reproducible
-    * corpus partition every training run needs: each document draws the
-    * same md5-uniform u as [[weightedSample]] (a pure function of
-    * doc_id — adding or removing OTHER documents never moves a doc
-    * across splits, which is the property that keeps a growing corpus's
-    * val set stable), lands in train/val/test by fixed thresholds, and
+    * corpus partition every training run needs: each document draws a
+    * SALTED md5-uniform u ([[splitKey]] — still a pure function of
+    * doc_id, so adding or removing OTHER documents never moves a doc
+    * across splits and a growing corpus's val set stays stable, but
+    * decorrelated from every unsalted sampler draw: an unsalted split
+    * would land every hash-sampled doc in 'train' and silently empty
+    * the val/test slices of any sampled corpus — the bias
+    * [[splitCorpus]] already salts against), lands in train/val/test
+    * by fixed thresholds, and
     * the registered query reports the (source, split) grid with doc and
     * token masses — the sanity table checked before any run ("did the
     * split starve a source's val slice").
@@ -215,9 +266,7 @@ object Sampling {
   /** Per-document split assignment: (doc_id, source, n_toks, split). */
   def corpusSplitAssign(spark: SparkSession, dir: String,
       trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
-    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
-      .cast("long")
-    val u = (h + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52
+    val u = u52(splitKey(col("doc_id")))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(graft.llm.TextOps.tokens(col("text"))).cast("long").as("n_toks"),
@@ -229,8 +278,7 @@ object Sampling {
   def corpusSplitSql(trainFrac: Double = 0.8, valFrac: Double = 0.1): String =
     s"""WITH d AS (SELECT doc_id, source,
        |    CAST(len(${graft.llm.TextOps.tokensSql}) AS BIGINT) AS n_toks,
-       |    ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
-       |     / 4503599627370496.0) AS u
+       |    ${u52Sql(splitKeySql)} AS u
        |  FROM documents)
        |SELECT source,
        |  CASE WHEN u < $trainFrac THEN 'train'
@@ -243,8 +291,7 @@ object Sampling {
   def weightedSampleSql(k: Int = 60): String =
     s"""SELECT doc_id, n_chars,
        |  CAST(n_chars AS DOUBLE) /
-       |    ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
-       |     / 4503599627370496.0) AS priority
+       |    ${u52Sql("CAST(doc_id AS VARCHAR)")} AS priority
        |FROM documents
        |ORDER BY priority DESC, doc_id LIMIT $k""".stripMargin
 
@@ -261,9 +308,7 @@ object Sampling {
   def weightedSampleBySource(spark: SparkSession, dir: String,
       k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
-      .cast("long")
-    val u = (h + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52
+    val u = u52(col("doc_id").cast("string"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("priority").desc, col("doc_id"))
     Tables.documents(spark, dir)
@@ -278,8 +323,7 @@ object Sampling {
   def weightedSampleBySourceSql(k: Int = 20): String =
     s"""WITH p AS (SELECT doc_id, source, n_chars,
        |  CAST(n_chars AS DOUBLE) /
-       |    ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
-       |     / 4503599627370496.0) AS priority
+       |    ${u52Sql("CAST(doc_id AS VARCHAR)")} AS priority
        |FROM documents),
        |r AS (SELECT doc_id, source, n_chars, priority,
        |        CAST(row_number() OVER (PARTITION BY source
@@ -317,9 +361,7 @@ object Sampling {
     val perDoc = docs.select(
       col("doc_id"), col("source"),
       size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
-      ((conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
-        .cast("long") + lit(1L)).cast("double") / lit(4503599627370496.0))
-        .as("u"))
+      u52(col("doc_id").cast("string")).as("u"))
     val weight = (lit(1L) + length(col("source")).cast("long") % 3L)
       .cast("double").as("weight")
     val weighted = perDoc.groupBy(col("source"))
@@ -351,8 +393,7 @@ object Sampling {
   def tokenBudgetMixSql(budget: Long = 20000L): String =
     s"""WITH d AS (SELECT doc_id, source,
        |    CAST(len(${TextOps.tokensSql}) AS BIGINT) AS n_toks,
-       |    (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
-       |      / 4503599627370496.0 AS u
+       |    ${u52Sql("CAST(doc_id AS VARCHAR)")} AS u
        |  FROM documents),
        |t AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS tokens_total,
        |        CAST(1 + len(source) % 3 AS DOUBLE) AS weight
@@ -405,11 +446,7 @@ object Sampling {
     // the global-window formulation would WARN about (and plan) a
     // single-partition sort even though the frame is tiny
     val counts = docs.groupBy(col("stratum")).agg(count(lit(1)).as("c"))
-    val before = counts.select(col("stratum").as("s2"), col("c").as("c2"))
-    val offsets = counts
-      .join(broadcast(before), col("s2") < col("stratum"), "left")
-      .groupBy(col("stratum"))
-      .agg(coalesce(sum(col("c2")), lit(0L)).as("offset"))
+    val offsets = stratumOffsets(counts, Nil, "stratum", "c", "offset")
     docs
       .withColumn("r", row_number().over(
         Window.partitionBy(col("stratum")).orderBy(col("h"), col("doc_id"))))
@@ -456,11 +493,11 @@ object Sampling {
     val cumIn = docs.withColumn("cum_in",
       coalesce(sum(col("n_toks")).over(w), lit(0L)))
     val tot = docs.groupBy(col("stratum")).agg(sum(col("n_toks")).as("st"))
-    val before = tot.select(col("stratum").as("s2"), col("st").as("st2"))
-    val offs = tot.join(broadcast(before), col("s2") < col("stratum"), "left")
-      .groupBy(col("stratum"))
-      .agg(coalesce(sum(col("st2")), lit(0L)).as("off"))
-    val total = docs.agg(sum(col("n_toks")).as("t_total"))
+    val offs = stratumOffsets(tot, Nil, "stratum", "st", "off")
+    // the grand total is a rollup of the tiny per-stratum frame -- a
+    // third corpus scan (with its per-doc tokenize) for one number was
+    // the plan's single most expensive redundancy
+    val total = tot.agg(sum(col("st")).as("t_total"))
     cumIn.join(broadcast(offs), Seq("stratum"))
       .crossJoin(broadcast(total))
       .withColumn("cum_before", col("off") + col("cum_in"))

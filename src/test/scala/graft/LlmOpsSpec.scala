@@ -1241,8 +1241,11 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1),
         r.getString(2).toLowerCase.split("\\s+").count(_.nonEmpty).toLong))
     val md = java.security.MessageDigest.getInstance("MD5")
+    // the split draw is SALTED (":split") so it decorrelates from the
+    // unsalted sampler draws -- the r13 fix for sampled corpora whose
+    // docs would otherwise all land in 'train'
     def u(id: Long): Double = {
-      val hex = md.digest(id.toString.getBytes("UTF-8"))
+      val hex = md.digest((id.toString + ":split").getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.substring(0, 13)
       (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 4503599627370496.0
     }
@@ -1266,6 +1269,28 @@ class LlmOpsSpec extends AnyFunSuite {
       .select("doc_id", "split").collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap
     assert(sub.forall { case (id, sp) => sp == splitOf(id) })
+  }
+
+  test("corpus split is decorrelated from the unsalted sampler draws") {
+    // the bias the salt exists to prevent: a hash-sampled sub-corpus
+    // (unsalted u below the accept rate) must still carry val and test
+    // docs. With an UNSALTED split draw, u < 0.125 < trainFrac would put
+    // every sampled doc in 'train' and silently empty the holdouts.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def uRaw(id: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 4503599627370496.0
+    }
+    val sampled = graft.llm.Sampling.corpusSplitAssign(spark, sf)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, _) => uRaw(id) < 0.125 } // the 1/8 hash sample
+    assert(sampled.length > 20, "sample too small to test")
+    val splits = sampled.map(_._2).toSet
+    assert(splits.contains("val") && splits.contains("test"),
+      s"hash-sampled corpus lost its holdouts: only $splits present " +
+        s"in ${sampled.length} sampled docs")
   }
 
   test("dup cluster histogram: refolds the cluster assignment and conserves the corpus") {
