@@ -183,8 +183,9 @@ object SparkEntry {
     // streaming near-dup as a registered query: the documents table is
     // streamed through the fMGWS band-bucket operator to completion and
     // the distinct pair set returned — equal by construction to the
-    // batch dedup_simhash truth (StreamingNearDupSpec pins it), which
-    // is how a stateful streaming op with no SQL oracle gets checked
+    // batch dedup_simhash truth (StreamingNearDupSpec pins it), and
+    // since the md5-based signature replays in SQL it shares
+    // dedup_simhash's brute-Hamming DuckDB oracle below
     "streaming_neardup" -> (graft.streaming.StreamingNearDup
       .streamingNearDupQuery(_, _)),
     // stateful streaming gate whose prefix-admission contract IS a SQL
@@ -259,14 +260,28 @@ object SparkEntry {
     "decontam"          -> Decontam.decontaminateSql(),
     "split_leakage"     -> Decontam.splitLeakageSql(),
     "decontam_apply"    -> Decontam.decontamApplySql(),
-    // dedup_simhash / emb_neardup_lsh / fingerprint: engine-specific
-    // hash families — not ANSI-SQL-expressible; covered by
-    // DedupSpec/VectorsSpec/TextOpsSpec against brute-force truth.
+    // fingerprint family: the Karp-Rabin hash wraps mod 2^64 and
+    // winnowing keeps min VALUES, so the whole pipeline replays in
+    // HUGEINT SQL (TextOps.fingerprintCtesSql) — hash-oracled
+    "fingerprint"       -> TextOps.fingerprintsSql(),
+    "decontam_fp"       -> Decontam.decontamFpSql(),
     // (dedup_minhash and dedup_incremental ARE oracled above: their
     // registered threshold-0.9 forms exact-verify candidates and the
     // banding miss probability there is ~4e-8 per pair.)
+    // dedup_simhash's banded join is EXACT by pigeonhole and its
+    // md5-derived signature replays in DuckDB, so its oracle is the
+    // brute all-pairs Hamming join — and streaming_neardup, pinned
+    // equal to the batch pair set, carries the same oracle.
+    "dedup_simhash"     -> Dedup.dedupSimhashSql(),
+    "streaming_neardup" -> Dedup.dedupSimhashSql(),
+    // hll_distinct: deterministic splitmix64 sketch — the SQL replays
+    // the hash (32-bit-split mod-2^64 multiplies) and the small-range
+    // estimator branch the test cardinalities pin (see hllDistinctSql)
+    "hll_distinct"      -> graft.functions.HllSketch.hllDistinctSql(),
     "similarity_topk"   -> Vectors.simTopKSql(),
+    "similarity_topk_sq8" -> Vectors.simTopKSq8Sql(),
     "emb_neardup"       -> Vectors.embNearDupSql(),
+    "emb_neardup_lsh"   -> Vectors.embNearDupLshSql(),
     "emb_centroids"     -> Vectors.embCentroidsSql,
     "emb_covariance"    -> Vectors.embCovarianceSql(),
     // emb_pca_project / emb_outliers: iterative eigensolve / matrix

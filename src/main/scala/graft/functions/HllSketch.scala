@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   * sketches are bit-identical (FunctionsSpec pins the merge law as
   * register equality, not estimate closeness).
   *
-  * Approximate by construction (se ≈ 1.04/√m ≈ 1.6% at p=12) ⇒ no SQL
-  * oracle; FunctionsSpec bounds the error against exact distinct
-  * counts and ContractSpec pins the exemption.
+  * Approximate by construction (se ≈ 1.04/√m ≈ 1.6% at p=12), but
+  * DETERMINISTIC — so the registered query still hash-checks against
+  * [[HllSketch.hllDistinctSql]], a SQL replay of the splitmix64 hash
+  * and the small-range estimator; FunctionsSpec additionally bounds the
+  * error against exact distinct counts.
   */
 case class HllSketch(p: Int) extends Aggregator[Long, Array[Byte], Long] {
   require(p >= 4 && p <= 18, s"p=$p out of [4,18]")
@@ -106,6 +108,47 @@ object HllSketch {
       .groupByKey(_._1)
       .agg(agg.toColumn.name("est_users"))
       .toDF("event_type", "est_users")
+  }
+
+  /** DuckDB oracle for [[hllDistinct]] — the sketch itself is
+    * deterministic (splitmix64 over the Long user_id), and splitmix64
+    * replays in SQL: UBIGINT carries the 64-bit lanes for xor/logical
+    * shifts, and each 64×64 multiply goes through the 32-bit-split
+    * `(a0·b + ((a1·b mod 2^32)<<32)) mod 2^64` form because a direct
+    * HUGEINT product of two ~2^64 operands overflows INT128.
+    *
+    * The estimator branch: at the registered p=12, the raw-HLL branch
+    * needs est > 2.5·m ≈ 10k distinct users per event type; the test
+    * corpus carries 150–1500, so the SMALL-RANGE linear-counting branch
+    * `round(m·ln(m/zeros))` always fires, and `zeros` needs only the
+    * count of OCCUPIED registers (any present register has rank ≥ 1) —
+    * `count(DISTINCT h >> 52)`. The oracle encodes that branch alone
+    * and would diverge (loudly, as a hash mismatch — never silently) if
+    * regenerated testdata ever crossed ~10k distinct users per group;
+    * the raw branch's register-order double sum is the one piece SQL
+    * could not replay. Java round-half-up == DuckDB round
+    * half-away-from-zero on the positive estimates. */
+  def hllDistinctSql(p: Int = 12): String = {
+    val m = 1 << p
+    val mod = "18446744073709551616::HUGEINT"
+    def mulmod(a: String, b: String): String =
+      s"(((((${a}) & 4294967295::UBIGINT)::HUGEINT * ${b}::HUGEINT)" +
+        s" + (((((${a}) >> 32)::HUGEINT * ${b}::HUGEINT) % 4294967296::HUGEINT)" +
+        s" * 4294967296::HUGEINT)) % ${mod})::UBIGINT"
+    s"""WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+       |s1 AS (SELECT event_type,
+       |  ((user_id::HUGEINT % ${mod} + ${mod} + 11400714819323198485::HUGEINT)
+       |    % ${mod})::UBIGINT AS a FROM u),
+       |s2 AS (SELECT event_type,
+       |  ${mulmod("xor(a, a >> 30)", "13787848793156543929")} AS b FROM s1),
+       |s3 AS (SELECT event_type,
+       |  ${mulmod("xor(b, b >> 27)", "10723151780598845931")} AS c FROM s2),
+       |h AS (SELECT event_type, xor(c, c >> 31) AS h FROM s3),
+       |regs AS (SELECT event_type,
+       |  count(DISTINCT h >> ${64 - p}) AS used FROM h GROUP BY event_type)
+       |SELECT event_type,
+       |  CAST(round(${m} * ln(${m}.0 / (${m} - used))) AS BIGINT) AS est_users
+       |FROM regs""".stripMargin
   }
 
   /** The keyed-record adapter: sketch over `f(record)` — the same

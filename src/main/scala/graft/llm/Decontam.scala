@@ -199,6 +199,27 @@ object Decontam {
        |WHERE d.doc_id % $benchMod != $benchRem
        |  AND d.doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin
 
+  /** DuckDB oracle for [[decontaminateFingerprint]]: replay the winnowed
+    * fingerprint sets ([[TextOps.fingerprintCtesSql]] — exact mod-2^64
+    * hash reconstruction), split on the bench carve, and join postings.
+    * `fp` is already a per-doc SET, so `count(*) OVER (PARTITION BY
+    * doc_id)` is the engine's `size(fp)` and the post-join
+    * `count(DISTINCT h)` matches its distinct-aggregate. */
+  def decontamFpSql(k: Int = 8, window: Int = 4, benchMod: Int = 20,
+      benchRem: Int = 7, minShared: Int = 2): String =
+    s"""WITH ${TextOps.fingerprintCtesSql(k, window)},
+       |cfp AS (SELECT doc_id, h FROM fp WHERE doc_id % ${benchMod} != ${benchRem}),
+       |bfp AS (SELECT doc_id AS bench_id, h,
+       |          count(*) OVER (PARTITION BY doc_id) AS bench_fp_size
+       |        FROM fp WHERE doc_id % ${benchMod} = ${benchRem}),
+       |j AS (SELECT cfp.doc_id, bfp.bench_id, bfp.bench_fp_size,
+       |        CAST(count(DISTINCT cfp.h) AS BIGINT) AS n_shared
+       |      FROM cfp JOIN bfp ON cfp.h = bfp.h
+       |      GROUP BY 1, 2, 3)
+       |SELECT doc_id, bench_id, n_shared,
+       |  round(CAST(n_shared AS DOUBLE) / bench_fp_size, 6) AS containment
+       |FROM j WHERE n_shared >= ${minShared}""".stripMargin
+
   def decontaminateFingerprint(spark: SparkSession, dir: String,
       k: Int = 8, window: Int = 4, benchMod: Int = 20, benchRem: Int = 7,
       minShared: Int = 2): DataFrame = {

@@ -905,13 +905,22 @@ object Dedup {
     * 64 bits; bit j of the signature is the sign of Σ_tokens (±1 per bit).
     * Expressed as 64 conditional-sum aggregates + a bit-assembly fold —
     * all codegen'd, one shuffle on doc_id. */
-  /** Per-ROW SimHash-64 of a text column: distinct tokens hash with
-    * xxhash64; signature bit j is the sign of Σ_tokens(±1 on hash bit j).
+  /** Per-ROW SimHash-64 of a text column: distinct tokens hash to 64
+    * bits; signature bit j is the sign of Σ_tokens(±1 on hash bit j).
     * A document's text lives in one row, so the signature is a pure
     * projection — 64 array-folds per row, zero shuffle, and the same
     * math as a grouped 64-aggregate formulation bit for bit. Works
     * identically on batch and STREAMING frames (a streaming near-dup
     * needs the signature before any stateful operator).
+    *
+    * The token hash is md5-derived (60 bits from hex chars 1-15 plus 4
+    * from char 16) rather than xxhash64: md5 is the one 64-bit-capable
+    * hash BOTH engines expose with identical bytes, which is what lets
+    * [[dedupSimhashSql]] replay the exact signature in DuckDB and turn
+    * the SimHash family (and the streaming operator pinned equal to it)
+    * from spec-pinned into hash-oracled. The signature fold dominates
+    * the per-token hash cost 64:1, so the md5-vs-xxhash64 delta is
+    * noise; bit quality is equivalent (both uniform).
     *
     * Token-less documents get a NULL signature, not a value: the empty
     * sum would set every bit (0 >= 0), silently making all empty/
@@ -920,7 +929,11 @@ object Dedup {
     * consumers drop nulls before banding. */
   def simhash64(text: Column): Column = {
     val toks = array_distinct(TextOps.tokens(text))
-    val hs = transform(toks, t => xxhash64(t))
+    val hs = transform(toks, t => {
+      val m = md5(t)
+      conv(substring(m, 1, 15), 16, 10).cast("long")
+        .bitwiseOR(shiftleft(conv(substring(m, 16, 1), 16, 10).cast("long"), 60))
+    })
     val sig = (0 until 64).map { j =>
       when(aggregate(hs, lit(0L), (acc, h) =>
           acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
@@ -947,6 +960,44 @@ object Dedup {
     bandedHammingPairs(
       simhashSignatures(spark, dir).select(col("doc_id"), col("simhash").as("sig")),
       maxDist)
+
+  /** DuckDB oracle for [[dedupSimhash]] AND the streaming operator
+    * pinned equal to it (`streaming_neardup`) — possible because (a)
+    * the md5-derived token hash reproduces bit-for-bit in DuckDB
+    * (`('0x'||substr(md5(t),…))::BIGINT` == Spark's `conv(…,16,10)`),
+    * (b) the per-bit ±1 sums are exact integer math (order-free), and
+    * (c) [[bandedHammingPairs]] has FULL recall by pigeonhole, so the
+    * banded engine answer equals this brute all-pairs Hamming join by
+    * construction — the oracle checks the banding claim itself, which
+    * the recall spec could only sample. Bit 63 is assembled with `|`
+    * against the min-long literal (DuckDB's `<<` range-checks where
+    * Java's wraps). */
+  def dedupSimhashSql(maxDist: Int = 3): String = {
+    val sums = (0 until 64).map { j =>
+      val bit = if (j < 60) s"(h60 >> ${j}) & 1" else s"(h4 >> ${j - 60}) & 1"
+      s"SUM(CASE WHEN (${bit}) = 1 THEN 1 ELSE -1 END) AS s${j}"
+    }.mkString(",\n        ")
+    val low = (0 until 63).map(j =>
+      s"CASE WHEN s${j} >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    val sig = s"((${low}) | (CASE WHEN s63 >= 0 THEN (-9223372036854775807 - 1) ELSE 0 END))"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(${TextOps.tokensSql})) AS t
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(t), 1, 15))::BIGINT AS h60,
+       |    ('0x' || substr(md5(t), 16, 1))::BIGINT AS h4
+       |  FROM toks),
+       |agg AS (
+       |  SELECT doc_id,
+       |        ${sums}
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, ${sig} AS sig FROM agg)
+       |SELECT a.doc_id AS ida, b.doc_id AS idb,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= ${maxDist}""".stripMargin
+  }
 
   /** EXACT banded self-join over any 64-bit signature frame
     * `(doc_id: long, sig: long)`, full recall at Hamming ≤ maxDist by

@@ -38,13 +38,23 @@ object TextOps {
       .select(
         col("doc_id"),
         col("word_count"),
-        round(aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
-          .cast("double") / col("word_count"), 6).as("avg_word_len"),
+        // zero-token guard on every word_count division: Spark's 0/0
+        // reads NaN while DuckDB's list_sum([]) reads NULL -- the two
+        // engines would diverge the moment the generator emits one
+        // blank document. Pin the degenerate case to an explicit 0.0
+        // on BOTH sides so the oracle match is by definition.
+        when(col("word_count") > 0,
+          round(aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+            .cast("double") / col("word_count"), 6)).otherwise(lit(0.0))
+          .as("avg_word_len"),
         round(col("punct_count").cast("double") / col("n_chars"), 6).as("punct_ratio"),
-        round(col("stop_count").cast("double") / col("word_count"), 6).as("stop_ratio"),
-        round(least(col("word_count").cast("double") / lit(50.0), lit(1.0)) * 0.5
-          + (col("stop_count").cast("double") / col("word_count")) * 0.5, 6)
-          .as("quality_score"))
+        when(col("word_count") > 0,
+          round(col("stop_count").cast("double") / col("word_count"), 6))
+          .otherwise(lit(0.0)).as("stop_ratio"),
+        when(col("word_count") > 0,
+          round(least(col("word_count").cast("double") / lit(50.0), lit(1.0)) * 0.5
+            + (col("stop_count").cast("double") / col("word_count")) * 0.5, 6))
+          .otherwise(lit(0.0)).as("quality_score"))
 
   val textStatsSql: String =
     s"""WITH t AS (SELECT doc_id, n_chars, text, ${tokensSql} AS toks FROM documents),
@@ -56,11 +66,17 @@ object TextOps {
        |          AS BIGINT) AS stop_count
        |      FROM t)
        |SELECT doc_id, word_count,
-       |  round(CAST(len_sum AS DOUBLE) / word_count, 6) AS avg_word_len,
+       |  CASE WHEN word_count > 0
+       |    THEN round(CAST(len_sum AS DOUBLE) / word_count, 6) ELSE 0.0 END
+       |    AS avg_word_len,
        |  round(CAST(punct_count AS DOUBLE) / n_chars, 6) AS punct_ratio,
-       |  round(CAST(stop_count AS DOUBLE) / word_count, 6) AS stop_ratio,
-       |  round(least(CAST(word_count AS DOUBLE) / 50.0, 1.0) * 0.5
-       |    + (CAST(stop_count AS DOUBLE) / word_count) * 0.5, 6) AS quality_score
+       |  CASE WHEN word_count > 0
+       |    THEN round(CAST(stop_count AS DOUBLE) / word_count, 6) ELSE 0.0 END
+       |    AS stop_ratio,
+       |  CASE WHEN word_count > 0
+       |    THEN round(least(CAST(word_count AS DOUBLE) / 50.0, 1.0) * 0.5
+       |      + (CAST(stop_count AS DOUBLE) / word_count) * 0.5, 6) ELSE 0.0 END
+       |    AS quality_score
        |FROM c""".stripMargin
 
   private val markers: Seq[(String, Seq[String])] = Seq(
@@ -126,15 +142,19 @@ object TextOps {
           .cast("long").as("bpe_tokens"),
         col("n_chars"))
       .withColumn("chars_per_token",
-        round(col("n_chars").cast("double") / col("bpe_tokens"), 6))
+        when(col("bpe_tokens") > 0,
+          round(col("n_chars").cast("double") / col("bpe_tokens"), 6))
+          .otherwise(lit(0.0)))
 
   val tokenCountSql: String =
     s"""SELECT doc_id,
        |  CAST(len(${tokensSql}) AS BIGINT) AS ws_tokens,
        |  CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
        |  n_chars,
-       |  round(CAST(n_chars AS DOUBLE)
-       |    / len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')), 6) AS chars_per_token
+       |  CASE WHEN len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')) > 0
+       |    THEN round(CAST(n_chars AS DOUBLE)
+       |      / len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')), 6)
+       |    ELSE 0.0 END AS chars_per_token
        |FROM documents""".stripMargin
 
   /** True subword token counting via greedy byte-pair merges
@@ -153,7 +173,9 @@ object TextOps {
         graft.functions.BpeTokenCount.bpe_token_count(col("text")).as("bpe_tokens"),
         col("n_chars"))
       .withColumn("chars_per_token",
-        round(col("n_chars").cast("double") / col("bpe_tokens"), 6))
+        when(col("bpe_tokens") > 0,
+          round(col("n_chars").cast("double") / col("bpe_tokens"), 6))
+          .otherwise(lit(0.0)))
 
   /** Overlapping token-window chunking — the unit-of-training-sample
     * splitter (chunk of `chunkTokens` tokens every `stride`). Pure
@@ -1324,9 +1346,8 @@ object TextOps {
        |FROM r""".stripMargin
 
   /** Winnowed fingerprint summary per document (custom codegen'd Catalyst
-    * expression — [[graft.functions.WinnowedFingerprint]]). Not
-    * SQL-expressible in the oracle (engine-specific rolling hash);
-    * verified against a plain-Scala reimplementation in TextOpsSpec. */
+    * expression — [[graft.functions.WinnowedFingerprint]]); DuckDB
+    * oracle via [[fingerprintsSql]]. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("fp", winnowed_fingerprint(col("text"), 8, 4))
@@ -1335,4 +1356,66 @@ object TextOps {
         size(col("fp")).as("fp_size"),
         array_min(col("fp")).as("fp_min"),
         array_max(col("fp")).as("fp_max"))
+
+  /** CTE block reconstructing [[graft.functions.WinnowedFingerprint]]'s
+    * per-doc fingerprint SET as `fp(doc_id, h)` rows, in pure SQL — the
+    * shared scaffold of the `fingerprint` and `decontam_fp` oracles.
+    *
+    * Why this is SQL-expressible at all: (a) the engine's Karp-Rabin
+    * hash wraps in Java Long arithmetic, i.e. mod 2^64, so each window
+    * hash is the closed-form Σ code(s[i+j])·Base^(k-1-j) mod 2^64 —
+    * replayed here in HUGEINT with the Scala-wrapped powers embedded as
+    * unsigned literals, then re-signed; (b) the rolling update is
+    * algebraically identical to that closed form, so position hashes
+    * are INDEPENDENT (no cross-window state, unlike CDC's resetting
+    * gear hash); (c) winnowing keeps only the min VALUE of each
+    * w-window (ties affect which index wins, never the value) and
+    * dedups, so the selected set is `DISTINCT min-over-window` — a
+    * plain sliding-window aggregate. charAt (UTF-16) == unicode()
+    * (code point) because the corpus is ASCII; a non-BMP corpus would
+    * need a byte-level recast on both sides. */
+  def fingerprintCtesSql(k: Int = 8, w: Int = 4): String = {
+    val Base = 1000003L
+    // Base^p wrapped in Long (the engine's overflow semantics), embedded
+    // as unsigned decimals for HUGEINT math
+    val pows = Array.iterate(1L, k)(_ * Base)
+    val terms = (0 until k).map { j =>
+      s"unicode(substr(text, i + ${j}, 1))::HUGEINT * ${java.lang.Long.toUnsignedString(pows(k - 1 - j))}::HUGEINT"
+    }.mkString("\n      + ")
+    s"""pos AS (
+       |  SELECT doc_id, text,
+       |    CAST(unnest(range(1, length(text) - ${k} + 2)) AS INT) AS i
+       |  FROM documents),
+       |hh AS (
+       |  SELECT doc_id, i,
+       |    CAST((CASE WHEN m0 >= 9223372036854775808::HUGEINT
+       |      THEN m0 - 18446744073709551616::HUGEINT ELSE m0 END) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, i,
+       |      (${terms}) % 18446744073709551616::HUGEINT AS m0
+       |    FROM pos)),
+       |wm AS (
+       |  SELECT doc_id, i, h,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mh,
+       |    count(*) OVER (PARTITION BY doc_id) AS m
+       |  FROM hh),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, mh AS h FROM wm
+       |  WHERE m > ${w} AND i <= m - ${w} + 1
+       |  UNION
+       |  SELECT doc_id, min(h) AS h FROM wm
+       |  GROUP BY doc_id HAVING count(*) <= ${w})""".stripMargin
+  }
+
+  /** DuckDB oracle for [[fingerprints]]: aggregate the replayed
+    * fingerprint set; docs shorter than k keep a size-0/null row via
+    * the left join, mirroring the engine's empty array. */
+  def fingerprintsSql(k: Int = 8, w: Int = 4): String =
+    s"""WITH ${fingerprintCtesSql(k, w)}
+       |SELECT d.doc_id, CAST(coalesce(a.c, 0) AS INT) AS fp_size,
+       |  a.mn AS fp_min, a.mx AS fp_max
+       |FROM documents d LEFT JOIN
+       |  (SELECT doc_id, count(*) AS c, min(h) AS mn, max(h) AS mx
+       |   FROM fp GROUP BY doc_id) a
+       |  USING (doc_id)""".stripMargin
 }

@@ -26,12 +26,22 @@ object Vectors {
   val dotSql: String = "CAST(list_dot_product(%s, %s) AS DOUBLE)"
 
   def cosine(a: Column, b: Column): Column =
-    dotF32(a, b) / (sqrt(dotF32(a, a)) * sqrt(dotF32(b, b)))
+    dotF32(a, b) / (clampNorm(sqrt(dotF32(a, a))) * clampNorm(sqrt(dotF32(b, b))))
+
+  /** Zero-norm guard: an all-zero (or sub-denormal) embedding would
+    * give cosine 0/0 = NaN, and NaN sorts ABOVE every real cosine
+    * under desc in both Spark and DuckDB — one broken vector would
+    * seize rank 1 for every query and evict a true neighbor, with the
+    * oracle agreeing and never flagging it. Clamping the norm floor
+    * pins such vectors to cosine 0 instead; real embedding norms are
+    * orders of magnitude above the floor, so no legitimate value
+    * changes (the SQL oracles carry the same greatest() clamp). */
+  private def clampNorm(n: Column): Column = greatest(n, lit(1e-12))
 
   /** norm precomputed once per vector (sqrt of the same f32 dot the
     * oracle computes per pair — identical double, 3× less work). */
   private def withNorm(df: DataFrame, vec: String, normName: String): DataFrame =
-    df.withColumn(normName, sqrt(dotF32(col(vec), col(vec))))
+    df.withColumn(normName, clampNorm(sqrt(dotF32(col(vec), col(vec)))))
 
   /** Exact cosine top-k for the query vectors (vec_id < nQueries) against
     * the full corpus. Brute force is the baseline: at corpus scale the
@@ -61,8 +71,8 @@ object Vectors {
        |           FROM embeddings WHERE vec_id < ${nQueries}),
        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
        |        round(CAST(list_dot_product(q.qvec, e.embedding) AS DOUBLE)
-       |          / (sqrt(CAST(list_dot_product(q.qvec, q.qvec) AS DOUBLE))
-       |             * sqrt(CAST(list_dot_product(e.embedding, e.embedding) AS DOUBLE))), 6) AS cos
+       |          / (greatest(sqrt(CAST(list_dot_product(q.qvec, q.qvec) AS DOUBLE)), 1e-12)
+       |             * greatest(sqrt(CAST(list_dot_product(e.embedding, e.embedding) AS DOUBLE)), 1e-12)), 6) AS cos
        |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
        |r AS (SELECT query_id, neighbor_id, cos,
        |        CAST(row_number() OVER (PARTITION BY query_id
@@ -142,12 +152,12 @@ object Vectors {
   def embNearDupSql(threshold: Double = 0.45): String =
     s"""SELECT a.vec_id AS ida, b.vec_id AS idb,
        |  round(CAST(list_dot_product(a.embedding, b.embedding) AS DOUBLE)
-       |    / (sqrt(CAST(list_dot_product(a.embedding, a.embedding) AS DOUBLE))
-       |       * sqrt(CAST(list_dot_product(b.embedding, b.embedding) AS DOUBLE))), 6) AS cosine
+       |    / (greatest(sqrt(CAST(list_dot_product(a.embedding, a.embedding) AS DOUBLE)), 1e-12)
+       |       * greatest(sqrt(CAST(list_dot_product(b.embedding, b.embedding) AS DOUBLE)), 1e-12)), 6) AS cosine
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |WHERE round(CAST(list_dot_product(a.embedding, b.embedding) AS DOUBLE)
-       |    / (sqrt(CAST(list_dot_product(a.embedding, a.embedding) AS DOUBLE))
-       |       * sqrt(CAST(list_dot_product(b.embedding, b.embedding) AS DOUBLE))), 6)
+       |    / (greatest(sqrt(CAST(list_dot_product(a.embedding, a.embedding) AS DOUBLE)), 1e-12)
+       |       * greatest(sqrt(CAST(list_dot_product(b.embedding, b.embedding) AS DOUBLE)), 1e-12)), 6)
        |  >= ${threshold}""".stripMargin
 
   /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
@@ -338,6 +348,57 @@ object Vectors {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("cos").as("cosine"))
+  }
+
+  /** DuckDB oracle for [[simTopKSq8]] — possible because SQ8 is the one
+    * ANN rung with NO trained state: the quantizer is a closed-form,
+    * per-vector linear map (s = max|x|/127 clamped at Float.MIN_NORMAL,
+    * codes = clamp(round(x/s))), the approximate scan is an exact
+    * integer dot, and the refine cut ranks on deterministic doubles with
+    * a vec_id tie-break. Every step is IEEE-reproducible in SQL, so the
+    * oracle replays the SAME approximate algorithm (not the brute-force
+    * answer) and must match bit-for-bit — which also pins the refine-cut
+    * boundary itself, something the recall-vs-brute spec can't see.
+    * Arithmetic mirrors: float abs/max stay FLOAT until the /127.0
+    * widen; round() is half-away-from-zero on the same double in both
+    * engines; the int8 dot is exact in double far below 2^53; score
+    * association is ((qs*s)*dot)/(qnrm*nrm) on both sides. */
+  def simTopKSq8Sql(nQueries: Int = 10, k: Int = 5, refine: Int = 4): String = {
+    // Float.MIN_NORMAL (2^-126) as its shortest round-trip double literal
+    val minNormal = "1.1754943508222875e-38"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    greatest(sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE)), 1e-12) AS nrm,
+       |    greatest(CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0,
+       |             ${minNormal}) AS s
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT vec_id, embedding, nrm, s,
+       |    list_transform(embedding,
+       |      x -> CAST(greatest(least(round(CAST(x AS DOUBLE) / s), 127.0), -127.0) AS BIGINT)) AS q8
+       |  FROM e),
+       |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm,
+       |             s AS qs, q8 AS qq8
+       |      FROM c WHERE vec_id < ${nQueries}),
+       |a AS (
+       |  SELECT q.query_id, c.vec_id, c.embedding, c.nrm, q.qvec, q.qnrm,
+       |    ((q.qs * c.s) * CAST(list_dot_product(q.qq8, c.q8) AS DOUBLE))
+       |      / (q.qnrm * c.nrm) AS ascore
+       |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+       |r AS (
+       |  SELECT query_id, vec_id, embedding, nrm, qvec, qnrm,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY ascore DESC, vec_id) AS ark
+       |  FROM a),
+       |f AS (
+       |  SELECT query_id, vec_id,
+       |    round(CAST(list_dot_product(qvec, embedding) AS DOUBLE) / (qnrm * nrm), 6) AS cos
+       |  FROM r WHERE ark <= ${k * refine}),
+       |t AS (SELECT query_id, vec_id, cos,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |      FROM f)
+       |SELECT query_id, rank, vec_id AS neighbor_id, cos AS cosine
+       |FROM t WHERE rank <= ${k}""".stripMargin
   }
 
   /** Product-quantized (PQ) top-k — the third rung of the ANN ladder
@@ -643,11 +704,16 @@ object Vectors {
     * LlmOpsSpec. Either way the per-pair work only happens inside
     * shared buckets; never all-pairs. */
   def embNearDupLsh(spark: SparkSession, dir: String,
-      threshold: Double = 0.45, nBits: Int = 16, nBands: Int = 4): DataFrame = {
+      threshold: Double = 0.45, nBits: Int = 16, nBands: Int = 4,
+      dim: Int = 64): DataFrame = {
     require(nBits % nBands == 0, s"nBits=$nBits not divisible by nBands=$nBands")
     val bandWidth = nBits / nBands
     val mask = (1L << bandWidth) - 1L
-    val emb = srpBuckets(Tables.fanOut(Tables.embeddings(spark, dir)), nBits)
+    // dim is threaded to the plane generator: zip_with against planes
+    // of the wrong length nulls every dot, hashes EVERY vector to
+    // bucket 0 and silently degenerates the banded join into the
+    // all-pairs cross product the LSH exists to avoid
+    val emb = srpBuckets(Tables.fanOut(Tables.embeddings(spark, dir)), nBits, dim)
     val bands = (0 until nBands).map { i =>
       (i, shiftrightunsigned(col("bucket"), bandWidth * i).bitwiseAND(mask))
     }
@@ -665,6 +731,55 @@ object Vectors {
       .filter(col("cos") >= threshold)
       .select(col("ida"), col("idb"), col("cos").as("cosine"))
     // (within-bucket pairs are few; per-pair norms are fine here)
+  }
+
+  /** DuckDB oracle for [[embNearDupLsh]] — possible because SRP-LSH has
+    * no trained state either: the hyperplanes are driver-computed
+    * splitmix64 constants ([[planeComponent]]), so this generator embeds
+    * the SAME literal doubles into the SQL and replays the identical
+    * bucketing (not the brute-force answer), pinning the banding itself.
+    * The plane dot is written as an explicit left-associated sum chain
+    * `(0.0 + e[1]*p0 + e[2]*p1 + …)` so the double accumulation order
+    * matches Spark's sequential `aggregate` fold term for term —
+    * `list_dot_product` would leave the fold order to DuckDB. Bucket
+    * bits OR as a plain sum (the shifted bits are disjoint), bands are
+    * shift/mask arithmetic, and candidates verify with the shared
+    * clamped-norm cosine. */
+  def embNearDupLshSql(threshold: Double = 0.45, nBits: Int = 16,
+      nBands: Int = 4, dim: Int = 64): String = {
+    require(nBits % nBands == 0, s"nBits=$nBits not divisible by nBands=$nBands")
+    val bandWidth = nBits / nBands
+    val mask = (1L << bandWidth) - 1L
+    def chain(j: Int): String =
+      (0 until dim).map(i =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * (${planeComponent(j, i)})")
+        .mkString("(0.0 + ", " + ", ")")
+    val bucket = (0 until nBits).map(j =>
+      s"CASE WHEN ${chain(j)} >= 0 THEN ${1L << j} ELSE 0 END")
+      .mkString("(", " + ", ")")
+    val bandRows = (0 until nBands).map(i => s"(${i})").mkString(", ")
+    def cosSql(a: String, b: String): String =
+      s"""round(CAST(list_dot_product(${a}, ${b}) AS DOUBLE)
+         |    / (greatest(sqrt(CAST(list_dot_product(${a}, ${a}) AS DOUBLE)), 1e-12)
+         |       * greatest(sqrt(CAST(list_dot_product(${b}, ${b}) AS DOUBLE)), 1e-12)), 6)""".stripMargin
+    s"""WITH bk AS (
+       |  SELECT vec_id, embedding, ${bucket} AS bucket FROM embeddings),
+       |banded AS (
+       |  SELECT vec_id, embedding, bands.band_id,
+       |    (bucket >> (${bandWidth} * bands.band_id)) & ${mask} AS band_val
+       |  FROM bk CROSS JOIN (VALUES ${bandRows}) bands(band_id)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM banded a JOIN banded b
+       |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |   AND a.vec_id < b.vec_id),
+       |v AS (
+       |  SELECT cand.ida, cand.idb,
+       |    ${cosSql("ea.embedding", "eb.embedding")} AS cos
+       |  FROM cand
+       |  JOIN embeddings ea ON ea.vec_id = cand.ida
+       |  JOIN embeddings eb ON eb.vec_id = cand.idb)
+       |SELECT ida, idb, cos AS cosine FROM v WHERE cos >= ${threshold}""".stripMargin
   }
 
   /** Per-class embedding centroid (the class-prototype / drift-monitor

@@ -247,10 +247,11 @@ object StreamingNearDup extends Serializable {
 
   /** The registered bounded query: stream the documents table through
     * the standing-index operator (memory sink, run to completion) and
-    * return the distinct pair set — BY CONSTRUCTION comparable to the
-    * batch truth `dedup_simhash` computes on the same table, which is
-    * how CORRECTNESS checks a stateful streaming operator no SQL oracle
-    * can express. */
+    * return the distinct pair set — BY CONSTRUCTION equal to the batch
+    * truth `dedup_simhash` computes on the same table
+    * (StreamingNearDupSpec pins it), and therefore carrying the same
+    * brute-Hamming DuckDB oracle ([[graft.llm.Dedup.dedupSimhashSql]]):
+    * the stateful operator's full pair set hash-checks against SQL. */
   def streamingNearDupQuery(spark: SparkSession, dir: String,
       maxDist: Int = 3): DataFrame =
     // memoized like the other eager builders: plan screens and repeated

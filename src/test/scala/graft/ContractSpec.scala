@@ -9,20 +9,20 @@ import org.scalatest.funsuite.AnyFunSuite
 class ContractSpec extends AnyFunSuite {
 
   private val specGatedOnly = Set(
-    "dedup_simhash",      // LlmOpsSpec: == brute-force Hamming
-    "emb_neardup_lsh",    // LlmOpsSpec: subset + recall bound vs exact
+    // r13 graduations: dedup_simhash + streaming_neardup (md5-derived
+    // signature replays in SQL; brute-Hamming oracle), emb_neardup_lsh
+    // (driver-computed plane literals embedded in the SQL),
+    // similarity_topk_sq8 (closed-form quantizer, no trained state),
+    // fingerprint + decontam_fp (mod-2^64 Karp-Rabin replay in HUGEINT),
+    // hll_distinct (splitmix64 replay + pinned small-range branch).
+    // cms_topk / quantile_sketch graduated earlier: their registrations
+    // run exact-when-wide; narrow approximate configs keep their
+    // FunctionsSpec error envelopes.
     "dedup_semantic",     // LlmOpsSpec: drop precision vs exact pairs + in-cell recall
     "quality_classifier", // PiiQualitySpec: holdout agreement with the rule teacher
     "similarity_topk_ivf",// LlmOpsSpec: recall vs brute force
-    "similarity_topk_sq8",// LlmOpsSpec: recall vs brute force + quantized-score error bound
     "similarity_topk_pq", // LlmOpsSpec: recall vs brute force + bit-exact survivor cosines
     "similarity_topk_pq_idx", // LlmOpsSpec: == inline PQ results from the persisted index
-    // cms_topk / quantile_sketch graduated to DuckDB-oracled: their
-    // registrations run exact-when-wide (ε=1e-4 / k ≥ n); the narrow
-    // approximate configs keep their FunctionsSpec error envelopes
-    "fingerprint",        // LlmOpsSpec: == plain-Scala winnowing
-    "decontam_fp",        // LlmOpsSpec: planted contamination caught; clean doc not flagged
-    "hll_distinct",       // FunctionsSpec: error <= 5% vs exact distinct; bit-identical merge law
     "token_count_bpe",    // FunctionsSpec: == independent plain-Scala BPE merge count
     "cdc_chunks",         // FunctionsSpec: == plain-Scala gear roll; prefix-shift chunk survival law
     "cdc_shared",         // LlmOpsSpec: shifted partial copy caught; template chunks df-capped
@@ -31,7 +31,6 @@ class ContractSpec extends AnyFunSuite {
     "media_neardup",      // LlmOpsSpec: planted re-encoded/resized dups recalled
     "media_frame_neardup",// LlmOpsSpec: planted re-encoded clip's frames recalled
     "compression_ratio",  // FunctionsSpec: == plain-Scala Deflater refold + ordering law
-    "streaming_neardup",  // StreamingNearDupSpec: stream == batch dedup_simhash pair set
     "boilerplate_scrub_cdc", // LlmOpsSpec: shifted boilerplate scrubbed; identity reconstruction
     "emb_pca_project",    // LlmOpsSpec: eigenpair residual/orthonormality/variance laws
     "emb_outliers")       // LlmOpsSpec: == plain-Scala Mahalanobis refold top-k
