@@ -104,42 +104,51 @@ object ChunkFeeder {
   def feedDistributed(df: DataFrame, outDir: String, chunkSize: Int = 10000,
       namePrefix: String = "transactions_chunk"): Int = {
     val header = df.columns.mkString(",")
-    val withIdx = df.rdd.zipWithIndex()
-    val nChunks = {
-      val n = df.count()
-      math.max(1, math.ceil(n.toDouble / chunkSize).toInt)
-    }
-    val keyed = withIdx.map { case (row, idx) =>
-      ((idx / chunkSize).toInt, (idx, row)) }
-    val parted = keyed.partitionBy(new org.apache.spark.Partitioner {
-      override def numPartitions: Int = nChunks
-      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
-    })
-    parted.foreachPartition { it =>
-      // shuffle arrival order is nondeterministic; the in-memory sort
-      // (bounded by chunkSize rows) restores table order within the file
-      val rows = it.toArray.sortBy(_._2._1)
-      if (rows.nonEmpty) {
-        val chunkId = rows.head._1
-        val body = (header +: rows.toSeq.map { case (_, (_, row)) =>
-          (0 until row.length).map(i => csvEscape(row.get(i))).mkString(",")
-        }).mkString("", "\n", "\n")
-        val uuid8 = java.util.UUID.randomUUID().toString.split("-")(0)
-        val name = f"${namePrefix}_${chunkTimestamp()}_${uuid8}_part$chunkId%05d.csv"
-        val conf = new org.apache.hadoop.conf.Configuration()
-        val dir = new org.apache.hadoop.fs.Path(outDir)
-        val fs = dir.getFileSystem(conf)
-        fs.setWriteChecksum(false) // no .crc sidecars in the watched dir
-        fs.mkdirs(dir)
-        val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
-        val out = fs.create(tmp, true)
-        try out.write(body.getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-        val dst = new org.apache.hadoop.fs.Path(dir, name)
-        if (!fs.rename(tmp, dst))
-          throw new java.io.IOException(s"chunk publish rename failed: $tmp -> $dst")
+    // ONE materialization for the three passes (size job, zipWithIndex's
+    // internal size job, write pass): unpersisted, the source would
+    // recompute per action, and a non-deterministic source (sample,
+    // unsorted limit, a watched directory gaining a file mid-feed) could
+    // yield more rows in the write pass than the count that sized the
+    // partitioner — getPartition would route past numPartitions and
+    // crash the shuffle write
+    val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = rdd.count()
+      if (n == 0) return 0 // contract is "number WRITTEN" — feed() agrees
+      val nChunks = math.ceil(n.toDouble / chunkSize).toInt
+      val withIdx = rdd.zipWithIndex()
+      val keyed = withIdx.map { case (row, idx) =>
+        ((idx / chunkSize).toInt, (idx, row)) }
+      val parted = keyed.partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nChunks
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      parted.foreachPartition { it =>
+        // shuffle arrival order is nondeterministic; the in-memory sort
+        // (bounded by chunkSize rows) restores table order within the file
+        val rows = it.toArray.sortBy(_._2._1)
+        if (rows.nonEmpty) {
+          val chunkId = rows.head._1
+          val body = (header +: rows.toSeq.map { case (_, (_, row)) =>
+            (0 until row.length).map(i => csvEscape(row.get(i))).mkString(",")
+          }).mkString("", "\n", "\n")
+          val uuid8 = java.util.UUID.randomUUID().toString.split("-")(0)
+          val name = f"${namePrefix}_${chunkTimestamp()}_${uuid8}_part$chunkId%05d.csv"
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val dir = new org.apache.hadoop.fs.Path(outDir)
+          val fs = dir.getFileSystem(conf)
+          fs.setWriteChecksum(false) // no .crc sidecars in the watched dir
+          fs.mkdirs(dir)
+          val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(body.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          val dst = new org.apache.hadoop.fs.Path(dir, name)
+          if (!fs.rename(tmp, dst))
+            throw new java.io.IOException(s"chunk publish rename failed: $tmp -> $dst")
+        }
       }
-    }
-    nChunks
+      nChunks
+    } finally rdd.unpersist(blocking = false)
   }
 }

@@ -51,21 +51,33 @@ object JsonlSource {
     * line as a column sidesteps the scan restriction, prunes and counts
     * freely, and stays one streaming pass. */
   private def parsed(spark: SparkSession, path: String): DataFrame =
+    // whitespace-only lines are dropped up front, matching the native
+    // json() source, which ignores them entirely — they belong to
+    // NEITHER stream (they're separators, not torn records)
     spark.read.text(path)
+      .filter(trim(col("value")) =!= "")
       .select(col("value"),
         from_json(col("value"), documentsSchema, corruptOpts).as("p"))
 
-  /** The clean stream: parsed docs only. */
+  /** The clean stream: parsed docs only. A row is clean only when the
+    * parse produced a STRUCT with no corrupt-record payload: from_json
+    * returns a null struct (not a corrupt-marked one) for non-object
+    * JSON values like a bare `null`, `3`, or `"str"`, so filtering on
+    * `_corrupt_record IS NULL` alone would pass those through as
+    * phantom all-null documents — null doc_ids that poison downstream
+    * joins while the quarantine stream never sees the line. */
   def goodDocuments(spark: SparkSession, path: String): DataFrame =
     parsed(spark, path)
-      .filter(col("p._corrupt_record").isNull)
+      .filter(col("p").isNotNull && col("p._corrupt_record").isNull)
       .select(col("p.doc_id"), col("p.text"), col("p.lang"),
         col("p.source"), col("p.n_chars"))
 
-  /** The quarantine stream: original bad lines, for a dead-letter sink. */
+  /** The quarantine stream: original bad lines, for a dead-letter sink —
+    * both unparseable lines (corrupt-marked) and parseable-but-not-an-
+    * object lines (null struct; see [[goodDocuments]]). */
   def corruptLines(spark: SparkSession, path: String): DataFrame =
     parsed(spark, path)
-      .filter(col("p._corrupt_record").isNotNull)
+      .filter(col("p").isNull || col("p._corrupt_record").isNotNull)
       .select(col("value").as("line"))
 
   /** Write a documents frame as JSONL (Spark's json sink IS jsonl: one

@@ -265,9 +265,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(key(back) == key(docs) && key(docs).nonEmpty)
     // a crawler batch with a torn line: good rows parse, the bad line
     // lands in quarantine verbatim, nothing throws
+    // the torn line quarantines; a blank separator line belongs to
+    // NEITHER stream (the native json source ignores it); a parseable
+    // non-object line ('null', a bare scalar) must quarantine, not slip
+    // through as a phantom all-null document — from_json returns a null
+    // STRUCT for those, which the old corrupt-record-only filter passed
     val mixed = Seq(
       """{"doc_id": 1, "text": "fine", "lang": "en", "source": "s", "n_chars": 4}""",
+      "",
       """{"doc_id": 2, "text": "also fine", "lang": "en", "source": "s", "n_chars": 9}""",
+      "null",
+      "3",
       """{"doc_id": 3, "text": "torn""")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$base/mixed.jsonl"),
@@ -276,8 +284,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(good.count() == 2 &&
       key(good) == Map(1L -> ("fine", "en", "s", 4L), 2L -> ("also fine", "en", "s", 9L)))
     val bad = JsonlSource.corruptLines(spark, s"$base/mixed.jsonl")
-      .collect().map(_.getString(0))
-    assert(bad.toSeq == Seq(mixed(2)))
+      .collect().map(_.getString(0)).toSet
+    assert(bad == Set("null", "3", mixed(5)),
+      s"quarantine stream read $bad")
   }
 
   test("curation loop: streamed micro-batches == batch-mode pipeline; index grows only by kept docs") {
