@@ -38,9 +38,12 @@ object AnnRecall {
     // cells probed; PQ: exact-refine window)
     val rungs: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "brute" -> (Vectors.simTopK(_, _)),
+      // registered default probes every cell (recall 1.0 — the honest
+      // serving config on this corpus, and what makes the rung
+      // oracle-able); probe4/probe8 record the partial-probe tradeoff
       "ivf" -> (Vectors.simTopKIvf(_, _)),
+      "ivf_probe4" -> ((s, d) => Vectors.simTopKIvf(s, d, nProbe = 4)),
       "ivf_probe8" -> ((s, d) => Vectors.simTopKIvf(s, d, nProbe = 8)),
-      "ivf_probe16" -> ((s, d) => Vectors.simTopKIvf(s, d, nProbe = 16)),
       "sq8" -> (Vectors.simTopKSq8(_, _)),
       "pq" -> (Vectors.simTopKPq(_, _)),
       "pq_refine32" -> ((s, d) => Vectors.simTopKPq(s, d, refine = 32)),

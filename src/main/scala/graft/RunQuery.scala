@@ -35,7 +35,11 @@ object RunQuery {
     outDir match {
       case Some(out) =>
         df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
-        val sql = SparkEntry.oracleSql.get(name).map(s =>
+        val oracles =
+          if (SparkEntry.dynamicOracleKeys(name))
+            SparkEntry.dynamicOracleSql(spark, sfDir)
+          else SparkEntry.oracleSql
+        val sql = oracles.get(name).map(s =>
           "{\"" + name + "\": \"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
             .replace("\n", "\\n").replace("\t", "\\t") + "\"}").getOrElse("{}")
         java.nio.file.Files.writeString(

@@ -63,7 +63,12 @@ object ScaleCurve {
       val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_CURVE.jsonl")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    } catch {
+      case e: java.io.IOException =>
+        // Warn-and-continue: the stdout lines above remain the primary
+        // record; only the file mirror failed.
+        System.err.println(s"WARN: scale-curve artifact write failed: $e")
+    }
     spark.stop()
   }
 }

@@ -279,7 +279,19 @@ object SparkEntry {
     // estimator branch the test cardinalities pin (see hllDistinctSql)
     "hll_distinct"      -> graft.functions.HllSketch.hllDistinctSql(),
     "similarity_topk"   -> Vectors.simTopKSql(),
+    // IVF's registered default probes every cell (the honest serving
+    // config on this non-clustering corpus — BASELINE "IVF sweep"), so
+    // every vector is a scanned candidate and the brute-force SQL is
+    // the exact oracle; partial-probe rungs stay measured in
+    // ANN_RECALL.json + LlmOpsSpec
+    "similarity_topk_ivf" -> Vectors.simTopKSql(),
     "similarity_topk_sq8" -> Vectors.simTopKSq8Sql(),
+    // cdc_chunks: the masked gear hash is local to the last avgBits
+    // bytes once a cut is minLen away, so the resetting roll collapses
+    // to a per-position zero set + a recursive CTE over cut offsets
+    "cdc_chunks"        -> TextOps.cdcChunksSql(),
+    "cdc_shared"        -> Dedup.cdcSharedSql(),
+    "boilerplate_scrub_cdc" -> TextOps.boilerplateScrubCdcSql(),
     "emb_neardup"       -> Vectors.embNearDupSql(),
     "emb_neardup_lsh"   -> Vectors.embNearDupLshSql(),
     "emb_centroids"     -> Vectors.embCentroidsSql,
@@ -336,4 +348,36 @@ object SparkEntry {
     "cms_topk"          -> graft.functions.CmsSketch.cmsTopKSql,
     "quantile_sketch"   -> graft.functions.KllSketch.quantileSketchSql,
   )
+
+  /** Oracles whose SQL embeds TRAINED driver-side constants — Lloyd
+    * centroids, PQ codebooks, PCA eigenvectors, the whitening factor,
+    * logistic coefficients — as literals, replaying the same
+    * deterministic arithmetic the engine ran. Generated at verify time
+    * IN the session that ran the queries, so every embedded double is
+    * the run's own memoized model (and the training itself is
+    * deterministic: pinned vec_id-ordered samples, exact BIGINT
+    * moments, fixed-iteration solvers). [[Verify]] merges these into
+    * oracle_sql.json next to the static [[oracleSql]] entries. */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String)
+      : Map[String, String] = Map(
+    "dedup_semantic" -> Vectors.semanticDedupSql(
+      Vectors.coarseCentroids(spark, sfDir, nCells = 16)),
+    "similarity_topk_pq" -> Vectors.simTopKPqSql(
+      Vectors.pqCodebooks(spark, sfDir)),
+    // the persisted index round-trips the same codebooks through
+    // Double.toString (exact), so it shares the inline replay
+    "similarity_topk_pq_idx" -> Vectors.simTopKPqSql(
+      Vectors.pqCodebooks(spark, sfDir)),
+    "emb_pca_project" -> Vectors.embPcaProjectSql(
+      Vectors.pcaModelFor(spark, sfDir)),
+    "emb_outliers" -> Vectors.embOutliersSql(
+      Vectors.mahaModelFor(spark, sfDir)),
+    "quality_classifier" -> Quality.classifierSqlFor(spark, sfDir),
+  )
+
+  /** Static key set of [[dynamicOracleSql]] (ContractSpec accounting
+    * without a SparkSession). */
+  val dynamicOracleKeys: Set[String] = Set(
+    "dedup_semantic", "similarity_topk_pq", "similarity_topk_pq_idx",
+    "emb_pca_project", "emb_outliers", "quality_classifier")
 }

@@ -42,10 +42,21 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // trained-constant oracles generate in THIS session, after the
+    // queries ran — every embedded double is the run's own memoized
+    // model; a generator failure is recorded like a query failure
+    // rather than silently shrinking the oracle set
+    val (dynamic, dynErrors) =
+      try (SparkEntry.dynamicOracleSql(spark, sfDir), Seq.empty[(String, String)])
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracle generation failed: $e")
+        (Map.empty[String, String],
+          Seq("dynamic_oracle_sql" -> e.getClass.getSimpleName))
+      }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val errJson = errors
+    val errJson = (errors ++ dynErrors)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     if (errors.nonEmpty)

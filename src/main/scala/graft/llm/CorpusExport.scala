@@ -90,6 +90,24 @@ object CorpusExport {
     val base = exportPath(spark, dir, nShards, trainFrac, valFrac)
     val fin = new org.apache.hadoop.fs.Path(s"$base/final")
     val fs = fin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // GC superseded trees (the containmentProbeIdx discipline): every
+    // rewrite of the source table mints a new stamp, orphaning the old
+    // stamp's corpus-sized tree — and, because the key also carries the
+    // shard count / split fractions / draw version, every tree built
+    // under an older key shape. Any sibling for the same dir whose name
+    // lacks the CURRENT stamp is stale by definition; siblings that DO
+    // carry the stamp are live trees for other (nShards, fracs) configs
+    // of the same data and are kept.
+    try {
+      val stamp = Tables.fileStamp(spark, s"$dir/documents.parquet")
+      val dirPrefix = dir.replaceAll("[^A-Za-z0-9]", "_") + "_"
+      val parent = new org.apache.hadoop.fs.Path(base).getParent
+      if (fs.exists(parent)) fs.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(dirPrefix) && !n.contains(stamp))
+          fs.delete(st.getPath, true)
+      }
+    } catch { case _: java.io.IOException => () } // GC is best-effort
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/final/_SUCCESS"))) {
       val attempt = new org.apache.hadoop.fs.Path(
         s"$base/v_${java.util.UUID.randomUUID().toString.take(8)}")

@@ -505,8 +505,14 @@ object Dedup {
     // loser of a concurrent publish race drops its attempt (the builds
     // are deterministic over the same corpus, so either winner's index
     // is the same index).
+    // complete AND readable: an index left by a pre-layout-2 build (no
+    // _meta / flat sets) reads as "not built" here, so the swap-out
+    // rename path below replaces it — this is a stamp-keyed cached
+    // artifact, not user data, so rebuild beats the refusal
+    // DedupIndex.checkLayout reserves for durable caller-owned paths
     val markerOk = () => fs.exists(
-      new org.apache.hadoop.fs.Path(s"$path/postings/_SUCCESS"))
+      new org.apache.hadoop.fs.Path(s"$path/postings/_SUCCESS")) &&
+      DedupIndex.layoutOk(spark, path)
     if (!markerOk()) {
       val attempt = new org.apache.hadoop.fs.Path(
         s"${path}_attempt_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -1264,6 +1270,21 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_chunks"))
   }
+
+  /** DuckDB oracle for [[cdcSharedPairs]], riding the
+    * [[TextOps.cdcChunksSql]] boundary replay: distinct (doc, chunk)
+    * postings, the same 2..maxDf df band, pair join, shared-chunk
+    * count. */
+  def cdcSharedSql(maxDf: Int = 10): String =
+    s"""WITH c AS (${graft.llm.TextOps.cdcChunksSql()}),
+       |d AS (SELECT DISTINCT doc_id, chunk_md5 FROM c),
+       |f AS (SELECT chunk_md5 FROM d GROUP BY chunk_md5
+       |      HAVING count(*) >= 2 AND count(*) <= ${maxDf}),
+       |p AS (SELECT d.doc_id, d.chunk_md5 FROM d JOIN f USING (chunk_md5))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS shared_chunks
+       |FROM p a JOIN p b ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
 
   def spanSharedSql(n: Int = 13, maxDf: Int = 10): String =
     s"""WITH tk AS (SELECT doc_id, ${graft.llm.TextOps.tokensSql} AS toks FROM documents),

@@ -72,6 +72,15 @@ object DedupIndex {
   private def withDpfx(sets: DataFrame): DataFrame =
     sets.withColumn("dpfx", pmod(xxhash64(col("doc_id")), lit(nPfx)))
 
+  /** On-disk layout version. 2 = hash-prefix-partitioned components
+    * (buckets/sets/postings each carry a pfx/dpfx partition column the
+    * readers prune on). Layout-1 indexes (flat sets/, no _meta) cannot
+    * be read by this code — [[probe]] filters on a column they lack —
+    * so [[checkLayout]] refuses them with a rebuild message instead of
+    * letting the missing-column error (or a mixed flat+partitioned
+    * sets/ dir after a foldIn) surface downstream. */
+  private val layoutVersion = 2
+
   private def metaPath(path: String) = new org.apache.hadoop.fs.Path(s"$path/_meta")
 
   private def writeMeta(spark: SparkSession, path: String,
@@ -79,29 +88,64 @@ object DedupIndex {
     val mp = metaPath(path)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(mp, true)
-    out.write(s"bands=$bands rows=$rows".getBytes("UTF-8"))
+    out.write(s"layout=$layoutVersion bands=$bands rows=$rows".getBytes("UTF-8"))
     out.close()
   }
 
-  /** Refuse banding parameters that differ from the ones the index was
-    * built with. A missing _meta (an index from before this check)
-    * passes — the check exists to turn silent recall loss into a loud
-    * error, not to invalidate old test artifacts. */
-  private def checkMeta(spark: SparkSession, path: String,
-      bands: Int, rows: Int): Unit = {
+  /** Refuse an index this reader cannot serve: no `_meta` means a
+    * layout-1 index (flat, unpartitioned components — `_meta` and the
+    * partitioned layout shipped in the same change, so the marker
+    * exactly discriminates them), and a `layout=` token other than
+    * [[layoutVersion]] means a future format. Either way the only safe
+    * action is a rebuild — probing would throw on the missing `dpfx`
+    * column, and folding in would leave a mixed flat+partitioned
+    * `sets/` dir that poisons every later read. Returns the meta text
+    * for parameter checks. */
+  private def checkLayout(spark: SparkSession, path: String): String = {
     val mp = metaPath(path)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(mp)) {
-      val in = fs.open(mp)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val want = s"bands=$bands rows=$rows"
-      require(text == want,
-        s"DedupIndex at $path was built with [$text] but probed/folded " +
-          s"with [$want] -- mismatched banding returns near-zero " +
-          "collisions (silent recall loss), not an error; pass the " +
-          "build-time parameters")
-    }
+    if (!fs.exists(mp)) throw new IllegalStateException(
+      s"DedupIndex at $path has no _meta: it predates the partitioned " +
+        s"layout (layout=$layoutVersion) this reader prunes on. Rebuild " +
+        "it with DedupIndex.build over the corpus (probing a flat index " +
+        "would fail on the missing dpfx partition column; folding into " +
+        "it would mix flat and partitioned files under sets/).")
+    val in = fs.open(mp)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    // pre-versioning layout-2 indexes wrote "bands=.. rows=.." with no
+    // layout token (the partitioned layout and _meta shipped together)
+    val v = "layout=(\\d+)".r.findFirstMatchIn(text)
+      .map(_.group(1).toInt).getOrElse(layoutVersion)
+    if (v != layoutVersion) throw new IllegalStateException(
+      s"DedupIndex at $path has on-disk layout $v but this reader " +
+        s"serves layout $layoutVersion. Rebuild it with DedupIndex.build.")
+    text
+  }
+
+  /** True iff a marker-complete index at `path` has a layout this
+    * reader can serve. Owners of CACHED indexes (stamp-keyed tmpdir
+    * artifacts) use this to treat an unreadable layout as "not built"
+    * and rebuild in place of the loud [[checkLayout]] refusal — which
+    * stays the right behavior for USER-SUPPLIED durable paths, where
+    * silently discarding the index would destroy data the caller owns. */
+  def layoutOk(spark: SparkSession, path: String): Boolean =
+    try { checkLayout(spark, path); true }
+    catch { case _: IllegalStateException => false }
+
+  /** Refuse banding parameters that differ from the ones the index was
+    * built with — a probe under different banding would silently return
+    * near-zero collisions, which reads as "no duplicates", not as an
+    * error. Also refuses unreadable layouts via [[checkLayout]]. */
+  private def checkMeta(spark: SparkSession, path: String,
+      bands: Int, rows: Int): Unit = {
+    val text = checkLayout(spark, path)
+    val want = s"bands=$bands rows=$rows"
+    require(text.endsWith(want),
+      s"DedupIndex at $path was built with [$text] but probed/folded " +
+        s"with [$want] -- mismatched banding returns near-zero " +
+        "collisions (silent recall loss), not an error; pass the " +
+        "build-time parameters")
   }
 
   private def bucketsOf(sets: DataFrame, bands: Int, rows: Int): DataFrame =
@@ -231,6 +275,7 @@ object DedupIndex {
     * sizes are ever recomputed. */
   def containmentProbe(spark: SparkSession, path: String, batch: DataFrame,
       threshold: Double = 0.5, maxDf: Int = 64): DataFrame = {
+    checkLayout(spark, path) // banding-free probe, but the layout must match
     // persist the SETS before exploding: a Generate whose child is the
     // raw array_sort(array_distinct(...)) expression re-evaluates that
     // child per OUTPUT row (measured 30× — 11 s vs 0.35 s on a 500-doc

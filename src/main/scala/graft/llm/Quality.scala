@@ -107,37 +107,52 @@ object Quality {
   def classifierScores(spark: SparkSession, dir: String,
       hashDim: Int = 1024, maxIter: Int = 25,
       sampleFrac: Double = 1.0): DataFrame = {
-    import org.apache.spark.ml.classification.LogisticRegression
-    import org.apache.spark.ml.feature.HashingTF
     import org.apache.spark.ml.functions.vector_to_array
-    // served to every optimizer iteration AND the final scoring pass —
-    // without the memo each treeAggregate step re-tokenizes the corpus
-    val feats = graft.Caches.memo(spark, s"qcFeats:$dir:$hashDim") {
-      val labeled = gate(Tables.fanOut(Tables.documents(spark, dir)))
-        .withColumn("toks", TextOps.tokens(col("text")))
-        .select(col("doc_id"), col("toks"),
-          col("keep").cast("double").as("label"))
-      new HashingTF().setInputCol("toks").setOutputCol("features")
-        .setNumFeatures(hashDim)
-        .transform(labeled)
-    }
-    val train =
-      if (sampleFrac >= 1.0) feats
-      else feats.filter(pmod(xxhash64(col("doc_id"), lit(7)), lit(1000000))
-        < lit((sampleFrac * 1e6).toLong))
-    val lr = new LogisticRegression().setMaxIter(maxIter).setRegParam(0.01)
-      .setFeaturesCol("features").setLabelCol("label")
-    // the fit runs ~maxIter treeAggregate jobs EAGERLY at query-build
-    // time; LBFGS on the same input is deterministic, so the model is
-    // memoized per (session, inputs) — cold mode's release re-fits
-    val model = graft.Caches.memoObj(spark,
-      s"qcModel:$dir:$hashDim:$maxIter:$sampleFrac") { lr.fit(train) }
+    val feats = classifierFeats(spark, dir, hashDim)
+    val model = classifierModel(spark, dir, hashDim, maxIter, sampleFrac)
     model.transform(feats)
       .select(col("doc_id"), col("label").cast("int").as("rule_keep"),
         round(element_at(vector_to_array(col("probability")), 2), 6)
           .as("prob_keep"),
         col("prediction").cast("int").as("pred_keep"))
   }
+
+  /** The hashed-feature frame, served to every optimizer iteration AND
+    * the final scoring pass — without the memo each treeAggregate step
+    * re-tokenizes the corpus. */
+  private def classifierFeats(spark: SparkSession, dir: String,
+      hashDim: Int): DataFrame =
+    graft.Caches.memo(spark, s"qcFeats:$dir:$hashDim") {
+      val labeled = gate(Tables.fanOut(Tables.documents(spark, dir)))
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"), col("toks"),
+          col("keep").cast("double").as("label"))
+      new org.apache.spark.ml.feature.HashingTF()
+        .setInputCol("toks").setOutputCol("features")
+        .setNumFeatures(hashDim)
+        .transform(labeled)
+    }
+
+  /** The fitted model. The fit runs ~maxIter treeAggregate jobs EAGERLY
+    * at query-build time; LBFGS on the same input is deterministic, so
+    * the model is memoized per (session, inputs) — cold mode's release
+    * re-fits. Public to [[classifierSqlFor]], which embeds its
+    * coefficients into the oracle replay. */
+  def classifierModel(spark: SparkSession, dir: String,
+      hashDim: Int = 1024, maxIter: Int = 25, sampleFrac: Double = 1.0)
+      : org.apache.spark.ml.classification.LogisticRegressionModel =
+    graft.Caches.memoObj(spark,
+        s"qcModel:$dir:$hashDim:$maxIter:$sampleFrac") {
+      val feats = classifierFeats(spark, dir, hashDim)
+      val train =
+        if (sampleFrac >= 1.0) feats
+        else feats.filter(pmod(xxhash64(col("doc_id"), lit(7)), lit(1000000))
+          < lit((sampleFrac * 1e6).toLong))
+      new org.apache.spark.ml.classification.LogisticRegression()
+        .setMaxIter(maxIter).setRegParam(0.01)
+        .setFeaturesCol("features").setLabelCol("label")
+        .fit(train)
+    }
 
   /** Per-SOURCE quality profile — the drill-down behind the corpus
     * quality gate: for each source, document/token mass, how many docs
@@ -205,5 +220,64 @@ object Quality {
        |  CAST(r_nwords = 1 AND r_awl = 1 AND r_stop = 1 AND r_alpha = 1
        |       AND r_repeat = 1 AS INT) AS keep
        |FROM r""".stripMargin
+  }
+
+  /** DuckDB oracle for [[classifierScores]] — the trained-constant
+    * recipe applied to the distilled classifier: the verify session's
+    * own memoized model supplies intercept + coefficients, and feature
+    * hashing is replayed by enumerating the corpus's DISTINCT tokens
+    * (bounded vocabulary) and embedding each token's murmur3 feature
+    * index (`HashingTF.indexOf` — the exact hash the engine used) with
+    * its coefficient as a VALUES table. The margin rebuilds BLAS's
+    * sparse-dense dot bit for bit: per-feature counts fold in feature-
+    * index order from 0.0 (`list_reduce` over `list(... ORDER BY f)`),
+    * then + intercept. The only transcendental is the final sigmoid's
+    * exp() — not correctly rounded in either engine, but a 1-ulp exp
+    * difference moves the 6-decimal-rounded probability only if the
+    * true value sits within ~1e-16 of a rounding boundary (p ≈ 1e-10
+    * per row). rule_keep/pred_keep are exact. */
+  def classifierSqlFor(spark: SparkSession, dir: String,
+      hashDim: Int = 1024, maxIter: Int = 25,
+      sampleFrac: Double = 1.0): String = {
+    // same memo as [[classifierScores]]: the model the verify run's
+    // query actually scored with (fitted here if the session somehow
+    // never ran the query — identical bits either way, the fit is
+    // deterministic on this input)
+    val model = classifierModel(spark, dir, hashDim, maxIter, sampleFrac)
+    val htf = new org.apache.spark.ml.feature.HashingTF()
+      .setNumFeatures(hashDim)
+    val toks = Tables.fanOut(Tables.documents(spark, dir))
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val coef = model.coefficients
+    val rows = toks.map { t =>
+      val f = htf.indexOf(t)
+      s"('${t.replace("'", "''")}', ${f}, ${fmtD(coef(f))})"
+    }.mkString(",\n    ")
+    s"""WITH tw(tok, f, w) AS (VALUES
+       |    ${rows}),
+       |t AS (SELECT doc_id, unnest(${TextOps.tokensSql}) AS tok FROM documents),
+       |g AS (SELECT t.doc_id, tw.f, CAST(count(*) AS DOUBLE) AS cnt,
+       |        min(tw.w) AS w
+       |      FROM t JOIN tw ON tw.tok = t.tok
+       |      GROUP BY t.doc_id, tw.f),
+       |mg AS (SELECT doc_id,
+       |         coalesce(list_reduce(list(w * cnt ORDER BY f),
+       |           (a, b) -> a + b), 0.0) + ${fmtD(model.intercept)} AS margin
+       |       FROM g GROUP BY doc_id),
+       |q AS (${qualityFilterSql})
+       |SELECT q.doc_id, q.keep AS rule_keep,
+       |  round(1.0 / (1.0 + exp(-(coalesce(mg.margin, ${fmtD(model.intercept)})))), 6)
+       |    AS prob_keep,
+       |  CASE WHEN coalesce(mg.margin, ${fmtD(model.intercept)}) > 0.0
+       |       THEN 1 ELSE 0 END AS pred_keep
+       |FROM q LEFT JOIN mg ON mg.doc_id = q.doc_id""".stripMargin
+  }
+
+  /** DOUBLE-parsing literal (exponent suffix forces DuckDB's strtod
+    * path — a bare decimal parses as DECIMAL). */
+  private def fmtD(d: Double): String = {
+    val s = d.toString
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
   }
 }

@@ -47,7 +47,9 @@ object TextOps {
           round(aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
             .cast("double") / col("word_count"), 6)).otherwise(lit(0.0))
           .as("avg_word_len"),
-        round(col("punct_count").cast("double") / col("n_chars"), 6).as("punct_ratio"),
+        when(col("n_chars") > 0,
+          round(col("punct_count").cast("double") / col("n_chars"), 6))
+          .otherwise(lit(0.0)).as("punct_ratio"),
         when(col("word_count") > 0,
           round(col("stop_count").cast("double") / col("word_count"), 6))
           .otherwise(lit(0.0)).as("stop_ratio"),
@@ -69,7 +71,9 @@ object TextOps {
        |  CASE WHEN word_count > 0
        |    THEN round(CAST(len_sum AS DOUBLE) / word_count, 6) ELSE 0.0 END
        |    AS avg_word_len,
-       |  round(CAST(punct_count AS DOUBLE) / n_chars, 6) AS punct_ratio,
+       |  CASE WHEN n_chars > 0
+       |    THEN round(CAST(punct_count AS DOUBLE) / n_chars, 6) ELSE 0.0 END
+       |    AS punct_ratio,
        |  CASE WHEN word_count > 0
        |    THEN round(CAST(stop_count AS DOUBLE) / word_count, 6) ELSE 0.0 END
        |    AS stop_ratio,
@@ -333,6 +337,31 @@ object TextOps {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
+
+  /** DuckDB oracle for [[boilerplateScrubCdc]], riding
+    * [[cdcChunksSql]]'s boundary replay: chunk text re-sliced from the
+    * replayed offsets, hot set by distinct-doc df, survivors
+    * concatenated in chunk order (ASCII corpus ⇒ the engine's
+    * byte-slice concat equals the char-substr concat). */
+  def boilerplateScrubCdcSql(minDf: Int = 3): String =
+    s"""WITH c AS (${cdcChunksSql()}),
+       |ck AS (
+       |  SELECT c.doc_id, c.chunk_idx,
+       |    substr(d.text, c.off + 1, c.len) AS cb, c.chunk_md5 AS h
+       |  FROM c JOIN documents d USING (doc_id)),
+       |hot AS (SELECT h FROM ck GROUP BY h
+       |        HAVING count(DISTINCT doc_id) >= ${minDf}),
+       |fl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped
+       |       FROM ck JOIN hot USING (h) GROUP BY doc_id),
+       |kp AS (SELECT doc_id,
+       |         string_agg(cb, '' ORDER BY chunk_idx) AS clean_text
+       |       FROM ck WHERE h NOT IN (SELECT h FROM hot)
+       |       GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(kp.clean_text, '') AS clean_text,
+       |  CAST(coalesce(fl.n_dropped, 0) AS BIGINT) AS n_dropped
+       |FROM documents d
+       |LEFT JOIN kp ON kp.doc_id = d.doc_id
+       |LEFT JOIN fl ON fl.doc_id = d.doc_id""".stripMargin
 
   /** Sequence packing: assign documents to fixed token-budget bins (the
     * training-batch packing step) by prefix-sum over a deterministic
@@ -631,6 +660,89 @@ object TextOps {
         col("col.off").as("off"), col("col.len").as("len"),
         md5(expr("substring(tb, col.off + 1, col.len)")).as("chunk_md5"))
   }
+
+  /** CTE block replaying [[cdcChunks]]' boundary offsets as
+    * `cuts(doc_id, off, n)` rows — the shared scaffold of the CDC
+    * oracles. SQL-expressible despite the RESETTING gear hash because
+    * of two closed-form reductions:
+    *
+    *  - the boundary predicate masks the hash to its low `avgBits`
+    *    bits, and `2^t mod 2^avgBits = 0` for `t ≥ avgBits` — so the
+    *    masked value at byte i depends ONLY on the last `avgBits`
+    *    bytes, and (since `minLen ≥ avgBits` keeps every candidate cut
+    *    at least a full window past the previous cut, where the reset
+    *    has rolled out of the low bits) the predicate is a LOCAL
+    *    per-position test, independent of earlier cut placement;
+    *  - given that per-position zero set, the sequential scan collapses
+    *    to "next cut = the first zero position ≥ last+minLen, capped at
+    *    last+maxLen" — a recursive CTE over cut offsets (≤ n/minLen
+    *    steps), not over bytes.
+    *
+    * The gear table's low-`avgBits` residues embed as one literal list
+    * (mod-2^avgBits arithmetic commutes with the residue map). ASCII
+    * corpus ⇒ char positions == byte offsets and `ord` == byte value —
+    * the [[fingerprintCtesSql]] precondition. */
+  def cdcCutsCtesSql(avgBits: Int = 6, minLen: Int = 16,
+      maxLen: Int = 256): String = {
+    require(minLen > avgBits,
+      "cdc oracle: the local-zero reduction needs minLen > avgBits (a " +
+        "candidate cut must sit a full hash window past the reset)")
+    val mod = 1L << avgBits
+    val glist = graft.functions.CdcBoundaries.gear
+      .map(g => g & (mod - 1)).mkString("[", ", ", "]")
+    val zeroSum = (0 until avgBits).map { t =>
+      if (t == 0) "gc" else s"${1L << t} * lag(gc, ${t}, 0) OVER w"
+    }.mkString(" + ")
+    s"""dl AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+       |        FROM documents),
+       |gp AS (
+       |  SELECT doc_id, CAST(unnest(range(1, n + 1)) AS BIGINT) AS o
+       |  FROM dl),
+       |gc AS (
+       |  SELECT gp.doc_id, gp.o,
+       |    (${glist})[ord(substr(d.text, CAST(gp.o AS INT), 1)) + 1] AS gc
+       |  FROM gp JOIN dl d USING (doc_id)),
+       |z AS (
+       |  SELECT doc_id, o,
+       |    ((${zeroSum}) % ${mod} = 0 AND o >= ${avgBits}) AS is_zero
+       |  FROM gc WINDOW w AS (PARTITION BY doc_id ORDER BY o)),
+       |nz AS (
+       |  SELECT doc_id, o,
+       |    min(CASE WHEN is_zero THEN o END) OVER (
+       |      PARTITION BY doc_id ORDER BY o DESC) AS nxz
+       |  FROM z),
+       |cuts AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS off, n FROM dl
+       |  UNION ALL
+       |  SELECT doc_id, nxt AS off, n FROM (
+       |    SELECT c.doc_id,
+       |      least(coalesce(z.nxz, c.off + ${maxLen}), c.off + ${maxLen}) AS nxt,
+       |      c.n
+       |    FROM cuts c LEFT JOIN nz z
+       |      ON z.doc_id = c.doc_id AND z.o = c.off + ${minLen})
+       |  WHERE nxt <= n)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[cdcChunks]]: consecutive boundary pairs from
+    * the replayed cut set (plus the final offset n), md5 over the same
+    * chunk bytes. */
+  def cdcChunksSql(avgBits: Int = 6, minLen: Int = 16,
+      maxLen: Int = 256): String =
+    s"""WITH RECURSIVE ${cdcCutsCtesSql(avgBits, minLen, maxLen)},
+       |b AS (SELECT DISTINCT doc_id, off FROM (
+       |        SELECT doc_id, off FROM cuts
+       |        UNION ALL SELECT doc_id, n AS off FROM dl)),
+       |ch AS (
+       |  SELECT doc_id, off,
+       |    lead(off) OVER (PARTITION BY doc_id ORDER BY off) AS nxt,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY off) - 1
+       |      AS INT) AS chunk_idx
+       |  FROM b)
+       |SELECT ch.doc_id, ch.chunk_idx, CAST(ch.off AS INT) AS off,
+       |  CAST(ch.nxt - ch.off AS INT) AS len,
+       |  md5(substr(d.text, CAST(ch.off + 1 AS INT), CAST(ch.nxt - ch.off AS INT)))
+       |    AS chunk_md5
+       |FROM ch JOIN dl d USING (doc_id) WHERE ch.nxt IS NOT NULL""".stripMargin
 
   /** Bigram language-model quality score — the perplexity filter every
     * web-scale corpus runs (CCNet, Wenzek et al. LREC 2020, scores

@@ -160,50 +160,71 @@ object Vectors {
        |       * greatest(sqrt(CAST(list_dot_product(b.embedding, b.embedding) AS DOUBLE)), 1e-12)), 6)
        |  >= ${threshold}""".stripMargin
 
-  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
-    * partitions the corpus into cells; a query probes only its nProbe
+  /** Deterministic coarse quantizer shared by [[simTopKIvf]] and
+    * [[semanticDedup]]: the same in-repo farthest-point-init [[lloyd]]
+    * the PQ codebooks use, trained DRIVER-SIDE on the first
+    * `trainSample` vectors in vec_id order (a coarse quantizer
+    * saturates on thousands of points however big the corpus is, and
+    * id order is uncorrelated with geometry in a hash-sharded corpus).
+    * Replaces the earlier iterative Spark-ML KMeans fit: zero cluster
+    * barrier jobs before the scan, and the centroids are pure driver
+    * constants — embeddable as SQL literals, so the cell ASSIGNMENT is
+    * replayable in a DuckDB oracle (the dedup_semantic gate). */
+  def coarseCentroids(spark: SparkSession, dir: String, nCells: Int,
+      trainSample: Int = 2048): Array[Array[Double]] =
+    graft.Caches.memoObj(spark, s"coarseCents:$dir:$nCells:$trainSample") {
+      val sample = Tables.fanOut(Tables.embeddings(spark, dir))
+        .orderBy(col("vec_id")).limit(trainSample)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      lloyd(sample, nCells, iters = 5)
+    }
+
+  /** Nearest-centroid cell id as a plain Catalyst expression: squared
+    * distance to each centroid as a left-associated double fold
+    * (identical order to [[lloyd]]'s `sq` and to the SQL replay's sum
+    * chain), argmin by first-minimum. Same literal-nested-array shape
+    * as [[pqEncode]] — O(1) generated code however many cells. */
+  private def cellOf(cents: Array[Array[Double]]): Column = {
+    val cbLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val dists = transform(cbLit, cw =>
+      aggregate(zip_with(col("embedding"), cw,
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, t) => acc + t))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** IVF (inverted-file) approximate top-k: a coarse quantizer
+    * partitions the corpus into cells; a query probes its nProbe
     * nearest cells and brute-forces within them. The 100 TB shape:
     * centroids are a broadcast dim, the corpus is scanned once at index
-    * build, and each query touches ~nProbe/k of the data. Approximate —
-    * recall vs [[simTopK]] is asserted in LlmOpsSpec. */
+    * build, and each query touches ~nProbe/nCells of the data. The
+    * REGISTERED default probes every cell (nProbe = nCells): the bench
+    * corpus does not cluster (BASELINE "IVF sweep" — partial probes
+    * plateau at recall 0.5-0.7 for any matched probe fraction), so the
+    * honest serving default is total recall, which also makes the
+    * brute-force SQL the exact oracle; the partial-probe rungs stay
+    * measured in ANN_RECALL.json and LlmOpsSpec. */
   def simTopKIvf(spark: SparkSession, dir: String, nQueries: Int = 10,
-      k: Int = 5, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      k: Int = 5, nCells: Int = 16, nProbe: Int = 16): DataFrame = {
     val emb = graft.Caches.memo(spark, s"ivfEmb:$dir") {
-      // served to the iterative KMeans fit AND the probe scan; released
-      // via Caches.release()
       withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
         "embedding", "nrm")
-        .withColumn("v", array_to_vector(col("embedding")))
     }
-    // random init + a coalesced fit input keep the iterative fit to a
-    // handful of jobs — kmeans|| costs ~3× the barrier rounds, and on a
-    // shared host every extra tiny barrier job amplifies scheduling
-    // stalls; coarse-quantizer quality is insensitive to init here.
-    // The fixed-seed fit is deterministic, so the fitted quantizer is
-    // memoized per (session, dir, nCells) and SHARED with semanticDedup
-    // (identical config — one coarse partitioning serves both ops).
-    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
-      .setInitMode("random")
-      .setFeaturesCol("v").setPredictionCol("cell")
-    val model = graft.Caches.memoObj(spark, s"ivfKmeans:$dir:$nCells") {
-      km.fit(emb.select(col("v")).coalesce(4))
-    }
-    val assigned = model.transform(emb)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    val cents = coarseCentroids(spark, dir, nCells)
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        cellOf(cents).as("cell"))
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("nrm").as("qnrm"), col("cell").as("qcell"))
     // probe selection: rank cells by NORMALIZED cosine between the query
-    // and the cell centroid. Centroids come straight from the fitted
-    // model (driver-side, broadcast as literals) — no second aggregation
-    // over the corpus — and the dimension is whatever the data carries.
+    // and the cell centroid. Centroids are driver constants, broadcast
+    // as literals — no aggregation over the corpus.
     import spark.implicits._
-    val cellMeans = broadcast(model.clusterCenters.toSeq.zipWithIndex.map {
+    val cellMeans = broadcast(cents.toSeq.zipWithIndex.map {
       case (c, i) =>
-        val arr = c.toArray
-        (i, arr, math.max(math.sqrt(arr.map(x => x * x).sum), 1e-12))
+        (i, c, math.max(math.sqrt(c.map(x => x * x).sum), 1e-12))
     }.toDF("pcell", "centroid", "cnrm"))
     val centDot = aggregate(zip_with(col("qvec"), col("centroid"),
       (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
@@ -247,37 +268,32 @@ object Vectors {
     * mid-similarity pairs). */
   def semanticDedup(spark: SparkSession, dir: String,
       threshold: Double = 0.45, nCells: Int = 16): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     val emb = graft.Caches.memo(spark, s"ivfEmb:$dir") {
       withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
         "embedding", "nrm")
-        .withColumn("v", array_to_vector(col("embedding")))
     }
     semanticDedupFromEmb(emb, threshold, nCells,
-      modelKey = Some(s"ivfKmeans:$dir:$nCells"))
+      centroids = Some(coarseCentroids(spark, dir, nCells)))
   }
 
   /** The frame-level core of [[semanticDedup]] over any
-    * (vec_id, embedding, nrm, v) frame — the testable unit (LlmOpsSpec
+    * (vec_id, embedding, nrm) frame — the testable unit (LlmOpsSpec
     * plants near-parallel duplicates and checks they all drop).
-    * `modelKey` memoizes the fitted quantizer per session — the dir
-    * path shares it with [[simTopKIvf]] (identical config). */
+    * `centroids` lets the dir path share [[coarseCentroids]]' memoized
+    * quantizer with [[simTopKIvf]] (identical config); without it the
+    * quantizer trains on the frame's own pinned vec_id-ordered sample. */
   def semanticDedupFromEmb(emb: DataFrame,
       threshold: Double, nCells: Int,
-      modelKey: Option[String] = None): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    // identical quantizer config to [[simTopKIvf]] (seed, init, iters) —
-    // the coarse partitioning is shared infrastructure, not per-op tuning
-    val km = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
-      .setInitMode("random")
-      .setFeaturesCol("v").setPredictionCol("cell")
-    def fit() = km.fit(emb.select(col("v")).coalesce(4))
-    val model = modelKey match {
-      case Some(key) => graft.Caches.memoObj(emb.sparkSession, key)(fit())
-      case None => fit()
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse {
+      val sample = emb.orderBy(col("vec_id")).limit(2048)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      lloyd(sample, nCells, iters = 5)
     }
-    val assigned = model.transform(emb)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        cellOf(cents).as("cell"))
     // cell-local near-parallel pairs, exact-cosine verified
     val a = assigned.select(col("cell"), col("vec_id").as("ida"),
       col("embedding").as("va"), col("nrm").as("na"))
@@ -295,6 +311,59 @@ object Vectors {
       .select(col("vec_id"), col("cell"),
         when(col("hit").isNull, lit(1)).otherwise(lit(0)).as("kept"))
   }
+
+  /** Double literal that always parses as DOUBLE in DuckDB: a bare
+    * decimal literal parses as DECIMAL, whose decimal→double conversion
+    * is not guaranteed correctly rounded at 17 significant digits; an
+    * exponent suffix forces the strtod path, which round-trips
+    * Double.toString's shortest representation exactly. */
+  private def dlit(d: Double): String = {
+    val s = d.toString
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
+  /** The `[dist_to_cent_0, …, dist_to_cent_{k-1}]` SQL list replaying
+    * [[cellOf]]'s squared-distance folds term for term: each chain is
+    * the left-associated `(0.0 + (e[1]-c)·(e[1]-c) + …)` sum, the same
+    * double-accumulation order as the Catalyst `aggregate` fold. */
+  private def cellDistsSql(cents: Array[Array[Double]],
+      embCol: String): String =
+    cents.map { c =>
+      c.zipWithIndex.map { case (v, i) =>
+        val e = s"CAST($embCol[${i + 1}] AS DOUBLE)"
+        s"($e - ${dlit(v)}) * ($e - ${dlit(v)})"
+      }.mkString("(0.0 + ", " + ", ")")
+    }.mkString("[\n    ", ",\n    ", "]")
+
+  /** DuckDB oracle for [[semanticDedup]] — possible since the r14 switch
+    * to the driver-side deterministic [[lloyd]] coarse quantizer: the
+    * generator embeds the SAME trained centroid doubles the engine
+    * assigns cells with ([[coarseCentroids]], memoized — the oracle is
+    * generated in the verify session that ran the query, so the
+    * constants are the run's own), replays the assignment argmin, the
+    * cell-local pair join, the exact float-accumulated cosine verify,
+    * and the lowest-id keeper rule. What the quantizer costs in recall
+    * (cross-cell pairs) is replayed identically, so the match is exact,
+    * not approximate. */
+  def semanticDedupSql(cents: Array[Array[Double]],
+      threshold: Double = 0.45): String =
+    s"""WITH d AS (
+       |  SELECT vec_id, embedding,
+       |    greatest(sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE)), 1e-12) AS nrm,
+       |    ${cellDistsSql(cents, "embedding")} AS dl
+       |  FROM embeddings),
+       |a AS (
+       |  SELECT vec_id, embedding, nrm,
+       |    CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS cell
+       |  FROM d),
+       |p AS (
+       |  SELECT DISTINCT y.vec_id
+       |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE round(CAST(list_dot_product(x.embedding, y.embedding) AS DOUBLE)
+       |          / (x.nrm * y.nrm), 6) >= ${threshold})
+       |SELECT a.vec_id, a.cell,
+       |  CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+       |FROM a LEFT JOIN p ON p.vec_id = a.vec_id""".stripMargin
 
   /** Scalar-quantized (SQ8) top-k: quantize every vector to int8 with a
     * per-vector scale (s = max|x|/127, the symmetric linear quantizer
@@ -401,6 +470,90 @@ object Vectors {
        |FROM t WHERE rank <= ${k}""".stripMargin
   }
 
+  /** DuckDB oracle for [[simTopKPq]] / [[pqIndexTopK]] — possible via
+    * the trained-constant-embedding recipe: the codebooks are driver
+    * constants ([[pqCodebooks]], deterministic from the pinned
+    * vec_id-ordered sample and memoized, so the verify session's oracle
+    * embeds the run's own doubles), and every downstream step is plain
+    * IEEE arithmetic. The SQL replays the SAME approximate algorithm —
+    * per-subspace argmin encode (each squared-distance a left-assoc
+    * double chain, the [[cellDistsSql]] discipline), the ADC lookup dot
+    * rebuilt with identical multiply/accumulate order as the driver's
+    * LUT loop, the refine cut on (ascore desc, vec_id), and the exact
+    * float-accumulated cosine re-rank — so the refine boundary itself
+    * is pinned, not just the final neighbors. [[pqIndexTopK]] shares
+    * this oracle: its codebooks round-trip through Double.toString,
+    * which is exact. */
+  def simTopKPqSql(codebooks: Array[Array[Array[Double]]],
+      nQueries: Int = 10, k: Int = 5, m: Int = 8, nCodes: Int = 64,
+      refine: Int = 32, dim: Int = 64): String = {
+    val sub = dim / m
+    def cbLit(j: Int): String =
+      codebooks(j).map(cw => cw.map(dlit).mkString("[", ", ", "]"))
+        .mkString("[\n      ", ",\n      ", "]")
+    // encode: squared distance of subspace j to lambda codeword cw
+    def encChain(j: Int): String =
+      (0 until sub).map { i =>
+        val e = s"CAST(embedding[${j * sub + i + 1}] AS DOUBLE)"
+        s"($e - cw[${i + 1}]) * ($e - cw[${i + 1}])"
+      }.mkString("(0.0 + ", " + ", ")")
+    val dlCols = (0 until m).map(j =>
+      s"list_transform(${cbLit(j)}, cw -> ${encChain(j)}) AS dl$j")
+      .mkString(",\n    ")
+    val codeCols = (0 until m).map(j =>
+      s"list_position(dl$j, list_min(dl$j)) AS p$j").mkString(",\n    ")
+    // codeword of subspace j for this row (1-based position p_j)
+    val cwCols = (0 until m).map(j =>
+      s"(${cbLit(j)})[c.p$j] AS w$j").mkString(",\n    ")
+    // ADC: the driver LUT entry is sum_i q[j*sub+i]*cw[i] (double
+    // accumulate from 0.0); the score folds the m entries from 0.0
+    def lutChain(j: Int): String =
+      (0 until sub).map { i =>
+        s"CAST(qvec[${j * sub + i + 1}] AS DOUBLE) * w$j[${i + 1}]"
+      }.mkString("(0.0 + ", " + ", ")")
+    val ascore = (0 until m).map(j => s"${lutChain(j)}")
+      .mkString("(0.0 + ", " + ", ")")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    greatest(sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE)), 1e-12) AS nrm
+       |  FROM embeddings),
+       |dl AS (
+       |  SELECT vec_id, nrm,
+       |    ${dlCols}
+       |  FROM e),
+       |c AS (
+       |  SELECT vec_id, nrm,
+       |    ${codeCols}
+       |  FROM dl),
+       |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm
+       |      FROM e WHERE vec_id < ${nQueries}),
+       |a AS (
+       |  SELECT q.query_id, q.qvec, q.qnrm, c.vec_id, c.nrm,
+       |    ${cwCols}
+       |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+       |s AS (
+       |  SELECT query_id, qvec, qnrm, vec_id, nrm,
+       |    ${ascore} / (qnrm * nrm) AS ascore
+       |  FROM a),
+       |r AS (
+       |  SELECT query_id, qvec, qnrm, vec_id, nrm,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ascore DESC, vec_id) AS ark
+       |  FROM s),
+       |f AS (
+       |  SELECT r.query_id, r.vec_id,
+       |    round(CAST(list_dot_product(r.qvec, e.embedding) AS DOUBLE)
+       |      / (r.qnrm * r.nrm), 6) AS cos
+       |  FROM r JOIN e ON e.vec_id = r.vec_id
+       |  WHERE r.ark <= ${k * refine}),
+       |t AS (SELECT query_id, vec_id, cos,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |      FROM f)
+       |SELECT query_id, rank, vec_id AS neighbor_id, cos AS cosine
+       |FROM t WHERE rank <= ${k}""".stripMargin
+  }
+
   /** Product-quantized (PQ) top-k — the third rung of the ANN ladder
     * (IVF prunes WHICH vectors to scan, SQ8 shrinks each dimension to a
     * byte, PQ shrinks each vector to `m` CODES): the dimension axis is
@@ -443,9 +596,26 @@ object Vectors {
     // Codebooks and the encoded corpus are session-memoized: encode
     // once, probe many — the inline rung's analogue of the persisted
     // index's build-once contract.
-    val codebooks = graft.Caches.memoObj(spark,
+    val codebooks = pqCodebooks(spark, dir, m, nCodes, dim, trainSample)
+    val encoded = graft.Caches.memo(spark,
+        s"pqEncoded:$dir:$m:$nCodes:$dim:$trainSample") {
+      pqEncode(emb, codebooks, m, sub)
+    }
+    adcQuery(encoded, emb, codebooks, nQueries, k, refine, m, nCodes, sub)
+  }
+
+  /** The m per-subspace PQ codebooks, trained driver-side on the first
+    * `trainSample` vectors in vec_id order (deterministic [[lloyd]]) and
+    * session-memoized. Public so the oracle generator can embed the SAME
+    * trained doubles the engine quantizes with into its replay SQL. */
+  def pqCodebooks(spark: SparkSession, dir: String, m: Int = 8,
+      nCodes: Int = 64, dim: Int = 64, trainSample: Int = 2048)
+      : Array[Array[Array[Double]]] =
+    graft.Caches.memoObj(spark,
         s"pqCodebooks:$dir:$m:$nCodes:$dim:$trainSample") {
-      val sample = emb.orderBy(col("vec_id")).limit(trainSample)
+      val sub = dim / m
+      val sample = Tables.fanOut(Tables.embeddings(spark, dir))
+        .orderBy(col("vec_id")).limit(trainSample)
         .select(col("embedding")).collect()
         .map(_.getSeq[Float](0).toArray)
       Array.tabulate(m) { j =>
@@ -457,12 +627,6 @@ object Vectors {
         lloyd(pts, nCodes, iters = 5)
       }
     }
-    val encoded = graft.Caches.memo(spark,
-        s"pqEncoded:$dir:$m:$nCodes:$dim:$trainSample") {
-      pqEncode(emb, codebooks, m, sub)
-    }
-    adcQuery(encoded, emb, codebooks, nQueries, k, refine, m, nCodes, sub)
-  }
 
   /** Encode vectors to PQ codes IN the scan: per subspace, squared
     * distance to each of the nCodes codewords, argmin — one pass, the
@@ -563,17 +727,7 @@ object Vectors {
     val sub = dim / m
     val emb = withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
       "embedding", "nrm")
-    val sample = emb.orderBy(col("vec_id")).limit(trainSample)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toArray)
-    val codebooks = Array.tabulate(m) { j =>
-      val pts = sample.map { v =>
-        val p = new Array[Double](sub)
-        var i = 0; while (i < sub) { p(i) = v(j * sub + i); i += 1 }
-        p
-      }
-      lloyd(pts, nCodes, iters = 5)
-    }
+    val codebooks = pqCodebooks(spark, dir, m, nCodes, dim, trainSample)
     pqEncode(emb, codebooks, m, sub)
       .write.mode("overwrite").parquet(s"$path/codes")
     val text = (for (j <- 0 until m; c <- 0 until nCodes)
@@ -968,9 +1122,7 @@ object Vectors {
   def embPcaProject(spark: SparkSession, dir: String, nc: Int = 2,
       dim: Int = 64, iters: Int = 3000): DataFrame = {
     val emb = Tables.fanOut(Tables.embeddings(spark, dir))
-    val model = graft.Caches.memoObj(spark, s"pcaModel:$dir:$nc:$dim:$iters") {
-      pcaModel(emb, nc, dim, iters)
-    }
+    val model = pcaModelFor(spark, dir, nc, dim, iters)
     val meanArr = array(model.mean.map(lit): _*)
     val centered = zip_with(col("embedding"), meanArr,
       (x, m) => x.cast("double") - m)
@@ -981,6 +1133,14 @@ object Vectors {
     }
     emb.select(col("vec_id") +: pcCols: _*)
   }
+
+  /** The session-memoized [[pcaModel]] for `dir` — public so the oracle
+    * generator embeds the same fitted doubles the query projected with. */
+  def pcaModelFor(spark: SparkSession, dir: String, nc: Int = 2,
+      dim: Int = 64, iters: Int = 3000): PcaModel =
+    graft.Caches.memoObj(spark, s"pcaModel:$dir:$nc:$dim:$iters") {
+      pcaModel(Tables.fanOut(Tables.embeddings(spark, dir)), nc, dim, iters)
+    }
 
   /** Driver-side model fit: quantized covariance + orthogonal power
     * iteration. Deterministic end to end. */
@@ -1022,6 +1182,55 @@ object Vectors {
       vecs(c) = if (v(imax) < 0) v.map(-_) else v
     }
     PcaModel(n, mean, eigvals, vecs)
+  }
+
+  /** DuckDB oracle for [[embPcaProject]] — the trained-constant
+    * recipe: the eigensolve is driver-side and deterministic (exact
+    * BIGINT moments → power iteration), so the generator embeds the
+    * verify session's own mean/eigenvector doubles ([[pcaModel]] is
+    * memoized) and replays the per-row projection folds term for term
+    * (left-assoc double chains over the centered coordinates, the
+    * [[cellDistsSql]] discipline). */
+  def embPcaProjectSql(model: PcaModel, dim: Int = 64): String = {
+    val dCols = (0 until dim).map(i =>
+      s"(CAST(embedding[${i + 1}] AS DOUBLE) - ${dlit(model.mean(i))}) AS d${i}")
+      .mkString(",\n    ")
+    val pcCols = model.vecs.zipWithIndex.map { case (v, c) =>
+      val chain = (0 until dim).map(i => s"d${i} * ${dlit(v(i))}")
+        .mkString("(0.0 + ", " + ", ")")
+      s"round($chain, 6) AS pc${c + 1}"
+    }.mkString(",\n  ")
+    s"""WITH d AS (
+       |  SELECT vec_id,
+       |    ${dCols}
+       |  FROM embeddings)
+       |SELECT vec_id,
+       |  ${pcCols}
+       |FROM d""".stripMargin
+  }
+
+  /** DuckDB oracle for [[embOutliers]]: embeds the verify session's own
+    * [[mahaModel]] constants (mean + inverse lower-Cholesky rows) and
+    * replays the whitening folds. The engine's fold runs over all `dim`
+    * coordinates including the upper-triangle zeros of L⁻¹; the replay
+    * emits only the j ≤ i terms — adding a `±0.0` product to a running
+    * double sum is bit-neutral for every reachable accumulator value,
+    * so the chains are value-identical with a third of the text. */
+  def embOutliersSql(model: MahaModel, k: Int = 50, dim: Int = 64): String = {
+    val dCols = (0 until dim).map(i =>
+      s"(CAST(embedding[${i + 1}] AS DOUBLE) - ${dlit(model.mean(i))}) AS d${i}")
+      .mkString(",\n    ")
+    val score = (0 until dim).map { i =>
+      val chain = (0 to i).map(j => s"d${j} * ${dlit(model.linv(i)(j))}")
+        .mkString("(0.0 + ", " + ", ")")
+      s"($chain * $chain)"
+    }.mkString("(", "\n   + ", ")")
+    s"""WITH d AS (
+       |  SELECT vec_id,
+       |    ${dCols}
+       |  FROM embeddings)
+       |SELECT vec_id, round(${score}, 6) AS maha2
+       |FROM d ORDER BY maha2 DESC, vec_id LIMIT ${k}""".stripMargin
   }
 
   /** The whitening model behind [[embOutliers]]: sample mean and the
@@ -1084,12 +1293,19 @@ object Vectors {
     * folds per row, zero shuffle, TakeOrdered(k) the only wide op.
     * No SQL oracle (matrix inverse); LlmOpsSpec refolds the scores in
     * plain Scala and pins the top-k. */
+  /** The session-memoized [[mahaModel]] for `dir` — public so the
+    * oracle generator embeds the same fitted doubles the query scored
+    * with. */
+  def mahaModelFor(spark: SparkSession, dir: String, dim: Int = 64,
+      ridge: Double = 1e-6): MahaModel =
+    graft.Caches.memoObj(spark, s"mahaModel:$dir:$dim:$ridge") {
+      mahaModel(Tables.fanOut(Tables.embeddings(spark, dir)), dim, ridge)
+    }
+
   def embOutliers(spark: SparkSession, dir: String, k: Int = 50,
       dim: Int = 64, ridge: Double = 1e-6): DataFrame = {
     val emb = Tables.fanOut(Tables.embeddings(spark, dir))
-    val model = graft.Caches.memoObj(spark, s"mahaModel:$dir:$dim:$ridge") {
-      mahaModel(emb, dim, ridge)
-    }
+    val model = mahaModelFor(spark, dir, dim, ridge)
     val meanArr = array(model.mean.map(lit): _*)
     val d = zip_with(col("embedding"), meanArr, (x, m) => x.cast("double") - m)
     val score = (0 until dim).map { i =>

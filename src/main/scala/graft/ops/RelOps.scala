@@ -359,17 +359,37 @@ object RelOps {
       |      FROM events)
       |GROUP BY 1""".stripMargin
 
+  /** Shared leaf-grain pre-aggregate for [[rollupSales]]/[[cubeSales]]:
+    * one hash agg reduces lineitem to the (l_returnflag, l_linestatus)
+    * grain (6 rows at any scale — the grouping domain is fixed), carrying
+    * the partial count, quantity sum, and exact decimal price sum every
+    * grouping level is algebraic over. A direct `.cube` on the base table
+    * plans as Expand×4 BEFORE the partial agg — quadrupling 600k rows
+    * (measured 31× the oracle); over the leaf frame Expand multiplies 6
+    * rows. Memoized so ROLLUP and CUBE share the single base-table pass. */
+  private def salesLeafGrain(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(spark, s"salesLeafGrain:$dir") {
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n0"),
+          // quantities are integer-valued doubles: partial double sums
+          // are exact integers, so re-summing per level stays exact
+          sum(col("l_quantity")).as("qty0"),
+          // prices sum in DECIMAL(18,2): exact, so level sums compose
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("price0"))
+    }
+
   /** Multi-level aggregation via ROLLUP: per (returnflag, linestatus),
-    * per returnflag, and grand total in one pass. Catalyst plans this as
-    * a single Expand + hash agg — one shuffle covers all three levels,
-    * versus three separate scans+shuffles for the naive union of
-    * groupings; quantities are integer-valued doubles so the sums are
-    * exact in both engines. */
+    * per returnflag, and grand total in one pass over the
+    * [[salesLeafGrain]] pre-aggregate — the Expand runs over 6 rows, and
+    * all three levels re-sum exact partials (count/integer-double/decimal
+    * are algebraic, so the two-step aggregate equals the direct one by
+    * definition). */
   def rollupSales(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    salesLeafGrain(spark, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .agg(sum(col("n0")).as("n_items"),
+        round(sum(col("qty0")), 2).as("sum_qty"))
 
   val rollupSalesSql: String =
     """SELECT l_returnflag, l_linestatus,
@@ -378,14 +398,14 @@ object RelOps {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
   /** CUBE sibling of [[rollupSales]]: all four grouping combinations
-    * (leaf / per-flag / per-status / grand) in the same single
-    * Expand+shuffle pass — the full multi-dim aggregation family next
-    * to ROLLUP's hierarchy. */
+    * (leaf / per-flag / per-status / grand) over the same
+    * [[salesLeafGrain]] pre-aggregate — the full multi-dim aggregation
+    * family next to ROLLUP's hierarchy, at Expand-over-6-rows cost. */
   def cubeSales(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    salesLeafGrain(spark, dir)
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n_items"),
-        moneySum(col("l_extendedprice")).as("sum_price"))
+      .agg(sum(col("n0")).as("n_items"),
+        round(sum(col("price0")).cast("double"), 2).as("sum_price"))
 
   val cubeSalesSql: String =
     """SELECT l_returnflag, l_linestatus,

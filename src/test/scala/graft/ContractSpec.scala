@@ -18,33 +18,44 @@ class ContractSpec extends AnyFunSuite {
     // cms_topk / quantile_sketch graduated earlier: their registrations
     // run exact-when-wide; narrow approximate configs keep their
     // FunctionsSpec error envelopes.
-    "dedup_semantic",     // LlmOpsSpec: drop precision vs exact pairs + in-cell recall
-    "quality_classifier", // PiiQualitySpec: holdout agreement with the rule teacher
-    "similarity_topk_ivf",// LlmOpsSpec: recall vs brute force
-    "similarity_topk_pq", // LlmOpsSpec: recall vs brute force + bit-exact survivor cosines
-    "similarity_topk_pq_idx", // LlmOpsSpec: == inline PQ results from the persisted index
+    // r14 graduations: similarity_topk_ivf (probe-all registered
+    // default ⇒ brute-force SQL is the exact oracle), cdc_chunks (the
+    // masked gear hash is local once minLen > avgBits ⇒ recursive-CTE
+    // replay), and the trained-constant dynamic oracles
+    // (dynamicOracleKeys below: lloyd/PQ/PCA/whitening/logistic
+    // constants embedded at verify time, arithmetic replayed).
+    // cdc_shared + boilerplate_scrub_cdc graduated with cdc_chunks
+    // (same cut-replay scaffold).
     "token_count_bpe",    // FunctionsSpec: == independent plain-Scala BPE merge count
-    "cdc_chunks",         // FunctionsSpec: == plain-Scala gear roll; prefix-shift chunk survival law
-    "cdc_shared",         // LlmOpsSpec: shifted partial copy caught; template chunks df-capped
     "bpe_merges",         // FunctionsSpec: hand-verified learned sequence + determinism
     "token_count_learned",// FunctionsSpec: == independent reimpl under the learned table
     "media_neardup",      // LlmOpsSpec: planted re-encoded/resized dups recalled
     "media_frame_neardup",// LlmOpsSpec: planted re-encoded clip's frames recalled
-    "compression_ratio",  // FunctionsSpec: == plain-Scala Deflater refold + ordering law
-    "boilerplate_scrub_cdc", // LlmOpsSpec: shifted boilerplate scrubbed; identity reconstruction
-    "emb_pca_project",    // LlmOpsSpec: eigenpair residual/orthonormality/variance laws
-    "emb_outliers")       // LlmOpsSpec: == plain-Scala Mahalanobis refold top-k
+    "compression_ratio")  // FunctionsSpec: == plain-Scala Deflater refold + ordering law
 
   test("every oracle entry has a query") {
-    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    val dangling = (SparkEntry.oracleSql.keySet ++
+      SparkEntry.dynamicOracleKeys) -- SparkEntry.queries.keySet
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
   }
 
   test("every query is oracle-checked unless it is a documented approximate op") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val missing = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- SparkEntry.dynamicOracleKeys
     assert(missing == specGatedOnly,
       s"unexpected oracle-less queries: ${missing -- specGatedOnly}; " +
         s"stale exemptions: ${specGatedOnly -- missing}")
+  }
+
+  test("dynamic oracle generation covers exactly its declared keys") {
+    val got = SparkEntry.dynamicOracleSql(SparkTestSession.spark,
+      "/root/testdata/sf0.001")
+    assert(got.keySet == SparkEntry.dynamicOracleKeys)
+    assert(got.values.forall(_.nonEmpty))
+    // no key may be both static and dynamic (the merge would be
+    // order-dependent)
+    assert((SparkEntry.oracleSql.keySet
+      intersect SparkEntry.dynamicOracleKeys).isEmpty)
   }
 
   test("the flagship entry returns rows") {

@@ -143,6 +143,22 @@ class LlmOpsSpec extends AnyFunSuite {
         r.getLong(3), r.getDouble(4))).toSet
     assert(wantC.nonEmpty)
     assert(gotC == wantC)
+
+    // layout guard: an index without _meta is a pre-partitioned-layout
+    // (layout-1) index — probing it would throw on the missing dpfx
+    // partition column and foldIn would mix flat and partitioned files;
+    // both readers and the writer must refuse with a rebuild message,
+    // not a missing-column error from deep inside a scan
+    val mp = new org.apache.hadoop.fs.Path(s"$base/corpus/_meta")
+    mp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(mp, false)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    for (op <- Seq(
+        () => DedupIndex.probe(spark, s"$base/corpus", batch),
+        () => DedupIndex.containmentProbe(spark, s"$base/corpus", batch),
+        () => DedupIndex.foldIn(batch, s"$base/corpus"))) {
+      val e = intercept[IllegalStateException](op())
+      assert(e.getMessage.contains("Rebuild"), e.getMessage)
+    }
   }
 
   test("iterative loops under a reliable checkpoint dir: same results, checkpoints written") {
@@ -388,14 +404,22 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("IVF top-k recalls most brute-force neighbors") {
+  test("IVF top-k: probe-all default equals brute force exactly; partial probe recalls most") {
     val brute = Vectors.simTopK(spark, sf, nQueries = 5, k = 3).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val ivf = Vectors.simTopKIvf(spark, sf, nQueries = 5, k = 3).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    assert(ivf.nonEmpty)
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // registered default probes every cell: the candidate set is the
+    // full corpus, so ranks AND cosines must equal brute force bit for
+    // bit (this is what lets the registered rung share the brute SQL
+    // oracle)
+    val full = Vectors.simTopKIvf(spark, sf, nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(full == brute)
     // probing 4 of 16 cells: most true neighbors should fall in probed cells
-    assert((brute intersect ivf).size.toDouble / brute.size >= 0.4)
+    val part = Vectors.simTopKIvf(spark, sf, nQueries = 5, k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(part.nonEmpty)
+    val bruteIds = brute.map(t => (t._1, t._3))
+    assert((bruteIds intersect part).size.toDouble / bruteIds.size >= 0.4)
   }
 
   test("semantic dedup: corpus drops are justified exactly; planted near-parallel dups all drop") {

@@ -37,3 +37,28 @@ COPY (
 """)
 n = duckdb.sql(f"SELECT count(*) FROM '{out}/documents.parquet'").fetchone()[0]
 print(f"{out}/documents.parquet: {n} docs ({k} copies of {base})")
+
+# Embeddings: K copies with vec_id offsets; copy 0 is the original,
+# copies 1..K-1 get a deterministic dimension ROTATION plus per-(copy,
+# dim) sign flips. That preserves each copy's full within-copy geometry
+# (norms, pairwise cosines -> the same near-dup/centroid/covariance
+# structure per copy) while making cross-copy cosines incoherent
+# (~N(0, 1/dim), far below every threshold) -- the honest load for a
+# vector scaling curve: a Kx corpus with Kx the near-dup mass, not a
+# K^2 explosion of identical-copy pairs.
+duckdb.sql(f"""
+COPY (
+  SELECT vec_id + k*10000000 AS vec_id,
+         CASE WHEN k = 0 THEN embedding
+              ELSE list_transform(range(len(embedding)),
+                i -> CAST(embedding[((i + 7*k) % len(embedding)) + 1]
+                     * (CASE WHEN (hash(k*1000003 + i) & 1) = 1
+                        THEN -1 ELSE 1 END) AS FLOAT))
+         END AS embedding,
+         label
+  FROM '{base}/embeddings.parquet', (SELECT unnest(range({k})) AS k)
+  ORDER BY vec_id
+) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+""")
+ne = duckdb.sql(f"SELECT count(*) FROM '{out}/embeddings.parquet'").fetchone()[0]
+print(f"{out}/embeddings.parquet: {ne} vectors ({k} copies of {base})")
