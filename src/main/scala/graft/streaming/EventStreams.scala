@@ -132,28 +132,38 @@ object EventStreams {
         state.remove()
         return out.iterator
       }
-      val sorted = evs.sortBy(_.ts.getTime)
-      var current = state.getOption
-      val closed = scala.collection.mutable.ArrayBuffer[SessionSummary]()
-      for (e <- sorted) {
-        current match {
-          case Some(s) if e.ts.getTime - s.end_ts.getTime <= gapMinutes * 60000L =>
-            current = Some(s.copy(n_events = s.n_events + 1,
-              total_value = s.total_value + e.value, end_ts = e.ts))
-          case Some(s) =>
-            closed += s
-            current = Some(SessionSummary(userId, 1L, e.value, e.ts, e.ts))
-          case None =>
-            current = Some(SessionSummary(userId, 1L, e.value, e.ts, e.ts))
-        }
+      // Interval merge over (batch events as singletons + the carried
+      // open session), ordered by START. The previous left-fold extended
+      // the carried session with any event within gap of its END — but a
+      // cross-batch out-of-order event (late within the watermark, so
+      // within-batch sorting never sees it) could sit BEHIND the carried
+      // extent, where that rule rewound end_ts, or entirely before
+      // start_ts - gap, where it belongs to a separate earlier session
+      // yet was absorbed. The merge puts every item in event-time order,
+      // so both cases fall out of the one gap rule.
+      val gapMs = gapMinutes * 60000L
+      val items = (evs.map(e => SessionSummary(userId, 1L, e.value, e.ts, e.ts))
+          ++ state.getOption)
+        .sortBy(s => (s.start_ts.getTime, s.end_ts.getTime))
+      val merged = scala.collection.mutable.ArrayBuffer[SessionSummary]()
+      for (s <- items) {
+        if (merged.nonEmpty &&
+            s.start_ts.getTime - merged.last.end_ts.getTime <= gapMs) {
+          val last = merged.last
+          merged(merged.length - 1) = last.copy(
+            n_events = last.n_events + s.n_events,
+            total_value = last.total_value + s.total_value,
+            end_ts = if (s.end_ts.after(last.end_ts)) s.end_ts else last.end_ts)
+        } else merged += s
       }
-      current match {
-        case Some(s) =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.end_ts.getTime + gapMinutes * 60000L)
-        case None => ()
-      }
-      closed.iterator
+      // only the LATEST session stays open (single-open-session state —
+      // the documented approximation of this imperative demo; the
+      // declarative sibling session_window keeps every unexpired window
+      // open); earlier ones close now
+      val open = merged.last
+      state.update(open)
+      state.setTimeoutTimestamp(open.end_ts.getTime + gapMs)
+      merged.init.iterator
     }
 
     typed.groupByKey(_.user_id)

@@ -156,6 +156,46 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.size >= want.size / 2)
   }
 
+  test("sessionize merges cross-batch out-of-order arrivals monotonically") {
+    // batch 0: events at T0 and T0+60s open a session; batch 1 delivers
+    // an event at T0+30s — late but within the 10-min watermark, so it
+    // lands BEHIND the open session's end, where the pre-fix left-fold
+    // rewound end_ts to T0+30; batch 2's event 2h later closes the
+    // session. The one emitted summary must carry the monotone extent
+    // [T0, T0+60] with all three events folded in.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ooo-sessions")
+      .toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(offsetSec: Long) = new java.sql.Timestamp(t0 + offsetSec * 1000L)
+    import spark.implicits._
+    def writeBatch(n: Int,
+        rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit = {
+      val stage = s"$dir/_stage$n" // leading _ : invisible to the stream
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$dir/batch$n.parquet")
+      assert(part.renameTo(dst))
+      // distinct mtimes pin the file-source processing order
+      assert(dst.setLastModified(1000000000L + n * 60000L))
+    }
+    writeBatch(0, Seq((1L, ts(0), 1L, "click", 1.0),
+      (2L, ts(60), 1L, "click", 2.0)))
+    writeBatch(1, Seq((3L, ts(30), 1L, "click", 4.0)))
+    writeBatch(2, Seq((4L, ts(7200), 1L, "click", 8.0)))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/batch0.parquet").schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    runToMemory(EventStreams.sessionize(stream).toDF(), "ooo_sessions",
+      "append")
+    val got = spark.table("ooo_sessions").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getTimestamp(3),
+        r.getTimestamp(4))).toSeq
+    assert(got == Seq((1L, 3L, 7.0, ts(0), ts(60))), s"got $got")
+  }
+
   test("sessionization closes sessions on the inactivity gap") {
     val stream = EventStreams.eventsStream(spark, sf)
     runToMemory(EventStreams.sessionize(stream).toDF(), "sessions", "append")
