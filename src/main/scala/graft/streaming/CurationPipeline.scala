@@ -133,7 +133,12 @@ class CurationPipeline(
     * Public so batch-mode callers (and the parity spec) can drive it
     * without a streaming query. */
   def processBatch(batch0: DataFrame, epochId: Long): Unit = {
-    if (batch0.isEmpty) return
+    // No up-front isEmpty: that limit-1 probe was one scheduler-floor
+    // job on EVERY batch, paid to optimize the rare empty one. The
+    // verdict aggregate below computes n_in anyway; an empty batch
+    // skips the writes and the marker there (externally identical:
+    // no outputs, no fold, no marker), and its gauntlet jobs are
+    // near-free over empty frames.
     // stage 0: NFC-normalize at ingest — composed vs decomposed
     // codepoints would otherwise fracture every downstream hash
     // equality (index probe signatures, self-dedup shingles, decontam
@@ -308,6 +313,7 @@ class CurationPipeline(
             cnt(s4 && col("f_quality") === 1).as("drop_quality"),
             cnt(s5 && col("f_lm") === 1).as("drop_lm"),
             cnt(s6).as("n_kept")).collect()(0)
+          if (m.getLong(0) == 0L) return // empty batch: no epoch to record
           val nKept = m.getLong(7)
           import spark.implicits._
           // the epoch's three outputs (metrics row, kept partition,

@@ -43,9 +43,15 @@ print(f"{out}/documents.parquet: {n} docs ({k} copies of {base})")
 # dim) sign flips. That preserves each copy's full within-copy geometry
 # (norms, pairwise cosines -> the same near-dup/centroid/covariance
 # structure per copy) while making cross-copy cosines incoherent
-# (~N(0, 1/dim), far below every threshold) -- the honest load for a
-# vector scaling curve: a Kx corpus with Kx the near-dup mass, not a
-# K^2 explosion of identical-copy pairs.
+# (~N(0, 1/dim), i.e. sigma = 0.125 at dim 64). Incoherent is NOT
+# negligible at every threshold: with K^2 n^2 / 2 cross-copy pairs the
+# N(0, 1/dim) tail above a MID threshold (0.45 = 3.6 sigma) contributes
+# a quadratically-growing chance-pair population -- exactly as it would
+# in a real Kx corpus of independent documents, since 0.45 is below the
+# chance floor of 64-dim geometry at these pair counts. High thresholds
+# (>= 0.75, i.e. 6 sigma) stay effectively collision-free. So the
+# copies are the honest load at every threshold: linear true-dup mass,
+# plus the chance mass any corpus of this size carries.
 duckdb.sql(f"""
 COPY (
   SELECT vec_id + k*10000000 AS vec_id,
