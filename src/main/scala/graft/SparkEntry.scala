@@ -328,6 +328,11 @@ object SparkEntry {
     "source_overlap"    -> Dedup.sourceOverlapSql(),
     "media_features"    -> Multimodal.mediaFeaturesSql,
     "media_framesample" -> Multimodal.mediaFrameSampleSql(),
+    // the stubbed decoder reads only payload bytes (UTF-8 of text, SQL-
+    // reachable via encode()), so the dHash replays bit for bit and the
+    // pigeonhole-exact banded joins oracle as brute all-pairs Hamming
+    "media_neardup"     -> Multimodal.mediaNearDupSql(),
+    "media_frame_neardup" -> Multimodal.mediaFrameNearDupSql(),
     "sample_hash"       -> Sampling.sampleHashSql,
     "sample_stratified" -> Sampling.sampleStratifiedSql,
     "resample_temperature" -> Sampling.resampleTemperatureSql,

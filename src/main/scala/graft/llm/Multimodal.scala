@@ -153,7 +153,8 @@ object Multimodal {
     *
     * Scale: hashing is a narrow scan (64 bits/row retained — the
     * payloads never shuffle); the join shuffles only (id, sig, band)
-    * rows. Engine-specific hash ⇒ no SQL oracle; LlmOpsSpec plants
+    * rows. DuckDB-oracled since round 14 ([[mediaNearDupSql]] replays
+    * the dHash bit for bit); LlmOpsSpec additionally plants
     * re-encoded/resized duplicates and asserts recall + brute-force
     * Hamming parity.
     *
@@ -252,9 +253,9 @@ object Multimodal {
     * dropped (adjacent frames of one video are usually similar — the
     * signal is CROSS-video reuse). Costs: the frame scan (stride-
     * reduced), 64 bits per frame shuffled, candidates only verified.
-    * Engine-specific hash ⇒ no SQL oracle; LlmOpsSpec plants a
-    * re-encoded clip inside a second video and asserts its frames are
-    * recalled. */
+    * DuckDB-oracled since round 14 ([[mediaFrameNearDupSql]]);
+    * LlmOpsSpec plants a re-encoded clip inside a second video and
+    * asserts its frames are recalled. */
   def mediaFrameNearDup(spark: SparkSession, dir: String,
       maxDist: Int = 6): DataFrame = {
     // memoized like [[mediaNearDup]]'s hashes: both legs of the banded
@@ -306,4 +307,105 @@ object Multimodal {
       |  CAST((octet_length(encode(text)) % 64) + 1 AS INT) AS width,
       |  CAST(((octet_length(encode(text)) // 64) % 64) + 1 AS INT) AS height
       |FROM documents""".stripMargin
+
+  /** Shared DuckDB CTE scaffold replaying [[MediaCodec.dHash64]] BIT FOR
+    * BIT over a `src` CTE exposing `idCols`, a hex-encoded payload `hx`
+    * and its byte length `n` (BIGINT). Exactness notes, each load-
+    * bearing for the hash bits:
+    *   - bytes come from hex() 2-char slices (DuckDB has no blob byte
+    *     accessor), already unsigned like Scala's `& 0xFF`;
+    *   - the per-cell pooled sum replays Scala's zero-seeded
+    *     left-to-right double fold via `list_prepend(0.0, …)` +
+    *     `list_reduce` (list_reduce alone seeds with the FIRST element,
+    *     which would drop the 0.0 init) — and the `w > 0`-else-0.0
+    *     branch is IEEE-identical to Scala's skip because the
+    *     accumulator is non-negative (x + 0.0 == x exactly there);
+    *   - the 64 gradient bits assemble with integer shifts in HUGEINT:
+    *     `**` is DOUBLE-valued in DuckDB and silently rounds the low
+    *     bits of a 64-bit sum (observed: low ~11 bits lost), exactly
+    *     the corruption a Hamming-distance oracle cannot carry;
+    *   - the final two's-complement cast lands on Spark's LongType sig.
+    * Emits a CTE named `sig` with (idCols…, sig BIGINT). */
+  private def dHashSqlCtes(idCols: Seq[String]): String = {
+    val ids = idCols.mkString(", ")
+    s"""bytes AS (
+       |  SELECT $ids, n,
+       |    list_transform(range(n), i ->
+       |      CAST(('0x' || substr(hx, CAST(i*2+1 AS INT), 2)) AS INT)) AS by
+       |  FROM src),
+       |grid AS (
+       |  SELECT $ids,
+       |    list_transform(range(72), k -> CASE WHEN n = 0 THEN 0.0 ELSE
+       |      list_reduce(
+       |        list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(range(CAST(floor(CAST(k AS DOUBLE)*n/72.0) AS BIGINT),
+       |                               least(n, CAST(ceil(CAST(k+1 AS DOUBLE)*n/72.0) AS BIGINT))),
+       |            i -> CASE WHEN least(CAST(k+1 AS DOUBLE)*n/72.0, CAST(i AS DOUBLE)+1.0)
+       |                      - greatest(CAST(k AS DOUBLE)*n/72.0, CAST(i AS DOUBLE)) > 0
+       |                 THEN (least(CAST(k+1 AS DOUBLE)*n/72.0, CAST(i AS DOUBLE)+1.0)
+       |                      - greatest(CAST(k AS DOUBLE)*n/72.0, CAST(i AS DOUBLE))) * by[CAST(i+1 AS INT)]
+       |                 ELSE CAST(0.0 AS DOUBLE) END)),
+       |        (acc, x) -> acc + x)
+       |      / (CAST(k+1 AS DOUBLE)*n/72.0 - CAST(k AS DOUBLE)*n/72.0) END) AS g
+       |  FROM bytes),
+       |sig0 AS (
+       |  SELECT $ids, list_sum(
+       |    list_transform(range(64), j ->
+       |      CASE WHEN g[CAST((j//8)*9 + (j%8) + 1 AS INT)] < g[CAST((j//8)*9 + (j%8) + 2 AS INT)]
+       |           THEN CAST(1 AS HUGEINT) << CAST(j AS INT) ELSE CAST(0 AS HUGEINT) END)) AS hsig
+       |  FROM grid),
+       |sig AS (
+       |  SELECT $ids, CAST(CASE WHEN hsig >= CAST(1 AS HUGEINT) << 63
+       |    THEN hsig - (CAST(1 AS HUGEINT) << 64) ELSE hsig END AS BIGINT) AS sig
+       |  FROM sig0)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[mediaNearDup]] — possible because the stubbed
+    * decode reads only the payload bytes (UTF-8 of `text`, which SQL
+    * reaches via `encode()`) and the banded-Hamming join is EXACT by
+    * pigeonhole, so the oracle is the replayed dHash
+    * ([[dHashSqlCtes]]) under a brute all-pairs Hamming join — the
+    * same shape that oracles `dedup_simhash`. */
+  def mediaNearDupSql(maxDist: Int = 14): String =
+    s"""WITH src AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |  FROM documents),
+       |${dHashSqlCtes(Seq("doc_id"))}
+       |SELECT a.doc_id AS ida, b.doc_id AS idb,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $maxDist""".stripMargin
+
+  /** DuckDB oracle for [[mediaFrameNearDup]]: the frame locator grid is
+    * [[mediaFrameSampleSql]]'s (already oracled), each frame's bytes are
+    * a hex substring of the payload, the dHash replays per frame, and
+    * the packed doc·2²⁰+frame key rides the brute Hamming join exactly
+    * as it rides the engine's banded join. */
+  def mediaFrameNearDupSql(frameBytes: Int = 64, stride: Int = 2,
+      maxDist: Int = 6): String =
+    s"""WITH d0 AS (
+       |  SELECT doc_id, hex(encode(text)) AS dhx,
+       |         CAST(octet_length(encode(text)) AS BIGINT) AS dn
+       |  FROM documents),
+       |fr AS (
+       |  SELECT doc_id, dn, dhx,
+       |    unnest(generate_series(0, CAST((dn - 1) // $frameBytes AS BIGINT),
+       |                           $stride)) AS i
+       |  FROM d0 WHERE dn > 0),
+       |src AS (
+       |  SELECT doc_id*1048576 + i AS key,
+       |    substr(dhx, CAST(i*$frameBytes*2+1 AS BIGINT),
+       |           CAST(least($frameBytes, dn - i*$frameBytes)*2 AS BIGINT)) AS hx,
+       |    least($frameBytes, dn - i*$frameBytes) AS n
+       |  FROM fr),
+       |${dHashSqlCtes(Seq("key"))}
+       |SELECT CAST(a.key // 1048576 AS BIGINT) AS doc_a,
+       |       CAST(a.key % 1048576 AS INT) AS frame_a,
+       |       CAST(b.key // 1048576 AS BIGINT) AS doc_b,
+       |       CAST(b.key % 1048576 AS INT) AS frame_b,
+       |       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.key < b.key
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $maxDist
+       |  AND a.key // 1048576 != b.key // 1048576""".stripMargin
 }

@@ -25,12 +25,14 @@ class ContractSpec extends AnyFunSuite {
     // (dynamicOracleKeys below: lloyd/PQ/PCA/whitening/logistic
     // constants embedded at verify time, arithmetic replayed).
     // cdc_shared + boilerplate_scrub_cdc graduated with cdc_chunks
-    // (same cut-replay scaffold).
+    // (same cut-replay scaffold). media_neardup + media_frame_neardup
+    // graduated in r14 too: the stubbed decoder reads only payload
+    // bytes (UTF-8 of text, SQL-reachable via encode()), so the dHash
+    // replays bit for bit and the pigeonhole-exact banded joins oracle
+    // as brute all-pairs Hamming.
     "token_count_bpe",    // FunctionsSpec: == independent plain-Scala BPE merge count
     "bpe_merges",         // FunctionsSpec: hand-verified learned sequence + determinism
     "token_count_learned",// FunctionsSpec: == independent reimpl under the learned table
-    "media_neardup",      // LlmOpsSpec: planted re-encoded/resized dups recalled
-    "media_frame_neardup",// LlmOpsSpec: planted re-encoded clip's frames recalled
     "compression_ratio")  // FunctionsSpec: == plain-Scala Deflater refold + ordering law
 
   test("every oracle entry has a query") {
