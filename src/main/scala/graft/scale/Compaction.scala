@@ -140,7 +140,14 @@ object Compaction {
     * never a half-file beside live data. Partitions compact
     * concurrently and independently — exactly the property that lets a
     * 100 TB table be maintained incrementally, a few partitions at a
-    * time, without ever rewriting the whole table. */
+    * time, without ever rewriting the whole table.
+    *
+    * Re-running into a previously-used `outDir` REPLACES same-index
+    * part files (and fails loudly if it can't); it does not garbage-
+    * collect higher-index parts a shrunken bin count strands, so a
+    * maintenance loop should compact into a fresh dir and swap — the
+    * replace semantics exist so a replayed/crashed pass converges
+    * instead of silently serving stale parts. */
   def compactPartitioned(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long, parallelism: Int = 8): (Int, Int) = {
     val outRoot = new Path(outDir)
@@ -160,7 +167,18 @@ object Compaction {
         .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
       fs.mkdirs(new Path(out))
-      fs.rename(part.getPath, new Path(out, f"part-$i%05d.parquet"))
+      val dst = new Path(out, f"part-$i%05d.parquet")
+      // FileSystem.rename returns FALSE (no exception) when dst already
+      // exists — e.g. re-compacting into a previously-used outDir — and
+      // silently dropping the fresh file here would both keep the STALE
+      // part visible and delete the only copy of the new one with the
+      // staging dir below. Replace-then-rename, and fail loudly on any
+      // other rename refusal.
+      if (fs.exists(dst) && !fs.delete(dst, false))
+        throw new java.io.IOException(s"compaction: cannot replace stale $dst")
+      if (!fs.rename(part.getPath, dst))
+        throw new java.io.IOException(
+          s"compaction: rename ${part.getPath} -> $dst refused")
       fs.delete(new Path(tmp), true)
     }, parallelism)
     (work.map(_._1.size).sum, work.size)

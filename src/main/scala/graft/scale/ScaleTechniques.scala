@@ -87,12 +87,16 @@ object ScaleTechniques {
     * the aggregated (bounded) frame, not the input. A key with share
     * ≳ 1/shufflePartitions is the reducer that will run hot. */
   def skewReport(df: DataFrame, key: Column, topN: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.select(key.as("k"))
+    // total via a 1-row aggregate broadcast onto the top-N, NOT an
+    // empty-partitionBy window: that window funnels the ENTIRE keyed
+    // aggregate through one partition — at a 100 TB key cardinality,
+    // exactly the hot-reducer shape this report exists to diagnose.
+    // Both legs derive from the same aggregate, so the shuffle exchange
+    // is planned once and reused.
+    val counts = df.select(key.as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("rows"))
-      .withColumn("total", sum(col("rows")).over(Window.partitionBy()))
-      .orderBy(col("rows").desc, col("k"))
-      .limit(topN)
+    counts.orderBy(col("rows").desc, col("k")).limit(topN)
+      .crossJoin(broadcast(counts.agg(sum(col("rows")).as("total"))))
       .select(col("k"), col("rows"),
         round(col("rows").cast("double") / col("total"), 6).as("share"))
   }

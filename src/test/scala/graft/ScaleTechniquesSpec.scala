@@ -201,6 +201,15 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     val stray = new java.io.File(s"$dir/out").listFiles()
       .filter(f => f.getName.startsWith(".tmp") || f.getName.startsWith("bin="))
     assert(stray.isEmpty)
+    // RE-compaction into the same outDir must REPLACE same-index parts,
+    // not silently keep stale ones: FileSystem.rename returns FALSE (no
+    // exception) when dst exists, and the unchecked pre-fix rename left
+    // the old part live while the staging delete dropped the fresh one
+    src.limit(100).write.mode("append").partitionBy("pfx")
+      .parquet(s"$dir/in")
+    Compaction.compactPartitioned(spark, s"$dir/in", s"$dir/out", target)
+    assert(spark.read.parquet(s"$dir/out").count()
+      == spark.read.parquet(s"$dir/in").count())
     // fail fast: a corrupt input file surfaces the error promptly
     val badDir = new java.io.File(s"$dir/bad"); badDir.mkdirs()
     java.nio.file.Files.write(
