@@ -304,6 +304,10 @@ object SparkEntry {
     "text_normalize"    -> TextOps.textNormalizeSql,
     "lang_id"           -> TextOps.langIdSql,
     "token_count"       -> TextOps.tokenCountSql,
+    // the static engine merge table embeds as literals and the greedy
+    // merge loop replays per DISTINCT vocabulary word in a recursive
+    // CTE (min(len) is the fixpoint — every round strictly shrinks)
+    "token_count_bpe"   -> TextOps.tokenCountBpeSql(),
     "doc_chunks"        -> TextOps.docChunksSql(),
     "tfidf_topterms"    -> TextOps.tfidfTopTermsSql(),
     "pack_bins"         -> TextOps.packBinsSql(),
@@ -378,11 +382,17 @@ object SparkEntry {
     "emb_outliers" -> Vectors.embOutliersSql(
       Vectors.mahaModelFor(spark, sfDir)),
     "quality_classifier" -> Quality.classifierSqlFor(spark, sfDir),
+    // the corpus-learned merge table is a deterministic driver-side
+    // artifact (memoized bpeMerges collect) — embedded as literals and
+    // replayed beside the fixed table's loop
+    "token_count_learned" -> TextOps.tokenCountLearnedSql(
+      TextOps.learnedMergeTable(spark, sfDir)),
   )
 
   /** Static key set of [[dynamicOracleSql]] (ContractSpec accounting
     * without a SparkSession). */
   val dynamicOracleKeys: Set[String] = Set(
     "dedup_semantic", "similarity_topk_pq", "similarity_topk_pq_idx",
-    "emb_pca_project", "emb_outliers", "quality_classifier")
+    "emb_pca_project", "emb_outliers", "quality_classifier",
+    "token_count_learned")
 }

@@ -166,9 +166,13 @@ object TextOps {
     * expression), beside the whitespace count for calibration: this is
     * the number a trainer's tokenizer actually bills, where ws_tokens
     * undercounts. Zero-shuffle scan-speed projection like the rest of
-    * the family; engine-specific merge loop ⇒ no SQL oracle
-    * (FunctionsSpec pins it against a plain-Scala reimplementation,
-    * ContractSpec pins the exemption). */
+    * the family; DuckDB-oracled since round 14 ([[tokenCountBpeSql]]
+    * replays the merge loop over the DISTINCT vocabulary via a
+    * recursive CTE). chars_per_token is a FLOOR-SCALED division:
+    * round(n/d, 6) lands on an exactly-representable 7th-decimal half
+    * whenever the reduced divisor is a power of two ≥ 128 (token
+    * counts hit those), where Spark HALF_UP and DuckDB half-even
+    * disagree — floor(n·1e6/d)/1e6 is IEEE-identical in both. */
   def tokenCountBpe(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
@@ -178,7 +182,7 @@ object TextOps {
         col("n_chars"))
       .withColumn("chars_per_token",
         when(col("bpe_tokens") > 0,
-          round(col("n_chars").cast("double") / col("bpe_tokens"), 6))
+          floor(col("n_chars") * lit(1000000L) / col("bpe_tokens")) / lit(1e6))
           .otherwise(lit(0.0)))
 
   /** Overlapping token-window chunking — the unit-of-training-sample
@@ -617,22 +621,153 @@ object TextOps {
     * [[graft.functions.BpeTokenCountWith]] expression (a codegen
     * reference object — still one narrow scan, zero shuffle); corpus-
     * fitted merges compress corpus text harder than any fixed table,
-    * which is exactly what a token-budgeting pass wants. Learned
-    * table ⇒ engine-specific ⇒ ContractSpec-pinned; FunctionsSpec pins
-    * the count against an independent reimplementation driven by the
-    * same learned table. */
+    * which is exactly what a token-budgeting pass wants.
+    * DuckDB-oracled since round 14 (the trained-constant recipe: the
+    * deterministic learned table is embedded by the dynamic oracle
+    * generator and [[tokenCountLearnedSql]] replays both merge loops);
+    * FunctionsSpec additionally pins the count against an independent
+    * reimplementation driven by the same learned table. */
   def tokenCountLearned(spark: SparkSession, dir: String,
-      nMerges: Int = 30): DataFrame = {
-    val table = bpeMerges(spark, dir, nMerges).collect()
-      .sortBy(_.getInt(0))
-      .map(r => (r.getString(1), r.getString(2))).toSeq
+      nMerges: Int = 30): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         graft.functions.BpeTokenCount
-          .bpe_token_count_with(col("text"), table).as("n_tokens_learned"),
+          .bpe_token_count_with(col("text"),
+            learnedMergeTable(spark, dir, nMerges)).as("n_tokens_learned"),
         graft.functions.BpeTokenCount
           .bpe_token_count(col("text")).as("n_tokens_fixed"))
+
+  /** The learned merge table as an ordered pair list — shared by the
+    * [[tokenCountLearned]] builder and its dynamic oracle generator so
+    * both embed the SAME table ([[bpeMerges]] is memoized per (dir,
+    * nMerges), so this costs one collect per session). */
+  def learnedMergeTable(spark: SparkSession, dir: String,
+      nMerges: Int = 30): Seq[(String, String)] =
+    bpeMerges(spark, dir, nMerges).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** DuckDB scaffold replaying [[graft.functions.BpeMergeCounter]]'s
+    * merge loop EXACTLY over a shared `words(w)` CTE of distinct
+    * lowercased letter runs: a recursive CTE iterates best-ranked-pair
+    * merge rounds per word (each round merges ALL left-to-right
+    * non-overlapping occurrences of the best pair — for a ≠ b
+    * occurrences can't overlap, for a = b every other position within
+    * each consecutive run merges, replayed with a run-parity filter),
+    * and the final subword count is min(len(syms)) since every round
+    * strictly shrinks the list. `nullif(list_position(…), 0)` is
+    * load-bearing: DuckDB's list_position returns 0, not NULL, for a
+    * missing pair, which would otherwise read as the BEST rank. Emits
+    * `bpe_$sfx` / `wcount_$sfx` CTE text (appended inside a WITH
+    * RECURSIVE). */
+  private def bpeCountSqlCtes(merges: Seq[(String, String)],
+      sfx: String): String = {
+    def esc(s: String) = s.replace("'", "''")
+    if (merges.isEmpty)
+      // no merges learnable: every word stays at its character count
+      return s"""wcount_$sfx AS (SELECT w, CAST(len(w) AS BIGINT) AS cnt FROM words)"""
+    val mlit = merges.map { case (a, b) => s"'${esc(a)} ${esc(b)}'" }
+      .mkString("[", ", ", "]")
+    s"""bpe_$sfx AS (
+       |  SELECT w, list_transform(range(len(w)), i -> w[CAST(i+1 AS INT)]) AS syms
+       |  FROM words
+       |  UNION ALL
+       |  SELECT w,
+       |    flatten(list_transform(list_transform(range(len(syms)), i -> CAST(i+1 AS INT)), i ->
+       |      CASE WHEN list_contains(sel, i) THEN [a || b]
+       |           WHEN list_contains(sel, i - 1) THEN []
+       |           ELSE [syms[i]] END)) AS syms
+       |  FROM (
+       |    SELECT w, syms, a, b,
+       |      CASE WHEN a != b THEN occ
+       |           ELSE list_filter(occ, i -> (i - (coalesce(list_max(list_filter(gaps0, g -> g < i)), 0) + 1)) % 2 = 0)
+       |      END AS sel
+       |    FROM (
+       |      SELECT w, syms, a, b,
+       |        list_filter(list_transform(range(len(syms) - 1), i -> CAST(i+1 AS INT)),
+       |          i -> syms[i] = a AND syms[i + 1] = b) AS occ,
+       |        list_prepend(CAST(0 AS INT),
+       |          list_filter(list_transform(range(len(syms) - 1), i -> CAST(i+1 AS INT)),
+       |            i -> NOT (syms[i] = a AND syms[i + 1] = b))) AS gaps0
+       |      FROM (
+       |        SELECT w, syms, syms[bestIdx] AS a, syms[bestIdx + 1] AS b
+       |        FROM (
+       |          SELECT w, syms, CAST(list_position(ranks, bestRank) AS INT) AS bestIdx
+       |          FROM (
+       |            SELECT w, syms, ranks,
+       |              list_min(list_filter(ranks, r -> r IS NOT NULL)) AS bestRank
+       |            FROM (
+       |              SELECT w, syms,
+       |                list_transform(list_transform(range(len(syms) - 1), i -> CAST(i+1 AS INT)),
+       |                  i -> nullif(list_position($mlit, syms[i] || ' ' || syms[i + 1]), 0)) AS ranks
+       |              FROM bpe_$sfx) )
+       |          WHERE bestRank IS NOT NULL) ) ) )
+       |),
+       |wcount_$sfx AS (
+       |  SELECT w, CAST(min(len(syms)) AS BIGINT) AS cnt FROM bpe_$sfx GROUP BY w)""".stripMargin
   }
+
+  /** Shared pre-tokenizer CTEs: `words` (distinct lowercased letter
+    * runs — Character.isLetter runs lowercase to exactly [a-z]+ of
+    * lower(text) on this ASCII corpus), `dw` (per-doc word instances),
+    * `other` (per-doc count of non-letter, non-whitespace characters —
+    * each is one token; RE2's \\s is [\\t\\n\\f\\r ], Java's
+    * isWhitespace additionally accepts \\x0B and \\x1C-\\x1F, none of
+    * which the corpus contains). */
+  private val bpePreTokSqlCtes: String =
+    """words AS (
+      |  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |  FROM documents),
+      |dw AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |  FROM documents),
+      |other AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_replace(text, '[a-zA-Z\s]', '', 'g')) AS BIGINT) AS o
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB oracle for [[tokenCountBpe]] — the engine-owned static
+    * merge table embedded as literals, the merge loop replayed by
+    * [[bpeCountSqlCtes]]. */
+  def tokenCountBpeSql(): String =
+    s"""WITH RECURSIVE
+       |$bpePreTokSqlCtes,
+       |${bpeCountSqlCtes(graft.functions.BpeTokenCount.merges, "f")},
+       |lt AS (
+       |  SELECT dw.doc_id, SUM(wc.cnt) AS letter_toks
+       |  FROM dw JOIN wcount_f wc USING (w) GROUP BY dw.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(len(${tokensSql}) AS BIGINT) AS ws_tokens,
+       |  CAST(coalesce(lt.letter_toks, 0) + o.o AS BIGINT) AS bpe_tokens,
+       |  d.n_chars,
+       |  CASE WHEN coalesce(lt.letter_toks, 0) + o.o > 0
+       |    THEN floor(d.n_chars * 1000000 / (coalesce(lt.letter_toks, 0) + o.o)) / 1000000.0
+       |    ELSE 0.0 END AS chars_per_token
+       |FROM documents d
+       |JOIN other o USING (doc_id)
+       |LEFT JOIN lt USING (doc_id)""".stripMargin
+
+  /** DuckDB oracle for [[tokenCountLearned]]: TWO merge tables — the
+    * corpus-learned one (driver-computed, deterministic, embedded by
+    * the dynamic-oracle generator) and the fixed engine table — each
+    * replayed by its own recursive CTE over the shared vocabulary. */
+  def tokenCountLearnedSql(learned: Seq[(String, String)]): String =
+    s"""WITH RECURSIVE
+       |$bpePreTokSqlCtes,
+       |${bpeCountSqlCtes(learned, "l")},
+       |${bpeCountSqlCtes(graft.functions.BpeTokenCount.merges, "f")},
+       |lt_l AS (
+       |  SELECT dw.doc_id, SUM(wc.cnt) AS s
+       |  FROM dw JOIN wcount_l wc USING (w) GROUP BY dw.doc_id),
+       |lt_f AS (
+       |  SELECT dw.doc_id, SUM(wc.cnt) AS s
+       |  FROM dw JOIN wcount_f wc USING (w) GROUP BY dw.doc_id)
+       |SELECT o.doc_id,
+       |  CAST(coalesce(l.s, 0) + o.o AS BIGINT) AS n_tokens_learned,
+       |  CAST(coalesce(f.s, 0) + o.o AS BIGINT) AS n_tokens_fixed
+       |FROM other o
+       |LEFT JOIN lt_l l USING (doc_id)
+       |LEFT JOIN lt_f f USING (doc_id)""".stripMargin
 
   /** Content-defined chunking over the documents table: Gear-hash
     * boundaries from the native [[graft.functions.CdcBoundaries]]

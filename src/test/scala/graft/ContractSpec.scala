@@ -30,9 +30,13 @@ class ContractSpec extends AnyFunSuite {
     // bytes (UTF-8 of text, SQL-reachable via encode()), so the dHash
     // replays bit for bit and the pigeonhole-exact banded joins oracle
     // as brute all-pairs Hamming.
-    "token_count_bpe",    // FunctionsSpec: == independent plain-Scala BPE merge count
+    // token_count_bpe + token_count_learned graduated late in r14: the
+    // merge tables embed as literals (static / driver-learned) and the
+    // greedy merge loop replays per distinct vocabulary word in a
+    // recursive CTE — see TextOps.bpeCountSqlCtes.
     "bpe_merges",         // FunctionsSpec: hand-verified learned sequence + determinism
-    "token_count_learned",// FunctionsSpec: == independent reimpl under the learned table
+                          // (its OUTPUT is the merge table itself — an
+                          // oracle embedding it would be vacuous)
     "compression_ratio")  // FunctionsSpec: == plain-Scala Deflater refold + ordering law
 
   test("every oracle entry has a query") {
