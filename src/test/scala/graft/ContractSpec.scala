@@ -39,6 +39,31 @@ class ContractSpec extends AnyFunSuite {
                           // oracle embedding it would be vacuous)
     "compression_ratio")  // FunctionsSpec: == plain-Scala Deflater refold + ordering law
 
+  test("corpus character classes behind the text-replay oracles hold") {
+    // Several oracles replay JVM text semantics in SQL under character-
+    // class equivalences that hold only on ASCII-printable text (+ the
+    // \t \n \r whitespace): Character.isLetter == [A-Za-z] (the BPE
+    // pre-tokenizer in tokenCountBpeSql/tokenCountLearnedSql),
+    // Character.isWhitespace == RE2 \s restricted to this set (same,
+    // plus tokensSql's split), and UTF-8 == one byte per char is NOT
+    // assumed anywhere (media dHash hex-decodes real UTF-8) but
+    // non-ASCII WOULD change Java letter runs. The driver regenerates
+    // /root/testdata between rounds; if a regeneration introduces
+    // characters outside this set, fail HERE with the dependency list
+    // instead of surfacing as an opaque oracle hash mismatch.
+    import org.apache.spark.sql.functions._
+    val offenders = graft.Tables.documents(SparkTestSession.spark,
+        SparkTestSession.sf)
+      .filter(col("text").rlike("[^\\x20-\\x7E\\t\\n\\r]"))
+      .count()
+    assert(offenders == 0L,
+      s"$offenders documents contain characters outside ASCII-printable" +
+        "+[\\t\\n\\r]; re-audit the character-class equivalences in " +
+        "tokenCountBpeSql / tokenCountLearnedSql / tokensSql-based " +
+        "oracles and the simhash/media dHash replays before trusting " +
+        "their CORRECTNESS rows")
+  }
+
   test("every oracle entry has a query") {
     val dangling = (SparkEntry.oracleSql.keySet ++
       SparkEntry.dynamicOracleKeys) -- SparkEntry.queries.keySet
