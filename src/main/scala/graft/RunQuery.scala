@@ -35,11 +35,12 @@ object RunQuery {
     outDir match {
       case Some(out) =>
         df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
-        val oracles =
-          if (SparkEntry.dynamicOracleKeys(name))
-            SparkEntry.dynamicOracleSql(spark, sfDir)
-          else SparkEntry.oracleSql
-        val sql = oracles.get(name).map(s =>
+        // evaluate ONLY this query's oracle: each dynamic thunk trains
+        // its own model, and a one-query run should not pay the other
+        // six driver-side fits
+        val sql = SparkEntry.dynamicOracles.get(name)
+          .map(f => f(spark, sfDir))
+          .orElse(SparkEntry.oracleSql.get(name)).map(s =>
           "{\"" + name + "\": \"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
             .replace("\n", "\\n").replace("\t", "\\t") + "\"}").getOrElse("{}")
         java.nio.file.Files.writeString(

@@ -101,10 +101,23 @@ object CorpusExport {
     try {
       val stamp = Tables.fileStamp(spark, s"$dir/documents.parquet")
       val dirPrefix = dir.replaceAll("[^A-Za-z0-9]", "_") + "_"
+      // prefix alone is AMBIGUOUS: a nested corpus dir (/data/x/y)
+      // normalizes to a name that EXTENDS the parent's prefix
+      // (_data_x_y_…), so a startsWith-only match would GC the nested
+      // dir's LIVE trees every time the parent exports. A sibling
+      // belongs to THIS dir only if the text after the prefix is
+      // exactly the key shape exportPath mints:
+      // <nShards>_<trainFrac>_<valFrac>_s1_<len>_<mtime>_<crcHex>
+      // (fracs are doubles with '.'→'p'; stamp per Tables.fileStamp).
+      // A nested dir's remainder carries its extra path segment first
+      // and cannot parse as that shape.
+      val keyShape = "\\d+_[0-9pE\\-]+_[0-9pE\\-]+_s1_\\d+_\\d+_[0-9a-f]+".r
       val parent = new org.apache.hadoop.fs.Path(base).getParent
       if (fs.exists(parent)) fs.listStatus(parent).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith(dirPrefix) && !n.contains(stamp))
+        if (n.startsWith(dirPrefix) &&
+            keyShape.matches(n.substring(dirPrefix.length)) &&
+            !n.contains(stamp))
           fs.delete(st.getPath, true)
       }
     } catch { case _: java.io.IOException => () } // GC is best-effort

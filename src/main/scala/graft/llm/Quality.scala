@@ -100,8 +100,10 @@ object Quality {
     * 1e-4 sample of 100 TB runs out), iterating treeAggregate over
     * (hashDim+1)-sized gradient vectors; scoring broadcasts the
     * coefficient vector and streams the corpus once, zero shuffles.
-    * Engine-specific (hash family + optimizer) ⇒ no SQL oracle;
-    * PiiQualitySpec asserts holdout agreement with the teacher rules and
+    * DuckDB-oracled since r14 via [[classifierSqlFor]] (murmur3 feature
+    * indexes + fitted coefficients embedded as literals, BLAS sparse-dot
+    * order replayed); PiiQualitySpec additionally asserts holdout
+    * agreement with the teacher rules and
     * that the probability orders rule-passing docs above rule-failing
     * ones on average. */
   def classifierScores(spark: SparkSession, dir: String,
@@ -246,9 +248,22 @@ object Quality {
     val model = classifierModel(spark, dir, hashDim, maxIter, sampleFrac)
     val htf = new org.apache.spark.ml.feature.HashingTF()
       .setNumFeatures(hashDim)
+    // VERIFY-SCALE-ONLY COLLECT, bounded by a loud guard: the VALUES
+    // table must map EVERY distinct corpus token to its murmur3 bucket
+    // (one representative per bucket would silently drop the counts of
+    // every non-representative token — the join is by token string),
+    // so the collect scales with corpus VOCABULARY, not hashDim. That
+    // is fine for the oracle generator (it only ever runs at verify
+    // scale against DuckDB) and wrong for anything serving-path; the
+    // guard turns a misuse into an error instead of a driver OOM.
     val toks = Tables.fanOut(Tables.documents(spark, dir))
       .select(explode(TextOps.tokens(col("text"))).as("tok"))
-      .distinct().collect().map(_.getString(0)).sorted
+      .distinct().limit(65537).collect().map(_.getString(0)).sorted
+    require(toks.length <= 65536,
+      "classifierSqlFor is a verify-scale oracle generator: corpus " +
+        "vocabulary exceeds 65536 distinct tokens; the exact replay " +
+        "would need a corpus-vocab-sized VALUES table. Run it against " +
+        "verify-scale data only.")
     val coef = model.coefficients
     val rows = toks.map { t =>
       val f = htf.indexOf(t)

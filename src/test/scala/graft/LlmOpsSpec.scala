@@ -1396,6 +1396,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fromTree == fromAssign)
   }
 
+  test("corpus export GC: reclaims this dir's stale trees, never a nested dir's live tree") {
+    import graft.llm.CorpusExport
+    val parent = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_export")
+    parent.mkdirs()
+    val dirPrefix = sf.replaceAll("[^A-Za-z0-9]", "_") + "_"
+    // a LIVE export tree of the NESTED dir s"$sf/y" — its normalized
+    // name extends this dir's prefix; the old startsWith-only GC
+    // deleted it on every parent export
+    val nested = new java.io.File(parent, dirPrefix + "y_4_0p8_0p1_s1_9_9_ab")
+    // a STALE tree of THIS dir (key-shaped remainder, dead stamp)
+    val stale = new java.io.File(parent, dirPrefix + "4_0p8_0p1_s1_9_9_ab")
+    nested.mkdirs(); stale.mkdirs()
+    try {
+      CorpusExport.exportManifest(spark, sf, 4).collect()
+      assert(nested.exists(), "GC deleted a nested dir's live export tree")
+      assert(!stale.exists(), "GC kept this dir's stale export tree")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(nested); rm(stale)
+    }
+  }
+
   test("weighted_sample: top-k priorities match a plain-Scala md5 recomputation") {
     val got = graft.llm.Sampling.weightedSample(spark, sf, k = 20)
       .collect().map(r => (r.getLong(0), r.getDouble(2)))
