@@ -266,11 +266,34 @@ object StreamingNearDup extends Serializable {
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
         .select(col("doc_id"), col("text"))
-      val q = nearDupStream(stream, maxDist)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination()
-      finally q.stop()
+        // the [[graft.Tables.fanOut]] rationale, stream-side: the table
+        // arrives as ONE parquet file → the micro-batch scans it as one
+        // partition, and the per-doc simhash (the dominant per-row cost)
+        // would run single-threaded — measured 22 s/batch at sf0.1 vs
+        // ~2 s fanned. A 100 TB ingest arrives as many files and skips
+        // this; the shuffle is one pass over the batch's raw text.
+        .repartition(spark.sparkContext.defaultParallelism)
+      // state partitioning sized to the data (scoped set/restore, the
+      // StreamingNearDupSpec conf pattern): each state-store instance
+      // pays a per-commit delta-file fsync, so 32 instances for a
+      // 5k-doc bounded table is floor, not parallelism — 8 carries the
+      // same bands at 1/4 the commit cost. A real unbounded ingest
+      // sizes this to corpus state (hundreds of partitions), set at
+      // first start via spark.sql.shuffle.partitions as usual.
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try nearDupStream(stream, maxDist)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try {
+        q.awaitTermination()
+        // SPARK_GRAFT_STREAM_DEBUG=1: dump per-micro-batch progress —
+        // the cold-attribution loop (batch count × per-batch floor)
+        if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1"))
+          q.recentProgress.foreach(p => println(p.json))
+      } finally q.stop()
       // materialize the bounded pair set and drop the memory-sink view
       // — cold reruns must not accumulate driver-memory tables
       val state = spark.table(name)
