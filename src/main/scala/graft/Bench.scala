@@ -43,6 +43,47 @@ object Bench {
     // absorb IO/codegen initialization
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
+    // STEAL CANARY: a pinned fixed-plan probe (1G xxhash64 rows over all
+    // cores, no IO, no caches) timed before and after each suite pass.
+    // This host has episodic CPU steal invisible in /proc/stat that
+    // swings identical plans 3-6×; the canary makes window adjudication
+    // mechanical — BASELINE.md records the clean-window reference value,
+    // and a pass whose canary reads k× the reference is deflated by k
+    // before cross-window comparison. Median of 3 (jitter-robust, steal
+    // stays visible — a steal episode inflates all three).
+    def canary(): Double = {
+      import org.apache.spark.sql.functions.{col, expr, xxhash64}
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        // bit_xor, not sum: 1G hash values overflow a Long under ANSI
+        spark.range(0L, 1000000000L, 1L, cpus.toInt)
+          .select(xxhash64(col("id")).as("h"))
+          .agg(expr("bit_xor(h)")).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      runs(1)
+    }
+    // SECOND canary flavor: per-JOB scheduler floor (seconds/job over 20
+    // trivial all-core jobs). The steal mode this host actually exhibits
+    // penalizes MANY-SMALL-JOBS shapes while leaving one big CPU-bound
+    // job untouched (r14's streaming/curation rows swung 2-5× in windows
+    // where warm suite totals held) — a raw-compute canary is blind to
+    // it, so the artifact carries both.
+    def canaryJobs(): Double = {
+      val t0 = System.nanoTime()
+      (1 to 20).foreach { _ =>
+        spark.sparkContext.parallelize(0 until cpus.toInt, cpus.toInt)
+          .map(_ + 1).count()
+      }
+      (System.nanoTime() - t0) / 1e9 / 20.0
+    }
+
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the suite — the
+    // single-query cold-attribution loop (Bench is the only harness
+    // that times eager builder work; RunQuery times plan execution).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
     // min-of-2 passes per query: this host has episodic CPU steal that
     // swings identical plans 3-6x, so a single pass is noise; the min of
     // two is the honest per-query number. Failures are recorded as
@@ -54,7 +95,9 @@ object Bench {
     // under-measures projection-heavy queries.
     def runSuite(cold: Boolean): (Seq[(String, Double)], Seq[(String, String)]) = {
       if (cold) Caches.release(spark)
-      val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val results = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         def once(): Either[String, Double] = {
           if (cold) Caches.release(spark)
           val t0 = System.nanoTime()
@@ -80,10 +123,20 @@ object Bench {
       rows.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
         .mkString("{", ",", "}")
 
+    var canaries = Vector.empty[(String, Double)]
+    def mark(tag: String): Unit = {
+      canaries :+= (tag -> canary())
+      canaries :+= (s"${tag}_jobfloor" -> canaryJobs())
+    }
+
+    if (mode != "cold") mark("warm_before")
     val (warmOk, warmErr) =
       if (mode != "cold") runSuite(cold = false) else (Nil, Nil)
+    if (mode != "cold") mark("warm_after")
+    if (mode != "warm") mark("cold_before")
     val (coldOk, coldErr) =
       if (mode != "warm") runSuite(cold = true) else (Nil, Nil)
+    if (mode != "warm") mark("cold_after")
 
     val headline = if (mode == "cold") coldOk else warmOk
     // namespace the cold-pass failures: the same query can fail with
@@ -106,8 +159,21 @@ object Bench {
     val coldPart =
       if (mode == "warm" || coldOk.isEmpty) ""
       else f""","total_cold":${coldOk.map(_._2).sum}%.3f,"queries_cold":${fmt(coldOk)}"""
+    // canary fields: raw seconds per mark plus the within-run spread —
+    // ratio > ~1.5 means the window SHIFTED mid-run; cross-window
+    // comparison divides suite times by (canary / BASELINE's reference)
+    val canaryJson = {
+      val fields = canaries.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+      def spread(vs: Seq[Double]): Option[Double] =
+        if (vs.size < 2) None else Some(vs.max / vs.min)
+      val (floors, computes) = canaries.partition(_._1.endsWith("_jobfloor"))
+      val ratios =
+        spread(computes.map(_._2)).map(r => f""","ratio":$r%.3f""").getOrElse("") +
+        spread(floors.map(_._2)).map(r => f""","jobfloor_ratio":$r%.3f""").getOrElse("")
+      fields.mkString("{", ",", "") + ratios + "}"
+    }
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(headline)}$coldPart,"errors":$es,"passes":2,"mode":"$mode","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(headline)}$coldPart,"errors":$es,"canary":$canaryJson,"passes":2,"mode":"$mode","sf":"$sfDir"}"""
     println(line)
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
