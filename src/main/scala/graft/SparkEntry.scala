@@ -296,9 +296,11 @@ object SparkEntry {
     "emb_neardup_lsh"   -> Vectors.embNearDupLshSql(),
     "emb_centroids"     -> Vectors.embCentroidsSql,
     "emb_covariance"    -> Vectors.embCovarianceSql(),
-    // emb_pca_project / emb_outliers: iterative eigensolve / matrix
-    // inverse — not SQL-expressible; LlmOpsSpec pins eigenpair laws and
-    // the plain-Scala Mahalanobis refold, ContractSpec the accounting.
+    // emb_pca_project / emb_outliers: oracled via [[dynamicOracles]]
+    // (the trained-constant recipe — the verify session embeds its own
+    // eigenvectors / inverse-Cholesky rows as literals); LlmOpsSpec
+    // additionally pins eigenpair laws and the plain-Scala Mahalanobis
+    // refold.
     "text_stats"        -> TextOps.textStatsSql,
     "quality_by_source" -> Quality.qualityBySourceSql(),
     "text_normalize"    -> TextOps.textNormalizeSql,
@@ -308,6 +310,10 @@ object SparkEntry {
     // merge loop replays per DISTINCT vocabulary word in a recursive
     // CTE (min(len) is the fixpoint — every round strictly shrinks)
     "token_count_bpe"   -> TextOps.tokenCountBpeSql(),
+    // the training loop itself, LEARNED in DuckDB (30 unrolled
+    // count→argmax→apply rounds over the (word, freq) vocabulary) —
+    // nothing embedded, so the oracle is independent end to end
+    "bpe_merges"        -> TextOps.bpeMergesSql(),
     "doc_chunks"        -> TextOps.docChunksSql(),
     "tfidf_topterms"    -> TextOps.tfidfTopTermsSql(),
     "pack_bins"         -> TextOps.packBinsSql(),
@@ -367,32 +373,37 @@ object SparkEntry {
     * deterministic: pinned vec_id-ordered samples, exact BIGINT
     * moments, fixed-iteration solvers). [[Verify]] merges these into
     * oracle_sql.json next to the static [[oracleSql]] entries. */
-  def dynamicOracleSql(spark: SparkSession, sfDir: String)
-      : Map[String, String] = Map(
-    "dedup_semantic" -> Vectors.semanticDedupSql(
-      Vectors.coarseCentroids(spark, sfDir, nCells = 16)),
-    "similarity_topk_pq" -> Vectors.simTopKPqSql(
-      Vectors.pqCodebooks(spark, sfDir)),
+  val dynamicOracles: Map[String, (SparkSession, String) => String] = Map(
+    "dedup_semantic" -> ((s, d) => Vectors.semanticDedupSql(
+      Vectors.coarseCentroids(s, d, nCells = 16))),
+    "similarity_topk_pq" -> ((s, d) => Vectors.simTopKPqSql(
+      Vectors.pqCodebooks(s, d))),
     // the persisted index round-trips the same codebooks through
     // Double.toString (exact), so it shares the inline replay
-    "similarity_topk_pq_idx" -> Vectors.simTopKPqSql(
-      Vectors.pqCodebooks(spark, sfDir)),
-    "emb_pca_project" -> Vectors.embPcaProjectSql(
-      Vectors.pcaModelFor(spark, sfDir)),
-    "emb_outliers" -> Vectors.embOutliersSql(
-      Vectors.mahaModelFor(spark, sfDir)),
-    "quality_classifier" -> Quality.classifierSqlFor(spark, sfDir),
+    "similarity_topk_pq_idx" -> ((s, d) => Vectors.simTopKPqSql(
+      Vectors.pqCodebooks(s, d))),
+    "emb_pca_project" -> ((s, d) => Vectors.embPcaProjectSql(
+      Vectors.pcaModelFor(s, d))),
+    "emb_outliers" -> ((s, d) => Vectors.embOutliersSql(
+      Vectors.mahaModelFor(s, d))),
+    "quality_classifier" -> ((s, d) => Quality.classifierSqlFor(s, d)),
     // the corpus-learned merge table is a deterministic driver-side
     // artifact (memoized bpeMerges collect) — embedded as literals and
     // replayed beside the fixed table's loop
-    "token_count_learned" -> TextOps.tokenCountLearnedSql(
-      TextOps.learnedMergeTable(spark, sfDir)),
+    "token_count_learned" -> ((s, d) => TextOps.tokenCountLearnedSql(
+      TextOps.learnedMergeTable(s, d))),
   )
 
-  /** Static key set of [[dynamicOracleSql]] (ContractSpec accounting
+  /** All dynamic oracles, evaluated — [[Verify]]'s full-suite path.
+    * Single-query callers ([[RunQuery]]) should evaluate just
+    * `dynamicOracles(name)` instead: each thunk trains its own model
+    * (Lloyd, PQ, PCA, logistic), and one query should not pay six
+    * unrelated driver-side fits. */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String)
+      : Map[String, String] =
+    dynamicOracles.map { case (k, f) => k -> f(spark, sfDir) }
+
+  /** Static key set of [[dynamicOracles]] (ContractSpec accounting
     * without a SparkSession). */
-  val dynamicOracleKeys: Set[String] = Set(
-    "dedup_semantic", "similarity_topk_pq", "similarity_topk_pq_idx",
-    "emb_pca_project", "emb_outliers", "quality_classifier",
-    "token_count_learned")
+  val dynamicOracleKeys: Set[String] = dynamicOracles.keySet
 }

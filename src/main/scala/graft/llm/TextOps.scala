@@ -297,8 +297,9 @@ object TextOps {
     * a doc with no hot chunks reconstructs ITSELF exactly). Gear
     * boundaries are byte positions: on non-ASCII text a dropped chunk
     * may split a codepoint at its edges — treat the output as bytes
-    * there. Engine-specific boundaries ⇒ no SQL oracle (spec-gated,
-    * like cdc_chunks/cdc_shared).
+    * there. DuckDB-oracled since r14 alongside cdc_chunks/cdc_shared
+    * (the boundary predicate is local to the last 6 bytes — see
+    * [[cdcCutsCtesSql]]).
     *
     * Scale: boundary scan + slicing ride the document scan (narrow);
     * one distinct-chunk shuffle for df; broadcast hot set; one doc_id
@@ -579,10 +580,12 @@ object TextOps {
     * like every BPE trainer; the result is the ranked merge table
     * [[tokenCountBpe]]-style counting consumes ("swapping in learned
     * merges is a data change", made operational). Deterministic:
-    * frequency ties break lexicographically. Iterative argmax ⇒ not
-    * ANSI-expressible ⇒ ContractSpec-pinned; FunctionsSpec verifies the
-    * learned sequence by hand on a crafted vocabulary and pins
-    * determinism. Memoized per (dir, n): the vocab collect is the
+    * frequency ties break lexicographically. DuckDB-oracled since r15
+    * by [[bpeMergesSql]] — the training loop LEARNED in SQL as 30
+    * unrolled count→argmax→apply rounds, nothing embedded; FunctionsSpec
+    * additionally verifies the learned sequence by hand on a crafted
+    * vocabulary and pins determinism. Memoized per (dir, n): the vocab
+    * collect is the
     * expensive pass and the table is the artifact.
     *
     * Driver-memory bound: the collect is capped at `maxVocab` entries
@@ -746,6 +749,69 @@ object TextOps {
        |FROM documents d
        |JOIN other o USING (doc_id)
        |LEFT JOIN lt USING (doc_id)""".stripMargin
+
+  /** DuckDB oracle for [[bpeMerges]] — the TRAINING loop learned
+    * INSIDE DuckDB, nothing embedded: the corpus collapses to its
+    * (word, freq) whitespace-token vocabulary, and each of the
+    * `nMerges` rounds is an unrolled CTE trio — overlapping adjacent
+    * pair counts weighted by word frequency (the engine counts every
+    * position, `learnMerges`' update loop), argmax with the engine's
+    * (count DESC, a, b) tie-break, then the same left-to-right
+    * non-overlapping APPLY step [[bpeCountSqlCtes]] replays (run-parity
+    * filter for the a = b case). Unrolling the fixed-round loop as
+    * chained CTEs sidesteps the recursive-CTE restriction on
+    * aggregating the working table (the argmax is corpus-wide); 30
+    * rounds over a Heaps'-bounded vocabulary is well inside DuckDB's
+    * planner budget — same family as the CDC replays. An exhausted
+    * vocabulary (no adjacent pair left) leaves b{r} empty, and every
+    * later round's cross join is then empty — exactly the engine's
+    * early stop. The registered defaults' minFreq=1 / maxVocab=2^20
+    * cut is non-binding at oracle scale (the suite's ASCII-corpus
+    * tripwire pins the assumption family). */
+  def bpeMergesSql(nMerges: Int = 30): String = {
+    val rounds = (1 to nMerges).map { r =>
+      val prev = s"s${r - 1}"
+      s"""p$r AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b, CAST(sum(f) AS BIGINT) AS c
+         |  FROM (SELECT f, syms,
+         |          unnest(list_transform(range(len(syms) - 1), x -> CAST(x + 1 AS INT))) AS i
+         |        FROM $prev)
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT a, b FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+         |m$r AS (SELECT $r AS "rank", a AS "left", b AS "right" FROM b$r),
+         |s$r AS MATERIALIZED (
+         |  SELECT w, f,
+         |    flatten(list_transform(list_transform(range(len(syms)), i -> CAST(i + 1 AS INT)), i ->
+         |      CASE WHEN list_contains(sel, i) THEN [a || b]
+         |           WHEN list_contains(sel, i - 1) THEN []
+         |           ELSE [syms[i]] END)) AS syms
+         |  FROM (
+         |    SELECT w, f, syms, a, b,
+         |      CASE WHEN a != b THEN occ
+         |           ELSE list_filter(occ, i -> (i - (coalesce(list_max(list_filter(gaps0, g -> g < i)), 0) + 1)) % 2 = 0)
+         |      END AS sel
+         |    FROM (
+         |      SELECT w, f, syms, a, b,
+         |        list_filter(list_transform(range(len(syms) - 1), i -> CAST(i + 1 AS INT)),
+         |          i -> syms[i] = a AND syms[i + 1] = b) AS occ,
+         |        list_prepend(CAST(0 AS INT),
+         |          list_filter(list_transform(range(len(syms) - 1), i -> CAST(i + 1 AS INT)),
+         |            i -> NOT (syms[i] = a AND syms[i + 1] = b))) AS gaps0
+         |      FROM $prev CROSS JOIN b$r)))""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to nMerges).map(r => s"SELECT * FROM m$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH v AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest($tokensSql) AS w FROM documents)
+       |  GROUP BY w),
+       |s0 AS MATERIALIZED (
+       |  SELECT w, f,
+       |    list_transform(range(len(w)), i -> w[CAST(i + 1 AS INT)]) AS syms
+       |  FROM v),
+       |$rounds
+       |$unions""".stripMargin
+  }
 
   /** DuckDB oracle for [[tokenCountLearned]]: TWO merge tables — the
     * corpus-learned one (driver-computed, deterministic, embedded by

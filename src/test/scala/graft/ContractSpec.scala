@@ -34,9 +34,9 @@ class ContractSpec extends AnyFunSuite {
     // merge tables embed as literals (static / driver-learned) and the
     // greedy merge loop replays per distinct vocabulary word in a
     // recursive CTE — see TextOps.bpeCountSqlCtes.
-    "bpe_merges",         // FunctionsSpec: hand-verified learned sequence + determinism
-                          // (its OUTPUT is the merge table itself — an
-                          // oracle embedding it would be vacuous)
+    // bpe_merges graduated in r15: the training loop is LEARNED inside
+    // DuckDB (TextOps.bpeMergesSql — 30 unrolled count→argmax→apply
+    // rounds), nothing embedded, so the oracle is non-vacuous.
     "compression_ratio")  // FunctionsSpec: == plain-Scala Deflater refold + ordering law
 
   test("corpus character classes behind the text-replay oracles hold") {
