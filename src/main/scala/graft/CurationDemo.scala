@@ -21,7 +21,8 @@ object CurationDemo {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -42,8 +43,16 @@ object CurationDemo {
       benchmark = Some(bench), lmRef = Some(bench), lmScoreFloor = -12.0)
 
     val t0 = System.nanoTime()
-    (0 until nBatches).foreach { b =>
+    // jobs-per-batch is the WINDOW-INDEPENDENT shape metric (this host's
+    // episodic steal inflates the per-job scheduler floor 2-5×, so
+    // docs/s alone can't adjudicate a code change): job ids are assigned
+    // synchronously at submit, so the per-group count is exact
+    val jobCounts = (0 until nBatches).map { b =>
+      spark.sparkContext.setJobGroup(s"curation-batch-$b", s"batch $b")
       pipeline.processBatch(corpus.filter(col("doc_id") % nBatches === b), b.toLong)
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker
+        .getJobIdsForGroup(s"curation-batch-$b").length
     }
     val sec = (System.nanoTime() - t0) / 1e9
     val kept = spark.read.parquet(s"$base/out/kept").count()
@@ -54,7 +63,8 @@ object CurationDemo {
     println(s"""{"metric":"curation_docs_per_sec","value":${
       math.rint((m.getLong(0) / sec) * 10) / 10
     },"unit":"docs/sec","sec":${math.rint(sec * 100) / 100},"docs":${
-      m.getLong(0)},"total_corpus":$total,"batches":$nBatches,"kept":$kept,"drops":{"index_dup":${
+      m.getLong(0)},"total_corpus":$total,"batches":$nBatches,"jobs_per_batch":${
+      jobCounts.mkString("[", ",", "]")},"kept":$kept,"drops":{"index_dup":${
       m.getLong(1)},"self_dup":${m.getLong(2)},"contaminated":${
       m.getLong(3)},"quality":${m.getLong(4)},"lm":${m.getLong(5)}}}""")
     spark.stop()

@@ -213,15 +213,38 @@ object DedupIndex {
     * index. */
   def probe(spark: SparkSession, path: String, batch: DataFrame,
       threshold: Double = 0.6, bands: Int = 16, rows: Int = 4): DataFrame = {
+    val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val verified = probeStaged(spark, path, batch, threshold, bands, rows) {
+      df => staged += df.persist(); df
+    }
+    // materialize before unpersisting the inputs the plan references
+    val out = verified.localCheckpoint(true)
+    staged.foreach(_.unpersist())
+    out
+  }
+
+  /** [[probe]]'s plan, LAZY: intermediate frames go through the
+    * caller's `stage` registrar (persist + deferred unpersist) and the
+    * returned verify join is never materialized here — the curation
+    * loop computes it inside its single verdict-aggregate job instead
+    * of paying probe-private sequential walls (two prefix collects and
+    * a localCheckpoint were 3 of the ~5 scheduler-floor walls per
+    * micro-batch). Partition pruning keeps its contract without the
+    * driver round-trips: the bucket and set scans semi-join their
+    * partition column against the batch's (broadcast, ≤ nPfx-row)
+    * prefix sets, so dynamic partition pruning skips the same slices
+    * the old collected-isin literals did — still never O(corpus) reads
+    * for a small probe — while the whole probe stays one plan. */
+  def probeStaged(spark: SparkSession, path: String, batch: DataFrame,
+      threshold: Double = 0.6, bands: Int = 16, rows: Int = 4)(
+      stage: DataFrame => DataFrame): DataFrame = {
     checkMeta(spark, path, bands, rows)
-    val batchSets = Dedup.shingleSets(batch).persist()
-    val probeBuckets = withPfx(bucketsOf(batchSets, bands, rows)).persist()
-    // bounded by construction: at most nPfx distinct values
-    val pfxs = probeBuckets.select(col("pfx")).distinct()
-      .collect().map(_.getLong(0))
+    val batchSets = stage(Dedup.shingleSets(batch))
+    val probeBuckets = stage(withPfx(bucketsOf(batchSets, bands, rows)))
     val index = spark.read.parquet(s"$path/buckets")
-      .filter(col("pfx").isin(pfxs: _*)) // partition-pruned scan
-    val cand = index.join(
+      .join(broadcast(probeBuckets.select(col("pfx")).distinct()),
+        Seq("pfx"), "left_semi") // partition-pruned scan (DPP)
+    val cand = stage(index.join(
         broadcast(probeBuckets.select(col("doc_id").as("new_id"),
           col("band_id"), col("band_hash"))),
         Seq("band_id", "band_hash"))
@@ -230,32 +253,22 @@ object DedupIndex {
       // doc's id is the batch's own folded copy from a replayed epoch
       .join(broadcast(batchSets.select(col("doc_id").as("corpus_id"))),
         Seq("corpus_id"), "left_anti")
-      .distinct()
-      .persist()
-    // candidate corpus_ids live in at most nPfx doc-hash slices: collect
-    // them (a bounded driver set, like the bucket pfxs) and prune the
-    // sets scan the same way the bucket scan is pruned -- without this,
-    // every probe full-scans the corpus-sized shingle-set table, which
-    // at index scale dwarfs the pruned bucket/posting reads
-    val dpfxs = cand
-      .select(pmod(xxhash64(col("corpus_id")), lit(nPfx)).as("dpfx"))
-      .distinct().collect().map(_.getLong(0))
-    val corpusSets =
-      if (dpfxs.isEmpty) spark.read.parquet(s"$path/sets").limit(0)
-      else spark.read.parquet(s"$path/sets")
-        .filter(col("dpfx").isin(dpfxs: _*)) // partition-pruned scan
-    val verified = Dedup.verifiedJaccardPairs(
+      .distinct())
+    // candidate corpus_ids live in at most nPfx doc-hash slices; the
+    // semi-join prunes the sets scan the same way -- without it, every
+    // probe full-scans the corpus-sized shingle-set table, which at
+    // index scale dwarfs the pruned bucket/posting reads
+    val corpusSets = spark.read.parquet(s"$path/sets")
+      .join(broadcast(cand
+          .select(pmod(xxhash64(col("corpus_id")), lit(nPfx)).as("dpfx"))
+          .distinct()),
+        Seq("dpfx"), "left_semi") // partition-pruned scan (DPP)
+    Dedup.verifiedJaccardPairs(
         cand, batchSets, corpusSets, "new_id", "corpus_id", threshold)
       // pair-level distinct: a replayed fold duplicates sets/ rows, and
       // the verify join would return each pair once per copy (same
       // jaccard value -- distinct collapses them exactly)
       .distinct()
-    // materialize before unpersisting the inputs the plan references
-    val out = verified.localCheckpoint(true)
-    batchSets.unpersist()
-    probeBuckets.unpersist()
-    cand.unpersist()
-    out
   }
 
   /** (new_id, corpus_id, n_new, common, containment) for every batch

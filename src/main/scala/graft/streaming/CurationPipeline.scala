@@ -70,7 +70,16 @@ class CurationPipeline(
     lmScoreFloor: Double = -10.0,
     lmAlpha: Double = 0.1,
     containment: Option[Double] = None,
-    containMaxDf: Int = 64) {
+    containMaxDf: Int = 64,
+    // AQE is scope-DISABLED around each batch's jobs by default: at
+    // micro-batch grain every frame is bounded, so the skew/coalesce
+    // wins AQE exists for never apply, while its per-stage scheduling
+    // turns each action into a chain of stage-jobs — measured 59 vs 16
+    // jobs per batch, 3.7× the scheduler-floor exposure, with a
+    // bit-identical kept set. A deployment feeding CLUSTER-sized
+    // batches (where runtime coalescing and skew splitting pay) passes
+    // None to leave the session's setting alone.
+    perBatchAqe: Option[Boolean] = Some(false)) {
 
   import CurationPipeline._
 
@@ -133,6 +142,20 @@ class CurationPipeline(
     * Public so batch-mode callers (and the parity spec) can drive it
     * without a streaming query. */
   def processBatch(batch0: DataFrame, epochId: Long): Unit = {
+    // scoped set/restore (the StreamingNearDupSpec conf pattern);
+    // batches run sequentially and the in-batch futures share the
+    // session, so the override covers exactly this batch's jobs
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = perBatchAqe.map(v => {
+      val p = spark.conf.get(aqeKey, "true")
+      spark.conf.set(aqeKey, v.toString)
+      p
+    })
+    try processBatchInner(batch0, epochId)
+    finally prevAqe.foreach(spark.conf.set(aqeKey, _))
+  }
+
+  private def processBatchInner(batch0: DataFrame, epochId: Long): Unit = {
     // No up-front isEmpty: that limit-1 probe was one scheduler-floor
     // job on EVERY batch, paid to optimize the rare empty one. The
     // verdict aggregate below computes n_in anyway; an empty batch
@@ -165,14 +188,30 @@ class CurationPipeline(
     // sequential counts, in one aggregate.
     val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def stage(df: DataFrame): DataFrame = { staged += df.persist(); df }
+    // SPARK_GRAFT_CURATION_DEBUG=1: per-wall timings — the jobs-per-
+    // batch attribution loop (each eager stage is one sequential wall)
+    val debug = sys.env.get("SPARK_GRAFT_CURATION_DEBUG").contains("1")
+    def timed[T](tag: String)(f: => T): T =
+      if (!debug) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[curation] e$epochId $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
     def flagged(flag: String)(drops: DataFrame): DataFrame =
       drops.select(col("doc_id"), lit(1L).as(flag)).distinct()
     try {
       val haveIndex = indexExists
       // 1. standing-index probe verdict (near-dups of the curated corpus)
+      // LAZY probe (probeStaged): its intermediates persist through this
+      // batch's `stage` registry and the verify join materializes inside
+      // the verdict-aggregate job — the standalone probe()'s two prefix
+      // collects and localCheckpoint were 3 sequential scheduler-floor
+      // walls per micro-batch, for work the verdict job computes anyway
       val probeDrop: Option[DataFrame] =
         if (haveIndex) Some(flagged("f_index")(
-          DedupIndex.probe(spark, indexPath, batch, threshold)
+          DedupIndex.probeStaged(spark, indexPath, batch, threshold)(stage)
             .select(col("new_id").as("doc_id"))))
         else None
       // 1b. containment verdict (optional): batch docs mostly QUOTED
@@ -209,8 +248,8 @@ class CurationPipeline(
             case None => batch
           }
           Some(flagged("f_contained")(
-            DedupIndex.containmentProbe(spark, indexPath, fresh, t,
-                containMaxDf)
+            timed("containment_probe")(DedupIndex.containmentProbe(
+                spark, indexPath, fresh, t, containMaxDf))
               .select(col("new_id").as("doc_id"))))
         case _ => None
       }
@@ -304,7 +343,7 @@ class CurationPipeline(
           val s6 = s5 && col("f_lm") === 0
           def cnt(c: org.apache.spark.sql.Column) =
             sum(when(c, 1L).otherwise(0L))
-          val m = verdicts.agg(
+          val m = timed("verdict_agg")(verdicts.agg(
             count(lit(1)).as("n_in"),
             cnt(col("f_index") === 1).as("drop_index_dup"),
             cnt(s1 && col("f_contained") === 1).as("drop_contained"),
@@ -312,7 +351,7 @@ class CurationPipeline(
             cnt(s3 && col("f_contam") === 1).as("drop_contaminated"),
             cnt(s4 && col("f_quality") === 1).as("drop_quality"),
             cnt(s5 && col("f_lm") === 1).as("drop_lm"),
-            cnt(s6).as("n_kept")).collect()(0)
+            cnt(s6).as("n_kept")).collect()(0))
           if (m.getLong(0) == 0L) return // empty batch: no epoch to record
           val nKept = m.getLong(7)
           import spark.implicits._
@@ -343,7 +382,8 @@ class CurationPipeline(
               else DedupIndex.build(kept, indexPath)
             }
           }
-          Seq(metricsW, keptW).foreach(Await.result(_, Duration.Inf))
+          timed("writes_wall")(
+            Seq(metricsW, keptW).foreach(Await.result(_, Duration.Inf)))
           fs.create(marker, true).close()
         }
       } finally staged.foreach(_.unpersist())
