@@ -26,10 +26,11 @@ import org.apache.spark.sql.GraftBridge
   *
   * A native `Expression` (not a UDF) keeps the counter inside
   * whole-stage codegen — `doGenCode` emits a static call, no boxing on
-  * the scan path. Not ANSI-SQL-expressible (iterative merge loop), so
-  * the registered query is spec-gated: FunctionsSpec pins it against an
-  * independent plain-Scala reimplementation, ContractSpec pins the
-  * exemption.
+  * the scan path. DuckDB-oracled since r14: the merge table embeds as
+  * literals and the greedy loop replays per DISTINCT word in a
+  * recursive CTE ([[graft.llm.TextOps.tokenCountBpeSql]]);
+  * FunctionsSpec also pins it against an independent plain-Scala
+  * reimplementation.
   */
 case class BpeTokenCount(child: Expression) extends UnaryExpression {
 

@@ -28,9 +28,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The gear table derives from the engine-owned splitmix64 finalizer
   * ([[HllSketch.mix64]]) — deterministic across runs and engines, no
-  * external constants. Engine-specific boundaries ⇒ no SQL oracle; the
-  * registered query is ContractSpec-pinned and FunctionsSpec compares
-  * against an independent plain-Scala roll.
+  * external constants. DuckDB-oracled since r14: the hash masks to its
+  * low 6 bits, and 2^t mod 64 = 0 for t ≥ 6, so the boundary predicate
+  * is LOCAL to the last 6 bytes — [[graft.llm.TextOps.cdcCutsCtesSql]]
+  * replays it as a per-position zero set plus a recursive CTE over cut
+  * offsets. FunctionsSpec also compares against an independent
+  * plain-Scala roll.
   */
 case class CdcBoundaries(child: Expression, avgBits: Int, minLen: Int,
     maxLen: Int) extends UnaryExpression {

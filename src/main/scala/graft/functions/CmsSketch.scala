@@ -24,8 +24,10 @@ import org.apache.spark.util.sketch.CountMinSketch
   * count always (one-sided), and estimate ≤ true + ε·N with
   * probability ≥ 1−δ. FunctionsSpec pins both, plus the merge law and
   * exactness when the table is wide enough that no keys collide.
-  * Engine-specific hash family ⇒ no SQL oracle (`cms_topk` is
-  * ContractSpec-pinned).
+  * The registered `cms_topk` runs exact-when-wide (a `requireExact`
+  * guard pins the no-collision regime) and is DuckDB-oracled as the
+  * exact count; narrow approximate configs keep their FunctionsSpec
+  * error envelopes.
   */
 object CmsSketch {
 

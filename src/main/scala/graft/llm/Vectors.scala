@@ -260,8 +260,10 @@ object Vectors {
     * cell count k is the knob that bounds |c| (SemDeDup runs k≈11k on
     * its web corpus). Drops are verified with the exact float cosine, so
     * every drop is justified by a true near-dup pair; what the
-    * clustering costs is RECALL for pairs split across cell boundaries —
-    * approximate by construction ⇒ no SQL oracle; LlmOpsSpec asserts
+    * clustering costs is RECALL for pairs split across cell boundaries.
+    * DuckDB-oracled since r14 via [[semanticDedupSql]] (the verify
+    * session embeds its own Lloyd centroids and replays assignment +
+    * cell-local drops exactly); LlmOpsSpec additionally asserts
     * drop precision against the exact all-pairs truth on the corpus and
     * total recall on planted near-parallel duplicates (the regime the
     * operator is FOR — a coarse quantizer owes no co-location promise to
@@ -378,8 +380,11 @@ object Vectors {
     * ~refine·k rows per query, not the corpus. Queries stay broadcast —
     * the corpus never shuffles. Approximate by construction (the
     * refine window can miss a true neighbor whose quantized score falls
-    * below the cut) ⇒ no SQL oracle; LlmOpsSpec measures recall@k vs
-    * the exact [[simTopK]] and pins the quantization error bound.
+    * below the cut) — DuckDB-oracled since r13 by replaying the SAME
+    * approximate algorithm including the refine cut (the quantizer is a
+    * closed-form per-vector linear map, no trained state); LlmOpsSpec
+    * measures recall@k vs the exact [[simTopK]] and pins the
+    * quantization error bound.
     */
   /** Symmetric int8 quantization columns (`s` scale + `q8` codes) for a
     * frame with an `embedding` array column. The scale is clamped away
