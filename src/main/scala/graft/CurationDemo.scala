@@ -49,7 +49,10 @@ object CurationDemo {
     // synchronously at submit, so the per-group count is exact
     val jobCounts = (0 until nBatches).map { b =>
       spark.sparkContext.setJobGroup(s"curation-batch-$b", s"batch $b")
+      val tb = System.nanoTime()
       pipeline.processBatch(corpus.filter(col("doc_id") % nBatches === b), b.toLong)
+      if (sys.env.get("SPARK_GRAFT_CURATION_DEBUG").contains("1"))
+        println(f"[curation] batch $b total: ${(System.nanoTime() - tb) / 1e9}%.2f s")
       spark.sparkContext.clearJobGroup()
       spark.sparkContext.statusTracker
         .getJobIdsForGroup(s"curation-batch-$b").length

@@ -202,16 +202,21 @@ class CurationPipeline(
     def flagged(flag: String)(drops: DataFrame): DataFrame =
       drops.select(col("doc_id"), lit(1L).as(flag)).distinct()
     try {
-      val haveIndex = indexExists
+      val haveIndex = timed("index_exists")(indexExists)
       // 1. standing-index probe verdict (near-dups of the curated corpus)
-      // LAZY probe (probeStaged): its intermediates persist through this
-      // batch's `stage` registry and the verify join materializes inside
-      // the verdict-aggregate job — the standalone probe()'s two prefix
-      // collects and localCheckpoint were 3 sequential scheduler-floor
-      // walls per micro-batch, for work the verdict job computes anyway
+      // EAGER probe, one wall: probe() is probeStaged + localCheckpoint —
+      // since the prefix collects became DPP semi-joins it schedules ONE
+      // materialization (was three sequential walls), and the checkpoint
+      // TRUNCATES lineage, which matters beyond job count: a fully lazy
+      // probe embedded the whole index-scan DAG in every downstream
+      // staged plan, and CacheManager's canonicalized plan-matching then
+      // cost ~6 s/batch at unpersist time (driver CPU, invisible to job
+      // counts) plus ~2 s of verdict planning. Checkpointed, downstream
+      // plans see a leaf.
       val probeDrop: Option[DataFrame] =
         if (haveIndex) Some(flagged("f_index")(
-          DedupIndex.probeStaged(spark, indexPath, batch, threshold)(stage)
+          timed("index_probe")(DedupIndex.probe(spark, indexPath, batch,
+              threshold))
             .select(col("new_id").as("doc_id"))))
         else None
       // 1b. containment verdict (optional): batch docs mostly QUOTED
@@ -278,19 +283,24 @@ class CurationPipeline(
             uni, bi, lmAlpha)
           .select(col("doc_id"), col("lm_score"))
       }
+      // explicit broadcast on every verdict-side join: the drop/flag/
+      // score frames are batch-bounded, and with AQE scope-disabled the
+      // planner has no runtime stats to discover that — size-estimate
+      // defaults would plan 32-partition sort-merge shuffles for
+      // kilobyte frames
       def withFlag(df: DataFrame, f: Option[DataFrame],
           flag: String): DataFrame = f match {
-        case Some(d) => df.join(d, Seq("doc_id"), "left_outer")
+        case Some(d) => df.join(broadcast(d), Seq("doc_id"), "left_outer")
           .na.fill(0L, Seq(flag))
         case None => df.withColumn(flag, lit(0L))
       }
       val judged0 = withFlag(withFlag(withFlag(
           batch, probeDrop, "f_index"), containDrop, "f_contained"),
           contamDrop, "f_contam")
-        .join(gateCols, Seq("doc_id"))
+        .join(broadcast(gateCols), Seq("doc_id"))
         .withColumn("f_quality", when(col("keep") === 1, 0L).otherwise(1L))
       val judged = stage(lmScores match {
-        case Some(s) => judged0.join(s, Seq("doc_id"))
+        case Some(s) => judged0.join(broadcast(s), Seq("doc_id"))
           .withColumn("f_lm",
             when(col("lm_score") >= lmScoreFloor, 0L).otherwise(1L))
         case None => judged0.withColumn("f_lm", lit(0L))
@@ -309,7 +319,7 @@ class CurationPipeline(
         Dedup.ngramJaccardFromSets(ownSets, threshold)
           .select(col("idb").as("doc_id")))
       val verdicts = stage(
-        judged.join(selfDups, Seq("doc_id"), "left_outer")
+        judged.join(broadcast(selfDups), Seq("doc_id"), "left_outer")
           .na.fill(0L, Seq("f_self")))
       try {
         // EXACTLY-ONCE under foreachBatch's at-least-once replay: the
@@ -384,9 +394,9 @@ class CurationPipeline(
           }
           timed("writes_wall")(
             Seq(metricsW, keptW).foreach(Await.result(_, Duration.Inf)))
-          fs.create(marker, true).close()
+          timed("marker")(fs.create(marker, true).close())
         }
-      } finally staged.foreach(_.unpersist())
+      } finally timed("unpersist")(staged.foreach(_.unpersist()))
     } finally batch.unpersist()
   }
 
