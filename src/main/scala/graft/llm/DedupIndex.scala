@@ -242,7 +242,16 @@ object DedupIndex {
     val batchSets = stage(Dedup.shingleSets(batch))
     val probeBuckets = stage(withPfx(bucketsOf(batchSets, bands, rows)))
     val index = spark.read.parquet(s"$path/buckets")
-      .join(broadcast(probeBuckets.select(col("pfx")).distinct()),
+      .join(broadcast(probeBuckets.select(col("pfx")).distinct()
+          // the domain bound is true by construction (pfx = pmod(·, nPfx))
+          // and LOAD-BEARING: Spark only plants a dynamic-partition-
+          // pruning subquery when the build side carries a Filter it
+          // judges selective (PartitionPruning.hasPartitionPruningFilter
+          // looks for Filter nodes specifically — an Aggregate alone
+          // does not qualify), so without this the semi-join would
+          // full-scan the corpus-sized component. PlanGuardrailSpec
+          // pins the dynamicpruning PartitionFilters in the plan.
+          .filter(col("pfx") >= 0 && col("pfx") < nPfx)),
         Seq("pfx"), "left_semi") // partition-pruned scan (DPP)
     val cand = stage(index.join(
         broadcast(probeBuckets.select(col("doc_id").as("new_id"),
@@ -261,7 +270,9 @@ object DedupIndex {
     val corpusSets = spark.read.parquet(s"$path/sets")
       .join(broadcast(cand
           .select(pmod(xxhash64(col("corpus_id")), lit(nPfx)).as("dpfx"))
-          .distinct()),
+          .distinct()
+          // same load-bearing domain bound as the buckets scan above
+          .filter(col("dpfx") >= 0 && col("dpfx") < nPfx)),
         Seq("dpfx"), "left_semi") // partition-pruned scan (DPP)
     Dedup.verifiedJaccardPairs(
         cand, batchSets, corpusSets, "new_id", "corpus_id", threshold)

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Engine-wide physical-plan guardrails: every registered query's plan
@@ -78,6 +79,41 @@ class PlanGuardrailSpec extends AnyFunSuite {
           e.toString.linesIterator.take(2).mkString(" "))
       }
     }
+  }
+
+  test("the index probe's partition scans carry dynamic-pruning filters") {
+    // r15 replaced the probe's two driver prefix-collects (isin-literal
+    // partition pruning) with broadcast semi-joins on the partition
+    // columns, claiming dynamic partition pruning does the same slice-
+    // skipping with zero driver round-trips. That claim is a PLAN
+    // property — if DPP ever stops firing (a conf default flip, a join
+    // reordering), the probe silently full-scans the corpus-sized
+    // buckets/ and sets/ components at 100 TB. Pin it: both scans must
+    // carry a dynamicpruning expression in their PartitionFilters.
+    val base = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    graft.llm.DedupIndex.build(
+      docs.filter(col("doc_id") % 10 =!= 0), s"$base/idx")
+    val staged = scala.collection.mutable.ArrayBuffer.empty
+      [org.apache.spark.sql.DataFrame]
+    val probe = graft.llm.DedupIndex.probeStaged(spark, s"$base/idx",
+      docs.filter(col("doc_id") % 100 === 0), 0.6) { df =>
+      staged += df.persist(); df
+    }
+    try {
+      val plan = probe.queryExecution.executedPlan.toString
+      val pruned = plan.linesIterator
+        .filter(_.contains("PartitionFilters"))
+        .count(_.contains("dynamicpruning"))
+      assert(pruned >= 2,
+        s"expected dynamic-pruning PartitionFilters on BOTH the buckets " +
+          s"and sets scans, found $pruned:\n" +
+          plan.linesIterator.filter(_.contains("PartitionFilters"))
+            .mkString("\n"))
+      // and the probe still answers (executes through the DPP subqueries)
+      assert(probe.count() >= 0)
+    } finally staged.foreach(_.unpersist())
   }
 
   test("windows keep their partitioning except over bounded aggregates") {
