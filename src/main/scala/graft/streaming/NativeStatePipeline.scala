@@ -373,10 +373,27 @@ object NativeStatePipeline {
       .map(s => s.getPath.getName.stripPrefix(prefix).toLong -> s.getPath)
   }
 
+  /** Snapshot versions that finished writing: [[compact]]'s overwrite is
+    * NOT atomic, so a crash mid-write leaves a torn `v=N` dir — and
+    * because the log is only deleted after the write, the torn version
+    * must be IGNORED (the previous snapshot + intact log still hold
+    * every row), not preferred for being newest. Rows folded into the
+    * previous snapshot are long gone from the log, so reading a torn
+    * newest snapshot would silently drop them from the readout — the
+    * same failure family as Compaction's swallowed rename. `_SUCCESS`
+    * (written last by the committer) is the completion marker. */
+  private def completeSnapshots(spark: SparkSession,
+      stateDir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val (fs, _) = hadoopFs(spark, stateDir)
+    listDirs(spark, s"$stateDir/snapshot", "v=").filter { case (_, p) =>
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    }
+  }
+
   /** Snapshot ∪ log tail, epoch as long. Empty-but-typed when neither
     * exists yet (readout before the first batch). */
   private def stateLog(spark: SparkSession, stateDir: String): DataFrame = {
-    val snapVersions = listDirs(spark, s"$stateDir/snapshot", "v=")
+    val snapVersions = completeSnapshots(spark, stateDir)
     val snap = snapVersions.sortBy(_._1).lastOption.map { case (_, p) =>
       spark.read.parquet(p.toString)
     }

@@ -160,6 +160,43 @@ class NativeStateSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("a torn snapshot (no _SUCCESS) is ignored by readout and compaction") {
+    // compact()'s snapshot overwrite is not atomic: a crash mid-write
+    // leaves a newest v=N dir without its completion marker while the
+    // rows it was folding survive in the previous snapshot + log. The
+    // readout must IGNORE the torn dir — preferring it for being newest
+    // silently drops every row folded into the previous snapshot (the
+    // log no longer has them). Regression for the fix in
+    // completeSnapshots.
+    val base = Files.createTempDirectory("graft-torn").toString
+    val tx = refTx().cache()
+    ChunkFeeder.feed(tx, s"$base/in", chunkSize = 500)
+    val p = new NativeStatePipeline(spark, Tables.importance(spark, sf),
+      s"$base/out", s"$base/state", clock = () => Patterns.FixedClock,
+      compactEvery = 3)
+    val q = p.start(s"$base/in", s"$base/cp", "1 second")
+    q.processAllAvailable(); q.stop()
+    val before = NativeStatePipeline
+      .merchantSummary(spark, s"$base/state").collect().toSet
+    assert(before.nonEmpty)
+    // fabricate the torn newest snapshot: a data-less dir with a stray
+    // part file and NO _SUCCESS
+    val torn = new java.io.File(s"$base/state/snapshot/v=999999")
+    torn.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(torn.getPath, "part-00000.parquet"),
+      Array[Byte](0, 1, 2, 3))
+    val after = NativeStatePipeline
+      .merchantSummary(spark, s"$base/state").collect().toSet
+    assert(after == before,
+      "readout changed after a torn snapshot appeared — torn dir not ignored")
+    // compaction still folds correctly with the torn dir present
+    NativeStatePipeline.compact(spark, s"$base/state")
+    val after2 = NativeStatePipeline
+      .merchantSummary(spark, s"$base/state").collect().toSet
+    assert(after2 == before)
+  }
+
   test("TWS pipeline does not leak the RocksDB provider conf into the caller's session") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val before = spark.conf.getOption(key)
