@@ -83,6 +83,13 @@ object Bench {
     // that times eager builder work; RunQuery times plan execution).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail fast on a typo: a silently-empty suite would write a bogus
+    // zero-total artifact that poisons cross-window comparison
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
 
     // min-of-2 passes per query: this host has episodic CPU steal that
     // swings identical plans 3-6x, so a single pass is noise; the min of
@@ -133,7 +140,13 @@ object Bench {
     val (warmOk, warmErr) =
       if (mode != "cold") runSuite(cold = false) else (Nil, Nil)
     if (mode != "cold") mark("warm_after")
-    if (mode != "warm") mark("cold_before")
+    // dual mode: warm_after and cold_before bracket the same instant —
+    // reuse the measurement instead of paying a second ~10 s probe pair
+    if (mode == "both")
+      canaries ++= canaries.takeRight(2).map { case (k, v) =>
+        k.replace("warm_after", "cold_before") -> v
+      }
+    else if (mode == "cold") mark("cold_before")
     val (coldOk, coldErr) =
       if (mode != "warm") runSuite(cold = true) else (Nil, Nil)
     if (mode != "warm") mark("cold_after")

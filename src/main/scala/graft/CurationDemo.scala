@@ -42,20 +42,32 @@ object CurationDemo {
       spark, s"$base/idx", s"$base/out",
       benchmark = Some(bench), lmRef = Some(bench), lmScoreFloor = -12.0)
 
-    val t0 = System.nanoTime()
     // jobs-per-batch is the WINDOW-INDEPENDENT shape metric (this host's
     // episodic steal inflates the per-job scheduler floor 2-5×, so
-    // docs/s alone can't adjudicate a code change): job ids are assigned
-    // synchronously at submit, so the per-group count is exact
+    // docs/s alone can't adjudicate a code change). Counted by a global
+    // listener, NOT per-thread job groups: the pipeline's epoch writes
+    // run on shared Future pool threads whose inherited job-group
+    // property is whatever batch first created the worker, so group
+    // counts misattribute 2-3 jobs per batch. Batches run sequentially
+    // and nothing else submits jobs, so a global counter snapshotted at
+    // the batch boundary is the honest count (± listener-bus lag of a
+    // job or two on multi-second batches).
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCounter.incrementAndGet(); ()
+        }
+      })
+    val t0 = System.nanoTime()
     val jobCounts = (0 until nBatches).map { b =>
-      spark.sparkContext.setJobGroup(s"curation-batch-$b", s"batch $b")
+      val before = jobCounter.get()
       val tb = System.nanoTime()
       pipeline.processBatch(corpus.filter(col("doc_id") % nBatches === b), b.toLong)
       if (sys.env.get("SPARK_GRAFT_CURATION_DEBUG").contains("1"))
         println(f"[curation] batch $b total: ${(System.nanoTime() - tb) / 1e9}%.2f s")
-      spark.sparkContext.clearJobGroup()
-      spark.sparkContext.statusTracker
-        .getJobIdsForGroup(s"curation-batch-$b").length
+      jobCounter.get() - before
     }
     val sec = (System.nanoTime() - t0) / 1e9
     val kept = spark.read.parquet(s"$base/out/kept").count()

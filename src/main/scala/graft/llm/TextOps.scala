@@ -663,6 +663,36 @@ object TextOps {
     * missing pair, which would otherwise read as the BEST rank. Emits
     * `bpe_$sfx` / `wcount_$sfx` CTE text (appended inside a WITH
     * RECURSIVE). */
+  /** Shared APPLY-step SQL — one round of merging ALL left-to-right
+    * non-overlapping occurrences of the pair (a, b) in `syms`: for
+    * a ≠ b occurrences can't overlap; for a = b every other position
+    * within each consecutive run merges (the run-parity filter over
+    * `gaps0`, the run-start sentinels). The trickiest SQL in this file,
+    * emitted from ONE place so the trainer oracle ([[bpeMergesSql]])
+    * and the counter oracles ([[bpeCountSqlCtes]]) can never drift
+    * apart. `inner` must provide columns (syms, a, b) plus the
+    * comma-separated `carry` columns; emits a full SELECT producing
+    * carry + the merged `syms`. */
+  private def mergeApplySql(inner: String, carry: String): String =
+    s"""SELECT $carry,
+       |    flatten(list_transform(list_transform(range(len(syms)), i -> CAST(i + 1 AS INT)), i ->
+       |      CASE WHEN list_contains(sel, i) THEN [a || b]
+       |           WHEN list_contains(sel, i - 1) THEN []
+       |           ELSE [syms[i]] END)) AS syms
+       |  FROM (
+       |    SELECT $carry, syms, a, b,
+       |      CASE WHEN a != b THEN occ
+       |           ELSE list_filter(occ, i -> (i - (coalesce(list_max(list_filter(gaps0, g -> g < i)), 0) + 1)) % 2 = 0)
+       |      END AS sel
+       |    FROM (
+       |      SELECT $carry, syms, a, b,
+       |        list_filter(list_transform(range(len(syms) - 1), i -> CAST(i + 1 AS INT)),
+       |          i -> syms[i] = a AND syms[i + 1] = b) AS occ,
+       |        list_prepend(CAST(0 AS INT),
+       |          list_filter(list_transform(range(len(syms) - 1), i -> CAST(i + 1 AS INT)),
+       |            i -> NOT (syms[i] = a AND syms[i + 1] = b))) AS gaps0
+       |      FROM $inner))""".stripMargin
+
   private def bpeCountSqlCtes(merges: Seq[(String, String)],
       sfx: String): String = {
     def esc(s: String) = s.replace("'", "''")
@@ -671,28 +701,7 @@ object TextOps {
       return s"""wcount_$sfx AS (SELECT w, CAST(len(w) AS BIGINT) AS cnt FROM words)"""
     val mlit = merges.map { case (a, b) => s"'${esc(a)} ${esc(b)}'" }
       .mkString("[", ", ", "]")
-    s"""bpe_$sfx AS (
-       |  SELECT w, list_transform(range(len(w)), i -> w[CAST(i+1 AS INT)]) AS syms
-       |  FROM words
-       |  UNION ALL
-       |  SELECT w,
-       |    flatten(list_transform(list_transform(range(len(syms)), i -> CAST(i+1 AS INT)), i ->
-       |      CASE WHEN list_contains(sel, i) THEN [a || b]
-       |           WHEN list_contains(sel, i - 1) THEN []
-       |           ELSE [syms[i]] END)) AS syms
-       |  FROM (
-       |    SELECT w, syms, a, b,
-       |      CASE WHEN a != b THEN occ
-       |           ELSE list_filter(occ, i -> (i - (coalesce(list_max(list_filter(gaps0, g -> g < i)), 0) + 1)) % 2 = 0)
-       |      END AS sel
-       |    FROM (
-       |      SELECT w, syms, a, b,
-       |        list_filter(list_transform(range(len(syms) - 1), i -> CAST(i+1 AS INT)),
-       |          i -> syms[i] = a AND syms[i + 1] = b) AS occ,
-       |        list_prepend(CAST(0 AS INT),
-       |          list_filter(list_transform(range(len(syms) - 1), i -> CAST(i+1 AS INT)),
-       |            i -> NOT (syms[i] = a AND syms[i + 1] = b))) AS gaps0
-       |      FROM (
+    val bestPair = s"""(
        |        SELECT w, syms, syms[bestIdx] AS a, syms[bestIdx + 1] AS b
        |        FROM (
        |          SELECT w, syms, CAST(list_position(ranks, bestRank) AS INT) AS bestIdx
@@ -704,7 +713,12 @@ object TextOps {
        |                list_transform(list_transform(range(len(syms) - 1), i -> CAST(i+1 AS INT)),
        |                  i -> nullif(list_position($mlit, syms[i] || ' ' || syms[i + 1]), 0)) AS ranks
        |              FROM bpe_$sfx) )
-       |          WHERE bestRank IS NOT NULL) ) ) )
+       |          WHERE bestRank IS NOT NULL) )""".stripMargin
+    s"""bpe_$sfx AS (
+       |  SELECT w, list_transform(range(len(w)), i -> w[CAST(i+1 AS INT)]) AS syms
+       |  FROM words
+       |  UNION ALL
+       |  ${mergeApplySql(bestPair, "w")}
        |),
        |wcount_$sfx AS (
        |  SELECT w, CAST(min(len(syms)) AS BIGINT) AS cnt FROM bpe_$sfx GROUP BY w)""".stripMargin
@@ -780,24 +794,7 @@ object TextOps {
          |b$r AS MATERIALIZED (SELECT a, b FROM p$r ORDER BY c DESC, a, b LIMIT 1),
          |m$r AS (SELECT $r AS "rank", a AS "left", b AS "right" FROM b$r),
          |s$r AS MATERIALIZED (
-         |  SELECT w, f,
-         |    flatten(list_transform(list_transform(range(len(syms)), i -> CAST(i + 1 AS INT)), i ->
-         |      CASE WHEN list_contains(sel, i) THEN [a || b]
-         |           WHEN list_contains(sel, i - 1) THEN []
-         |           ELSE [syms[i]] END)) AS syms
-         |  FROM (
-         |    SELECT w, f, syms, a, b,
-         |      CASE WHEN a != b THEN occ
-         |           ELSE list_filter(occ, i -> (i - (coalesce(list_max(list_filter(gaps0, g -> g < i)), 0) + 1)) % 2 = 0)
-         |      END AS sel
-         |    FROM (
-         |      SELECT w, f, syms, a, b,
-         |        list_filter(list_transform(range(len(syms) - 1), i -> CAST(i + 1 AS INT)),
-         |          i -> syms[i] = a AND syms[i + 1] = b) AS occ,
-         |        list_prepend(CAST(0 AS INT),
-         |          list_filter(list_transform(range(len(syms) - 1), i -> CAST(i + 1 AS INT)),
-         |            i -> NOT (syms[i] = a AND syms[i + 1] = b))) AS gaps0
-         |      FROM $prev CROSS JOIN b$r)))""".stripMargin
+         |  ${mergeApplySql(s"$prev CROSS JOIN b$r", "w, f")})""".stripMargin
     }.mkString(",\n")
     val unions = (1 to nMerges).map(r => s"SELECT * FROM m$r")
       .mkString("\nUNION ALL ")

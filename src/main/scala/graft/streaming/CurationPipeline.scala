@@ -283,24 +283,30 @@ class CurationPipeline(
             uni, bi, lmAlpha)
           .select(col("doc_id"), col("lm_score"))
       }
-      // explicit broadcast on every verdict-side join: the drop/flag/
-      // score frames are batch-bounded, and with AQE scope-disabled the
-      // planner has no runtime stats to discover that — size-estimate
-      // defaults would plan 32-partition sort-merge shuffles for
-      // kilobyte frames
+      // explicit broadcast on every verdict-side join — but ONLY in
+      // micro-batch mode (perBatchAqe = Some(false)): there the frames
+      // are batch-bounded and AQE's runtime stats are off, so
+      // size-estimate defaults would plan 32-partition sort-merge
+      // shuffles for kilobyte frames. In cluster-batch mode (None) the
+      // hints would be WRONG the same way the AQE override would —
+      // gateCols carries the batch's full scrubbed text, and a forced
+      // broadcast of a multi-GB batch is a driver OOM — so both knobs
+      // ride the same switch and AQE plans the joins from runtime stats.
+      def bcast(df: DataFrame): DataFrame =
+        if (perBatchAqe.contains(false)) broadcast(df) else df
       def withFlag(df: DataFrame, f: Option[DataFrame],
           flag: String): DataFrame = f match {
-        case Some(d) => df.join(broadcast(d), Seq("doc_id"), "left_outer")
+        case Some(d) => df.join(bcast(d), Seq("doc_id"), "left_outer")
           .na.fill(0L, Seq(flag))
         case None => df.withColumn(flag, lit(0L))
       }
       val judged0 = withFlag(withFlag(withFlag(
           batch, probeDrop, "f_index"), containDrop, "f_contained"),
           contamDrop, "f_contam")
-        .join(broadcast(gateCols), Seq("doc_id"))
+        .join(bcast(gateCols), Seq("doc_id"))
         .withColumn("f_quality", when(col("keep") === 1, 0L).otherwise(1L))
       val judged = stage(lmScores match {
-        case Some(s) => judged0.join(broadcast(s), Seq("doc_id"))
+        case Some(s) => judged0.join(bcast(s), Seq("doc_id"))
           .withColumn("f_lm",
             when(col("lm_score") >= lmScoreFloor, 0L).otherwise(1L))
         case None => judged0.withColumn("f_lm", lit(0L))
@@ -319,7 +325,7 @@ class CurationPipeline(
         Dedup.ngramJaccardFromSets(ownSets, threshold)
           .select(col("idb").as("doc_id")))
       val verdicts = stage(
-        judged.join(broadcast(selfDups), Seq("doc_id"), "left_outer")
+        judged.join(bcast(selfDups), Seq("doc_id"), "left_outer")
           .na.fill(0L, Seq("f_self")))
       try {
         // EXACTLY-ONCE under foreachBatch's at-least-once replay: the

@@ -380,13 +380,20 @@ object NativeStatePipeline {
     * every row), not preferred for being newest. Rows folded into the
     * previous snapshot are long gone from the log, so reading a torn
     * newest snapshot would silently drop them from the readout — the
-    * same failure family as Compaction's swallowed rename. `_SUCCESS`
-    * (written last by the committer) is the completion marker. */
+    * same failure family as Compaction's swallowed rename. The marker
+    * is OUR OWN `_GRAFT_COMPLETE`, written by [[compact]] after the
+    * parquet write returns — keying on the committer's `_SUCCESS`
+    * would turn `mapreduce.fileoutputcommitter.marksuccessfuljobs=false`
+    * (a common object-store setting) into permanent silent data loss
+    * (every snapshot ignored forever, log already deleted). `_SUCCESS`
+    * is still accepted for snapshots written before the marker existed. */
+  private val snapshotMarker = "_GRAFT_COMPLETE"
   private def completeSnapshots(spark: SparkSession,
       stateDir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
     val (fs, _) = hadoopFs(spark, stateDir)
     listDirs(spark, s"$stateDir/snapshot", "v=").filter { case (_, p) =>
-      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      fs.exists(new org.apache.hadoop.fs.Path(p, snapshotMarker)) ||
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
     }
   }
 
@@ -435,6 +442,10 @@ object NativeStatePipeline {
       .reduce(_ unionByName _)
     snapshot.write.mode("overwrite").parquet(s"$stateDir/snapshot/v=$version")
     val (fs, _) = hadoopFs(spark, stateDir)
+    // completion marker AFTER the write (see completeSnapshots): readers
+    // must never trust a snapshot dir the write didn't finish
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$stateDir/snapshot/v=$version/$snapshotMarker"), true).close()
     logParts.foreach { case (_, p) => fs.delete(p, true) }
     listDirs(spark, s"$stateDir/snapshot", "v=")
       .filter(_._1 < version)
