@@ -137,6 +137,11 @@ class ObjectStoreFileSystem extends FileSystem {
     if (k.isEmpty) throw new IOException("s3g: cannot create the bucket root")
     if (!overwrite && store.containsKey(k))
       throw new FileAlreadyExistsException(s"s3g: key exists: $f")
+    // s3a refuses to create an object where a directory (marker or
+    // implied-by-children) stands: the object would shadow the tree for
+    // getFileStatus while listings still surfaced the children.
+    if (dirMarks.contains(k) || hasChildren(k))
+      throw new FileAlreadyExistsException(s"s3g: key is a directory: $f")
     // whole-object visibility: nothing lands in the store before close()
     new FSDataOutputStream(new OutputStream {
       private val buf = new ByteArrayOutputStream()
@@ -168,6 +173,16 @@ class ObjectStoreFileSystem extends FileSystem {
     } else if (dirMarks.contains(dk) || hasChildren(dk))
       dk = dk + "/" + src.getName // dst is a directory: move INTO it
     if (store.get(dk) != null) return false
+    // A same-named DIRECTORY at the (possibly retargeted) destination
+    // must refuse like HDFS does — silently merging the trees would let
+    // stale keys under dst survive a caller's "replace by rename", the
+    // exact failure family the compaction rename fix closed.
+    if (dk != key(dst) && (dirMarks.contains(dk) || hasChildren(dk)))
+      return false
+    // Rename into the source's own subtree (includes rename(d, d), which
+    // the directory retarget turns into d/d) would relocate the tree
+    // under itself; HDFS refuses, so do we.
+    if (dk == sk || dk.startsWith(sk + "/")) return false
     val now = System.currentTimeMillis()
     val so = store.get(sk)
     if (so != null) { // single object

@@ -47,9 +47,16 @@ class JdbcUpsertStore(url: String, driverClass: String =
     try st.executeUpdate(sql) finally st.close()
   }
 
+  /** Case-fold-tolerant existence check: Derby folds unquoted
+    * identifiers to UPPERCASE in its catalog, PostgreSQL to lowercase —
+    * probing only the uppercase form made [[init]] see "missing" tables
+    * on the reference's own PG stack and fail on the re-CREATE. */
   private def tableExists(c: Connection, name: String): Boolean = {
-    val rs = c.getMetaData.getTables(null, null, name.toUpperCase, null)
-    try rs.next() finally rs.close()
+    def probe(n: String): Boolean = {
+      val rs = c.getMetaData.getTables(null, null, n, null)
+      try rs.next() finally rs.close()
+    }
+    probe(name.toUpperCase) || probe(name.toLowerCase)
   }
 
   /** DDL per sql/postgres_tables.sql:3-25 (types mapped to Derby). */

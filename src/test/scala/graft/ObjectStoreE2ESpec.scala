@@ -94,6 +94,47 @@ class ObjectStoreE2ESpec extends AnyFunSuite {
     assert(fs.exists(new Path("s3g://ren/dst/a.txt")))
   }
 
+  test("s3g contract: rename refuses self/own-subtree and same-named dir merges") {
+    ObjectStoreFileSystem.clearBucket("ren2")
+    val fs = fsFor("s3g://ren2/")
+    def put(k: String, s: String): Unit = {
+      val o = fs.create(new Path(s"s3g://ren2/$k"), true)
+      o.write(s.getBytes(StandardCharsets.UTF_8)); o.close()
+    }
+    put("d/one.csv", "1"); put("d/sub/two.csv", "2")
+    // rename(d, d): the into-directory retarget would have relocated the
+    // tree to d/d — must refuse and leave everything untouched
+    assert(!fs.rename(new Path("s3g://ren2/d"), new Path("s3g://ren2/d")))
+    assert(fs.exists(new Path("s3g://ren2/d/one.csv")) &&
+      fs.exists(new Path("s3g://ren2/d/sub/two.csv")),
+      "self-rename must be a refused no-op, not a relocation under itself")
+    // rename into the source's own subtree: HDFS refuses
+    assert(!fs.rename(new Path("s3g://ren2/d"), new Path("s3g://ren2/d/nested")))
+    assert(fs.exists(new Path("s3g://ren2/d/one.csv")))
+    // rename into a directory that already holds a same-named DIRECTORY:
+    // a silent merge would let stale keys under dst survive a caller's
+    // replace-by-rename — must refuse instead
+    put("out/d/stale.csv", "STALE")
+    assert(!fs.rename(new Path("s3g://ren2/d"), new Path("s3g://ren2/out")))
+    assert(fs.exists(new Path("s3g://ren2/d/one.csv")) &&
+      fs.exists(new Path("s3g://ren2/out/d/stale.csv")),
+      "refused rename must leave both trees untouched")
+  }
+
+  test("s3g contract: create refuses a path that is a directory") {
+    ObjectStoreFileSystem.clearBucket("mkd")
+    val fs = fsFor("s3g://mkd/")
+    val o = fs.create(new Path("s3g://mkd/tree/leaf.txt"), true)
+    o.write("x".getBytes(StandardCharsets.UTF_8)); o.close()
+    intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+      fs.create(new Path("s3g://mkd/tree"), true) // implied dir (has children)
+    }
+    fs.mkdirs(new Path("s3g://mkd/markerdir"))
+    intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+      fs.create(new Path("s3g://mkd/markerdir"), true) // marker dir
+    }
+  }
+
   test("driver-side feed uploads chunks to the object store (the reference's boto3 shape)") {
     ObjectStoreFileSystem.clearBucket("driverfeed")
     val n = ChunkFeeder.feed(refTx().limit(2500), "s3g://driverfeed/landing",
