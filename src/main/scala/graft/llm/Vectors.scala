@@ -742,6 +742,21 @@ object Vectors {
     out.close()
   }
 
+  /** Where [[pqIndexTopK]] caches its index for the given parameters.
+    * The key carries EVERY codebook-shaping parameter — a cached index
+    * built under a different dim/trainSample must never be silently
+    * reused (wrong-shape codebooks would crash the ADC scan) — plus the
+    * source file's stamp, so a regenerated embeddings table re-encodes
+    * instead of serving codes for rows that no longer exist. The ONE
+    * shared constructor of this path (LlmOpsSpec's reuse check derives
+    * the expected location from it too): a spec-side copy silently went
+    * stale when the nCodes default moved 16 → 64. */
+  def pqIndexPath(spark: SparkSession, dir: String, m: Int = 8,
+      nCodes: Int = 64, dim: Int = 64, trainSample: Int = 2048): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_pq_index/" +
+      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${m}_${nCodes}_${dim}_${trainSample}_" +
+      graft.Tables.fileStamp(spark, s"$dir/embeddings.parquet")
+
   /** Query a persisted PQ index (building it first if absent): the ADC
     * scan reads the codes parquet — not the embeddings — and only
     * refine survivors rejoin the vector table. Same codebooks ⇒ same
@@ -749,14 +764,7 @@ object Vectors {
   def pqIndexTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
       k: Int = 5, m: Int = 8, nCodes: Int = 64, refine: Int = 32,
       dim: Int = 64, trainSample: Int = 2048): DataFrame = {
-    // the path key carries EVERY codebook-shaping parameter — a cached
-    // index built under a different dim/trainSample must never be
-    // silently reused (wrong-shape codebooks would crash the ADC scan) —
-    // plus the source file's stamp, so a regenerated embeddings table
-    // re-encodes instead of serving codes for rows that no longer exist
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq_index/" +
-      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${m}_${nCodes}_${dim}_${trainSample}_" +
-      graft.Tables.fileStamp(spark, s"$dir/embeddings.parquet")
+    val path = pqIndexPath(spark, dir, m, nCodes, dim, trainSample)
     buildPqIndex(spark, dir, path, m, nCodes, dim, trainSample)
     val marker = new org.apache.hadoop.fs.Path(s"$path/codebooks.txt")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -122,7 +122,10 @@ object ScaleTechniques {
     val skB = spark.sparkContext.broadcast(
       CmsSketch.sketchBytes(b.select(col(bKey)), bKey, eps, confidence, seed))
     import spark.implicits._
-    val keys = b.select(col(bKey).cast("long")).distinct().as[Long]
+    // null keys never join (inner-join semantics), and a null would NPE
+    // the non-nullable Long decode below — drop them from the probe set
+    val keys = b.filter(col(bKey).isNotNull)
+      .select(col(bKey).cast("long")).distinct().as[Long]
     val terms = keys.mapPartitions { it =>
       val cmsA = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(skA.value))

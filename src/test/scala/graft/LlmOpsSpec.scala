@@ -493,10 +493,10 @@ class LlmOpsSpec extends AnyFunSuite {
     // round-tripping codebooks through text must not perturb a bit
     assert(viaIdx == inline && inline.nonEmpty)
     // and the second call reuses the index rather than rebuilding it
-    val stamp = Tables.fileStamp(spark, s"$sf/embeddings.parquet")
+    // (the path comes from the SAME constructor pqIndexTopK uses — a
+    // hardcoded copy here went stale when the nCodes default changed)
     val path = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_pq_index/" +
-        s"${sf.replaceAll("[^A-Za-z0-9]", "_")}_8_16_64_2048_$stamp/codebooks.txt")
+      s"${Vectors.pqIndexPath(spark, sf)}/codebooks.txt")
     assert(path.exists())
     val mtime = path.lastModified()
     Vectors.pqIndexTopK(spark, sf, nQueries = 5, k = 3).collect()

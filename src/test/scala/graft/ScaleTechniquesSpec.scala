@@ -264,4 +264,18 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(ScaleTechniques.joinCardinalityEstimate(
       li, "l_orderkey", empty, "o_orderkey") == 0L)
   }
+
+  test("CMS join-cardinality estimate tolerates null probe keys") {
+    import org.apache.spark.sql.types.LongType
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey")).limit(100)
+    // a probe side whose key column carries nulls: null keys never join,
+    // and they used to NPE the non-nullable Long decode of the key set
+    val withNulls = Tables.orders(spark, sf)
+      .select(when(col("o_orderkey") % 2 === 0, col("o_orderkey"))
+        .otherwise(lit(null).cast(LongType)).as("o_orderkey"))
+      .limit(200)
+    val est = ScaleTechniques.joinCardinalityEstimate(
+      li, "l_orderkey", withNulls, "o_orderkey")
+    assert(est >= 0L) // completes without throwing; nulls contribute 0
+  }
 }
