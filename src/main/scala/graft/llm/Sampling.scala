@@ -138,6 +138,12 @@ object Sampling {
         sqrt(col("min_cnt").cast("double") / col("grp_cnt")))
       .withColumn("thr",
         lpad(lower(hex(floor(col("rate") * 65536).cast("long"))), 4, "0"))
+    // The equality disjunct is LOAD-BEARING, not an optimization: at
+    // rate = 1.0 (the min stratum, and only there) floor(rate*65536) =
+    // 0x10000 is FIVE hex digits, which lpad(4) truncates to "1000" —
+    // a threshold that would silently drop ~15/16 of the stratum if the
+    // hash compare ever saw it. Both engines truncate identically, and
+    // PiiQualitySpec pins "min stratum kept whole".
     docs.join(broadcast(rates), stratum)
       .filter(col("grp_cnt") === col("min_cnt") ||
         substring(md5(col(key).cast("string")), 1, 4) < col("thr"))

@@ -222,9 +222,24 @@ object AsofJoinPlan {
     val attachSrc = attach.map(attr(rp, _))
     val attachOut = attachSrc.map(a =>
       AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
+    val lKeys = keys.map(attr(lp, _)); val rKeys = keys.map(attr(rp, _))
+    val lTime = attr(lp, probeTime); val rTime = attr(rp, buildTime)
+    // The merge reads BOTH sides' projected rows with the LEFT side's
+    // physical types (AsofJoinExec.keyTypes/timeType) — a type mismatch
+    // would not error, it would decode the right side's UnsafeRows at
+    // the wrong widths and compare garbage. Refuse it up front; callers
+    // cast explicitly, so the cast shows in their plan.
+    require(keys.nonEmpty, "asof join requires at least one key column")
+    lKeys.lazyZip(rKeys).lazyZip(keys).foreach { (l, r, n) =>
+      require(org.apache.spark.sql.types.DataType.equalsIgnoreNullability(l.dataType, r.dataType),
+        s"asof key '$n' types differ: probe ${l.dataType.sql} vs " +
+          s"build ${r.dataType.sql}; cast one side first") }
+    require(org.apache.spark.sql.types.DataType.equalsIgnoreNullability(
+      lTime.dataType, rTime.dataType),
+      s"asof time types differ: probe '$probeTime' ${lTime.dataType.sql} " +
+        s"vs build '$buildTime' ${rTime.dataType.sql}; cast one side first")
     GraftBridge.ofRows(spark, AsofJoin(lp, rp,
-      keys.map(attr(lp, _)), keys.map(attr(rp, _)),
-      attr(lp, probeTime), attr(rp, buildTime), attr(rp, tiebreak),
+      lKeys, rKeys, lTime, rTime, attr(rp, tiebreak),
       attachSrc, attachOut))
   }
 }

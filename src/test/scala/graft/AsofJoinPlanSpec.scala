@@ -97,6 +97,50 @@ class AsofJoinPlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("multi-key asof co-locates when one side arrives pre-partitioned on a key subset") {
+    // A HashPartitioning on a SUBSET of the join keys satisfies
+    // ClusteredDistribution(keys), so EnsureRequirements keeps it and
+    // must reshuffle the OTHER side onto the matching key positions
+    // (ShuffleSpec compatibility). If it ever co-partitioned the sides
+    // differently, equal (k1,k2) pairs would land in different partition
+    // indexes and the merge would emit nulls where matches exist — this
+    // pins the co-location end to end.
+    val probe = Seq.tabulate(64) { i =>
+      (i.toLong % 8, (i.toLong / 8) % 4, ts("2024-01-01 12:00:00"), s"p$i")
+    }.toDF("k1", "k2", "t", "tag")
+      .repartition(7, col("k2"))                    // subset of the keys
+    val build = Seq.tabulate(32) { i =>
+      (i.toLong % 8, (i.toLong / 8) % 4, ts("2024-01-01 09:00:00"), i.toLong)
+    }.toDF("k1", "k2", "t", "id")
+    val native = AsofJoinPlan.asof(probe, build, Seq("k1", "k2"), "t", "t",
+      "id", Seq("id"))
+    // every (k1,k2) in [0,8)x[0,4) has exactly one earlier build row
+    assert(native.filter(col("asof_id").isNull).count() == 0)
+    val composed = TemporalOps.asofJoin(probe, build, Seq("k1", "k2"), "t", "t",
+      "id", Seq("id"))
+    assert(native.collect().map(_.toSeq).toSet ==
+      composed.collect().map(_.toSeq).toSet)
+  }
+
+  test("asof refuses mismatched key/time types and empty keys loudly") {
+    val probe = Seq((1L, 10L, "p")).toDF("k", "t", "tag")
+    val buildIntKey = Seq((1, 5L, 1L)).toDF("k", "t", "id")
+    val ek = intercept[IllegalArgumentException] {
+      AsofJoinPlan.asof(probe, buildIntKey, Seq("k"), "t", "t", "id", Seq("id"))
+    }
+    assert(ek.getMessage.contains("asof key 'k' types differ"))
+    val buildIntTime = Seq((1L, 5, 1L)).toDF("k", "t", "id")
+    val et = intercept[IllegalArgumentException] {
+      AsofJoinPlan.asof(probe, buildIntTime, Seq("k"), "t", "t", "id", Seq("id"))
+    }
+    assert(et.getMessage.contains("asof time types differ"))
+    val build = Seq((1L, 5L, 1L)).toDF("k", "t", "id")
+    val en = intercept[IllegalArgumentException] {
+      AsofJoinPlan.asof(probe, build, Seq.empty, "t", "t", "id", Seq("id"))
+    }
+    assert(en.getMessage.contains("at least one key"))
+  }
+
   test("native asof join composes downstream (filter + agg over the joined frame)") {
     val (probe, build) = sides()
     val out = AsofJoinPlan.asof(probe, build, Seq("user_id"), "ts", "ts",
