@@ -119,6 +119,7 @@ object SparkEntry {
     "emb_neardup"       -> (Vectors.embNearDupPairs(_, _)),
     "emb_neardup_lsh"   -> (Vectors.embNearDupLsh(_, _)),
     "dedup_semantic"    -> (Vectors.semanticDedup(_, _)),
+    "dedup_semantic_scaled" -> (Vectors.semanticDedupScaled(_, _)),
     "quality_classifier"-> (Quality.classifierScores(_, _)),
     "quality_by_source" -> (Quality.qualityBySource(_, _)),
     "emb_centroids"     -> (Vectors.embCentroids(_, _)),
@@ -376,6 +377,10 @@ object SparkEntry {
   val dynamicOracles: Map[String, (SparkSession, String) => String] = Map(
     "dedup_semantic" -> ((s, d) => Vectors.semanticDedupSql(
       Vectors.coarseCentroids(s, d, nCells = 16))),
+    // corpus-scaled k: same derivation engine-side and oracle-side, so
+    // the embedded centroids are the run's own scaled quantizer
+    "dedup_semantic_scaled" -> ((s, d) =>
+      Vectors.semanticDedupScaledSql(s, d)),
     "similarity_topk_pq" -> ((s, d) => Vectors.simTopKPqSql(
       Vectors.pqCodebooks(s, d))),
     // the persisted index round-trips the same codebooks through

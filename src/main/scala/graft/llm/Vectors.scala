@@ -180,12 +180,21 @@ object Vectors {
       lloyd(sample, nCells, iters = 5)
     }
 
-  /** Nearest-centroid cell id as a plain Catalyst expression: squared
-    * distance to each centroid as a left-associated double fold
-    * (identical order to [[lloyd]]'s `sq` and to the SQL replay's sum
-    * chain), argmin by first-minimum. Same literal-nested-array shape
-    * as [[pqEncode]] — O(1) generated code however many cells. */
-  private def cellOf(cents: Array[Array[Double]]): Column = {
+  /** Nearest-centroid cell id: squared distance to each centroid as a
+    * left-associated double fold (identical order to [[lloyd]]'s `sq`
+    * and to the SQL replay's sum chain), argmin by first-minimum.
+    * Since round 16 this is the native codegen'd
+    * [[graft.functions.NearestCell]] — one allocation-free loop per row
+    * over a referenced flat double[], which is what lets k scale with
+    * the corpus (SemDeDup's k ≈ n/125) instead of being pinned to a
+    * literal-array expression tree. [[cellOfHof]] keeps the original
+    * higher-order-function formulation as the parity cross-check
+    * (VectorsSpec asserts bit-identical assignment). */
+  private def cellOf(cents: Array[Array[Double]]): Column =
+    graft.functions.NearestCell.nearest_cell(col("embedding"), cents)
+
+  /** The pre-r16 HOF formulation of [[cellOf]] — spec-only twin. */
+  private[graft] def cellOfHof(cents: Array[Array[Double]]): Column = {
     val cbLit = array(cents.map(c => array(c.map(lit): _*)): _*)
     val dists = transform(cbLit, cw =>
       aggregate(zip_with(col("embedding"), cw,
@@ -276,6 +285,59 @@ object Vectors {
     }
     semanticDedupFromEmb(emb, threshold, nCells,
       centroids = Some(coarseCentroids(spark, dir, nCells)))
+  }
+
+  /** Corpus-scaled cell count: k ≈ n/125, clamped to [16, 4096] — the
+    * SemDeDup sizing rule (k grows with the corpus so per-cell mass,
+    * and with it the cell-local pair join, stays CONSTANT per vector)
+    * as engine behavior instead of a BASELINE footnote. 125 vectors
+    * per cell matches the registered 16-cell config at sf0.1's 2,000
+    * vectors, so the two variants coincide at every verify scale. */
+  private[graft] def scaledCells(nVec: Long): Int =
+    math.min(4096L, math.max(16L, nVec / 125L)).toInt
+
+  /** Training-sample width for a k-cell quantizer: the quantizer
+    * saturates on a bounded sample, but the sample must comfortably
+    * exceed k (Lloyd with n ≈ k degenerates to "sample points are the
+    * centroids"). 8 points per cell, floored at the registered 2048. */
+  private[graft] def trainSampleFor(nCells: Int): Int =
+    math.max(2048, 8 * nCells)
+
+  /** Memoized corpus vector count — one parquet-metadata count per
+    * (session, dir), shared by every corpus-scaled config. */
+  private[graft] def nVectors(spark: SparkSession, dir: String): Long =
+    graft.Caches.memoObj[java.lang.Long](spark, s"nVec:$dir") {
+      java.lang.Long.valueOf(Tables.embeddings(spark, dir).count())
+    }.longValue()
+
+  /** [[semanticDedup]] with the cell count SCALED TO THE CORPUS
+    * (k = [[scaledCells]](n), trained on [[trainSampleFor]](k) pinned
+    * vec_id-ordered vectors): the serving shape for a corpus that
+    * grows. At every verify SF this coincides exactly with the 16-cell
+    * registered query (2,000 sf0.1 vectors / 125 = 16 — same memoized
+    * quantizer, same oracle arithmetic); at the 100× scale leg it runs
+    * k = 1,600, which is what keeps Σ_c |c|² — the cell-local
+    * candidate mass — LINEAR in n where the fixed-k variant grows
+    * n²/16. SCALE_CURVE.jsonl carries the measured pair. */
+  def semanticDedupScaled(spark: SparkSession, dir: String,
+      threshold: Double = 0.45): DataFrame = {
+    val k = scaledCells(nVectors(spark, dir))
+    val emb = graft.Caches.memo(spark, s"ivfEmb:$dir") {
+      withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
+        "embedding", "nrm")
+    }
+    semanticDedupFromEmb(emb, threshold, k,
+      centroids = Some(coarseCentroids(spark, dir, k, trainSampleFor(k))))
+  }
+
+  /** Oracle twin of [[semanticDedupScaled]]: the same corpus-scaled
+    * (k, sample) derivation feeding the same centroid memo, embedded
+    * by [[semanticDedupSql]]. */
+  def semanticDedupScaledSql(spark: SparkSession, dir: String,
+      threshold: Double = 0.45): String = {
+    val k = scaledCells(nVectors(spark, dir))
+    semanticDedupSql(coarseCentroids(spark, dir, k, trainSampleFor(k)),
+      threshold)
   }
 
   /** The frame-level core of [[semanticDedup]] over any

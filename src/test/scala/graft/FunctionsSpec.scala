@@ -37,6 +37,54 @@ class FunctionsSpec extends AnyFunSuite {
     assert(injected.contains(graft.plans.AsofJoinPlan.AsofJoinStrategy))
   }
 
+  test("nearest_cell == the HOF fold on real embeddings; null/mismatch semantics; scaled k") {
+    import graft.llm.Vectors
+    import graft.functions.NearestCell.nearest_cell
+    // parity on the real corpus at the registered k — the property the
+    // dedup_semantic / similarity_topk_ivf oracles rely on
+    val cents = Vectors.coarseCentroids(spark, sf, 16)
+    val emb = Tables.embeddings(spark, sf)
+    val both = emb.select(col("vec_id"),
+        nearest_cell(col("embedding"), cents).as("native"),
+        Vectors.cellOfHof(cents).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getInt(1) == r.getInt(2),
+      s"vec ${r.getLong(0)}: native ${r.getInt(1)} != hof ${r.getInt(2)}"))
+
+    // null embedding, wrong width, null element -> null from BOTH forms
+    val d = cents(0).length
+    val rows: Seq[(Long, Option[Array[Option[Float]]])] = Seq(
+      (1L, Some(Array.fill(d)(Option(0.5f)))),          // valid
+      (2L, None),                                       // null array
+      (3L, Some(Array.fill(d - 1)(Option(0.5f)))),      // wrong width
+      (4L, Some(Array.tabulate(d)(i =>
+        if (i == 3) Option.empty[Float] else Option(0.5f)))) // null element
+    )
+    import spark.implicits._
+    val weird = rows.toDF("vec_id", "embedding")
+    val got = weird.select(col("vec_id"),
+        nearest_cell(col("embedding"), cents).as("native"),
+        Vectors.cellOfHof(cents).as("hof"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    got.foreach { case (id, n, h) =>
+      assert(n == h, s"row $id: native $n != hof $h")
+      if (id != 1L) assert(n.isEmpty, s"row $id should be null, got $n")
+      else assert(n.nonEmpty)
+    }
+
+    // corpus-scaled k: a 256-cell quantizer assigns every vector and
+    // still matches the HOF twin (the shape the 100x leg runs at)
+    val bigK = Vectors.coarseCentroids(spark, sf, 256)
+    val scaled = emb.select(
+        nearest_cell(col("embedding"), bigK).as("native"),
+        Vectors.cellOfHof(bigK).as("hof"))
+      .collect()
+    scaled.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    assert(scaled.map(_.getInt(0)).distinct.length > 16,
+      "256-cell quantizer should spread beyond 16 cells")
+  }
+
   test("KLL quantile sketch: rank error within 2% of exact, laws hold") {
     import graft.functions.KllSketch
     val qs = Seq(0.25, 0.5, 0.75, 0.95)
