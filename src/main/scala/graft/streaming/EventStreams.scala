@@ -116,6 +116,17 @@ object EventStreams {
     * closes a session) via flatMapGroupsWithState with event-time
     * timeout. Emits one summary per closed session. */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionSummary] = {
+    // The inactivity gap must EXCEED the 10-minute lateness bound below:
+    // the open session's timeout re-arms at end_ts + gap, and end_ts can
+    // trail the watermark by up to the lateness (a late event as the
+    // newest item), so gap <= lateness would hand setTimeoutTimestamp a
+    // timestamp behind the watermark — an IllegalArgumentException in
+    // the middle of a running stream, not at plan time. Fail here
+    // instead, where the config is visible.
+    require(gapMinutes > 10,
+      s"sessionize: gapMinutes ($gapMinutes) must exceed the 10-minute " +
+        "watermark lateness, or a late event could re-arm the open " +
+        "session's timeout behind the watermark")
     val spark = events.sparkSession
     import spark.implicits._
     val typed = events
