@@ -167,8 +167,16 @@ object TemporalOps {
       struct((col("__t").as("__bt") +: attach.map(c => col(s"__b_$c").as(c))): _*))
     val back = last(buildStruct, ignoreNulls = true).over(w(desc = false))
     val fwd = last(buildStruct, ignoreNulls = true).over(w(desc = true))
-    val backD = unix_micros(col("__t")) - unix_micros(col("__back.__bt"))
-    val fwdD = unix_micros(col("__fwd.__bt")) - unix_micros(col("__t"))
+    // distance axis: timestamps compare as epoch micros; any other time
+    // type (numeric ticks — the backward/forward variants accept them,
+    // so nearest must too) subtracts directly
+    val axis: Column => Column =
+      probe.schema(probeTime).dataType match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(_)
+        case _ => identity
+      }
+    val backD = axis(col("__t")) - axis(col("__back.__bt"))
+    val fwdD = axis(col("__fwd.__bt")) - axis(col("__t"))
     val chosen = when(col("__back").isNull, col("__fwd"))
       .when(col("__fwd").isNull, col("__back"))
       .when(fwdD < backD, col("__fwd"))

@@ -163,6 +163,81 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("forward + nearest asof == brute force on random keyed timelines") {
+    import graft.ops.TemporalOps
+    import spark.implicits._
+    // the same collision-heavy space as the backward test: nearest's
+    // corners are exact-distance ties (resolve backward) and equal-time
+    // builds (both directions see them; max-id must win in each)
+    val rowGen = for {
+      k <- Gen.choose(0L, 4L)
+      t <- Gen.choose(0L, 20L)
+      id <- Gen.choose(0L, 999999L)
+    } yield (k, t, id)
+    for (seed <- 1L to 6L) {
+      val probe = sample(Gen.listOfN(40, rowGen), seed).distinct
+      val build = sample(Gen.listOfN(40, rowGen), seed + 50).distinct
+      val pdf = probe.toDF("k", "t", "pid")
+      val bdf = build.toDF("k", "t", "bid")
+      val bruteFwd = probe.map { case (k, t, pid) =>
+        val cand = build.filter(b => b._1 == k && b._2 >= t)
+        val best = if (cand.isEmpty) None
+          else Some(cand.minBy(b => (b._2, -b._3))._3) // earliest time, max id tie
+        (pid, best)
+      }.toMap
+      val fwd = TemporalOps.asofJoinForward(pdf, bdf, Seq("k"), "t", "t",
+          "bid", Seq("bid"))
+        .select("pid", "asof_bid").as[(Long, Option[Long])].collect().toMap
+      assert(fwd == bruteFwd, s"forward != brute, seed $seed")
+
+      val bruteNear = probe.map { case (k, t, pid) =>
+        val back = build.filter(b => b._1 == k && b._2 <= t)
+        val fw = build.filter(b => b._1 == k && b._2 >= t)
+        val bb = if (back.isEmpty) None else Some(back.maxBy(b => (b._2, b._3)))
+        val fb = if (fw.isEmpty) None else Some(fw.minBy(b => (b._2, -b._3)))
+        val best = (bb, fb) match {
+          case (None, f) => f.map(_._3)
+          case (b, None) => b.map(_._3)
+          case (Some(b), Some(f)) =>
+            if (f._2 - t < t - b._2) Some(f._3) else Some(b._3) // tie -> backward
+        }
+        (pid, best)
+      }.toMap
+      val near = TemporalOps.asofJoinNearest(pdf, bdf, Seq("k"), "t", "t",
+          "bid", Seq("bid", "t"))
+        .select("pid", "asof_bid").as[(Long, Option[Long])].collect().toMap
+      assert(near == bruteNear, s"nearest != brute, seed $seed")
+    }
+  }
+
+  test("source cap: two-phase skew-proof ranking == single global window, any fanout") {
+    import spark.implicits._
+    // heavy duplicate n_chars force rank ties (doc_id tiebreak) and a
+    // hot source exercises the phase-1 sub-bucket union-containment
+    val rowGen = for {
+      src <- Gen.oneOf("hot", "hot", "hot", "warm", "cold") // skewed
+      nc <- Gen.choose(1L, 6L)
+    } yield (src, nc)
+    for (seed <- 1L to 4L; fanout <- Seq(1, 3, 8)) {
+      val rows = sample(Gen.listOfN(60, rowGen), seed).zipWithIndex
+        .map { case ((s, nc), i) => (i.toLong, s, nc) }
+      val cap = 5
+      // brute: per source, top-cap by (n_chars desc, doc_id asc)
+      val brute = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r._3, r._1)).take(cap)
+          .zipWithIndex.map { case (r, i) => (r._1, r._2, r._3, i + 1) }
+      }.toSet
+      val dir = java.nio.file.Files.createTempDirectory("graft-cap").toString
+      rows.toDF("doc_id", "source", "n_chars")
+        .withColumn("text", lit("x")).withColumn("lang", lit("en"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.llm.Sampling.sourceCap(spark, dir, cap, fanout)
+        .as[(Long, String, Long, Int)].collect().toSet
+      rmTree(new java.io.File(dir))
+      assert(got == brute, s"sourceCap != brute, seed $seed fanout $fanout")
+    }
+  }
+
   private def writeDocs(rows: Seq[(Long, String, String)], dir: String): Unit = {
     import SparkTestSession.spark.implicits._
     rows.toDF("doc_id", "text", "source")
