@@ -49,27 +49,45 @@ object Retrieval {
 
   /** Top-k documents by BM25 against [[queryTerms]]. */
   def bm25TopK(spark: SparkSession, dir: String, k: Int = 25): DataFrame =
-    bm25TopKFromDocs(Tables.fanOut(Tables.documents(spark, dir)), k)
+    topKOf(bm25ScoredDir(spark, dir), k)
 
   /** The scorer over an explicit (doc_id, text) relation — the testable
     * core of [[bm25TopK]]. */
   def bm25TopKFromDocs(docs: DataFrame, k: Int): DataFrame =
-    bm25Scored(docs)
+    topKOf(bm25Scored(docs), k)
+
+  private def topKOf(scored: DataFrame, k: Int): DataFrame =
+    scored
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("dl"), round(col("score"), 6).as("bm25"))
 
+  /** [[bm25Scored]] with the per-doc tf frame MEMOIZED per (session,
+    * dir): the stats pass and the scoring pass both read it, so without
+    * the cache every BM25 evaluation tokenizes the corpus twice — and
+    * `bm25_topk` + `hybrid_topk`'s lexical leg share one tokenize per
+    * session instead of four (the tfidf_tf discipline). The frame is
+    * 2+|queryTerms| narrow columns per doc, far smaller than the text
+    * it replaces. */
+  def bm25ScoredDir(spark: SparkSession, dir: String): DataFrame =
+    scoredOf(graft.Caches.memo(spark, s"bm25PerDoc:$dir") {
+      perDocOf(Tables.fanOut(Tables.documents(spark, dir)))
+    })
+
   /** Every document's raw BM25 score against [[queryTerms]] — the
     * shared scoring frame behind [[bm25TopKFromDocs]] and the lexical
     * leg of [[hybridTopK]]. Columns: doc_id, dl, score. */
-  def bm25Scored(docs: DataFrame): DataFrame = {
-    val perDoc = docs
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(
-        col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
-          queryTerms.map(t =>
-            size(filter(col("toks"), x => x === lit(t))).cast("long")
-              .as(s"tf_$t")): _*)
+  def bm25Scored(docs: DataFrame): DataFrame = scoredOf(perDocOf(docs))
+
+  private def perDocOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    .select(
+      col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+        queryTerms.map(t =>
+          size(filter(col("toks"), x => x === lit(t))).cast("long")
+            .as(s"tf_$t")): _*)
+
+  private def scoredOf(perDoc: DataFrame): DataFrame = {
     val statCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
       queryTerms.map(t =>
         sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
@@ -109,7 +127,7 @@ object Retrieval {
     // per-leg rank: TakeOrdered(nLeg) first, then row_number inside the
     // nLeg-row frame — the unpartitioned window is deliberate (≤ nLeg
     // rows by then), keeping the full-corpus sort out of the plan
-    val lexTop = bm25Scored(Tables.fanOut(Tables.documents(spark, dir)))
+    val lexTop = bm25ScoredDir(spark, dir)
       .filter(col("doc_id") =!= queryId) // mirror the dense leg's self-exclusion
       .orderBy(col("score").desc, col("doc_id")).limit(nLeg)
       .withColumn("lex_rank", row_number().over(

