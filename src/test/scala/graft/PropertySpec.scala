@@ -250,6 +250,83 @@ class PropertySpec extends AnyFunSuite {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
+  test("epoch shuffle == naive global (md5, doc_id) ordinal on random corpora, any stratum width") {
+    import spark.implicits._
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    for (seed <- 1L to 3L; nibbles <- Seq(1, 2, 3)) {
+      val texts = sample(Gen.listOfN(50, Gen.listOfN(4, word).map(_.mkString(" "))), seed)
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong * 7, t, "s") }
+      val dir = java.nio.file.Files.createTempDirectory("graft-ep").toString
+      writeDocs(rows, dir)
+      // brute: the permutation is sort by (md5(doc_id), doc_id)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      def h(id: Long) = md5.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val brute = rows.map(_._1).sortBy(id => (h(id), id))
+        .zipWithIndex.map { case (id, i) => id -> (i + 1).toLong }.toMap
+      val got = graft.llm.Sampling.epochShuffle(spark, dir, nibbles)
+        .select("doc_id", "epoch_pos").as[(Long, Long)].collect().toMap
+      rmTree(new java.io.File(dir))
+      assert(got == brute, s"seed $seed nibbles $nibbles")
+    }
+  }
+
+  test("corpus shards: conservation, contiguity in shuffle order, token balance") {
+    import spark.implicits._
+    val word = Gen.oneOf("one", "two", "three", "four")
+    for (seed <- 1L to 3L) {
+      val texts = sample(Gen.listOfN(60,
+        Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))), seed)
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "s") }
+      val dir = java.nio.file.Files.createTempDirectory("graft-sh").toString
+      writeDocs(rows, dir)
+      val nShards = 8
+      val manifest = graft.llm.Sampling.corpusShards(spark, dir, nShards)
+        .as[(Int, Long, Long)].collect().sortBy(_._1)
+      rmTree(new java.io.File(dir))
+      val totalDocs = manifest.map(_._2).sum
+      val totalToks = manifest.map(_._3).sum
+      val bruteToks = texts.map(_.split("\\s+").count(_.nonEmpty).toLong).sum
+      assert(totalDocs == rows.length, s"doc conservation, seed $seed")
+      assert(totalToks == bruteToks, s"token conservation, seed $seed")
+      assert(manifest.forall(m => m._1 >= 0 && m._1 < nShards))
+      // balance law: every shard's token mass is within one document's
+      // tokens of T/nShards (the assignment rule's own bound), so no
+      // shard exceeds T/n + maxDoc
+      val maxDoc = texts.map(_.split("\\s+").count(_.nonEmpty).toLong).max
+      val bound = bruteToks / nShards + maxDoc
+      assert(manifest.forall(_._3 <= bound),
+        s"shard over balance bound $bound: ${manifest.mkString(",")}")
+    }
+  }
+
+  test("two-key native asof == brute on random timelines (co-located merge path)") {
+    import graft.plans.AsofJoinPlan
+    import spark.implicits._
+    val rowGen = for {
+      k1 <- Gen.choose(0L, 2L)
+      k2 <- Gen.choose(0L, 2L)
+      t <- Gen.choose(0L, 12L)
+      id <- Gen.choose(0L, 999999L)
+    } yield (k1, k2, t, id)
+    for (seed <- 1L to 4L) {
+      val probe = sample(Gen.listOfN(35, rowGen), seed).distinct
+      val build = sample(Gen.listOfN(35, rowGen), seed + 90).distinct
+      val pdf = probe.toDF("k1", "k2", "t", "pid")
+      val bdf = build.toDF("k1", "k2", "t", "bid")
+      val brute = probe.map { case (k1, k2, t, pid) =>
+        val cand = build.filter(b => b._1 == k1 && b._2 == k2 && b._3 <= t)
+        val best = if (cand.isEmpty) None
+          else Some(cand.maxBy(b => (b._3, b._4))._4)
+        (pid, best)
+      }.toMap
+      val native = AsofJoinPlan.asof(pdf, bdf, Seq("k1", "k2"), "t", "t",
+          "bid", Seq("bid"))
+        .select("pid", "asof_bid").as[(Long, Option[Long])].collect().toMap
+      assert(native == brute, s"two-key native != brute, seed $seed")
+    }
+  }
+
   test("token entropy laws on random corpora: permutation invariance, bounds") {
     val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
     for (seed <- 1L to 4L) {
