@@ -43,6 +43,50 @@ class PlanGuardrailSpec extends AnyFunSuite {
     // the window itself is stratum-partitioned
     "corpus_shards")
 
+  test("scan-predicate queries push their filters into the parquet scan") {
+    // the brief's explicit bar: a filter that belongs at the source must
+    // show in the scan's PushedFilters, not run post-scan only. One
+    // representative per filter family; a regression here means a 100 TB
+    // scan reads (and deserializes) rows the query never wanted.
+    // formatted mode, not plan.toString: the one-line scan rendering
+    // truncates its metadata at spark.sql.maxMetadataStringLength, and
+    // the PushedFilters field routinely falls past the cut
+    val expectPush = Seq(
+      "filters_proj",   // numeric + conjunctive lineitem predicates
+      "asof_join",      // event_type = 'purchase'/'view' literal filters
+      "semi_join",      // key-side filters on both legs
+      "q1_pricing")     // date-bound scan predicate
+    for (name <- expectPush) {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+        .findAllMatchIn(plan).map(_.group(1).trim).toSeq
+      assert(pushed.nonEmpty, s"$name: no file scan in plan?")
+      assert(pushed.exists(_.nonEmpty),
+        s"$name: every scan has empty PushedFilters — predicate not pushed")
+    }
+  }
+
+  test("narrow projections prune the scan to the columns they read") {
+    // column pruning is the other half of scan hygiene: a 7-column
+    // projection over a 16-column lineitem must not read the full row
+    val scans = SparkEntry.queries("filters_proj")(spark, sf)
+      .queryExecution.executedPlan.collectLeaves()
+    val widths = scans.map(_.output.length)
+    assert(widths.nonEmpty && widths.forall(_ <= 7),
+      s"filters_proj reads ${widths.mkString(",")} columns at the scan — pruning lost")
+  }
+
+  test("hot scan queries stay inside whole-stage codegen") {
+    for (name <- Seq("text_stats", "quality_filter", "token_count",
+        "filters_proj")) {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("codegen id :"),
+        s"$name plans no whole-stage-codegen span — hot path fell out of codegen")
+    }
+  }
+
   test("no registered query plans a cartesian product") {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
