@@ -17,8 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens of lower(text), empties removed. */
+  /** Whitespace tokens of lower(text), empties removed. Since round 16
+    * this is the native [[graft.functions.Tokenize]] kernel — one
+    * byte-scan pass, no interpreted filter lambda, stays inside
+    * whole-stage codegen; bit-identical to the composed
+    * `filter(split(lower(text), "\s+"), len > 0)` chain, which
+    * [[tokensHof]] keeps as the spec-pinned cross-check. */
   def tokens(text: Column): Column =
+    graft.functions.Tokenize.tokenize(text)
+
+  /** The pre-r16 composed formulation — spec-only parity twin. */
+  private[graft] def tokensHof(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
   val tokensSql: String =

@@ -37,6 +37,40 @@ class FunctionsSpec extends AnyFunSuite {
     assert(injected.contains(graft.plans.AsofJoinPlan.AsofJoinStrategy))
   }
 
+  test("tokenize kernel == filter(split(lower)) chain: corpus + adversarial cases") {
+    import spark.implicits._
+    // the real corpus: every document's token array, element for element
+    val both = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.Tokenize.tokenize(col("text")).as("native"),
+        graft.llm.TextOps.tokensHof(col("text")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"doc ${r.getLong(0)}: native != hof")
+    }
+    // adversarial: every \s byte, unicode NON-\s whitespace (NBSP stays
+    // inside a token — Java \s is ASCII-only without the unicode flag),
+    // multibyte chars, case folding incl. non-ASCII, empties, nulls
+    val nasty: Seq[Option[String]] = Seq(
+      Some(""), Some(" \t\n\f\r "), Some("a"), Some(" a "),
+      Some("A\u00A0B"),            // NBSP: one token in BOTH forms
+      Some("Füß GRÖSSE İstanbul"), // unicode lowercasing parity
+      Some("日本\t語 テスト"), Some("a  b\r\nc"), Some("\rx\t"),
+      Some("\u00FCmlaut\u2028sep"), // U+2028 is not ASCII \s: one token
+      None)
+    val got = nasty.toDF("text")
+      .select(graft.functions.Tokenize.tokenize(col("text")).as("native"),
+        graft.llm.TextOps.tokensHof(col("text")).as("hof"))
+      .collect()
+    got.zip(nasty).foreach { case (r, in) =>
+      val n = Option(r.get(0)).map(_ => r.getSeq[String](0))
+      val h = Option(r.get(1)).map(_ => r.getSeq[String](1))
+      assert(n == h, s"input $in: native $n != hof $h")
+    }
+  }
+
   test("nearest_cell == the HOF fold on real embeddings; null/mismatch semantics; scaled k") {
     import graft.llm.Vectors
     import graft.functions.NearestCell.nearest_cell
