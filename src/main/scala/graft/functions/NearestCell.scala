@@ -4,8 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
 
 /** Nearest-centroid cell id of a float-array embedding against a fixed
   * centroid matrix, as a native codegen'd Catalyst expression — the
@@ -52,18 +53,30 @@ case class NearestCell(child: Expression, cents: Array[Array[Double]])
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true // malformed input -> null
 
+  // assign() reads elements with getFloat: anything but array<float>
+  // must fail at analysis time, not yield garbage distances at runtime
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"nearest_cell requires array<float>, got ${other.catalogString}")
+  }
+
   override def nullSafeEval(v: Any): Any =
     NearestCell.assign(v.asInstanceOf[ArrayData], flat, k, d)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val centsRef = ctx.addReferenceObj("nearestCellCents", flat, "double[]")
+    // freshName: two nearest_cell calls fused into one codegen scope must
+    // not both declare the same local, or Janino rejects the whole stage
+    val res = ctx.freshName("ncRes")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |Object ncRes = graft.functions.NearestCell.assign($c, $centsRef, $k, $d);
-         |if (ncRes == null) {
+         |Object $res = graft.functions.NearestCell.assign($c, $centsRef, $k, $d);
+         |if ($res == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = ((java.lang.Integer) ncRes).intValue();
+         |  ${ev.value} = ((java.lang.Integer) $res).intValue();
          |}
        """.stripMargin
     })

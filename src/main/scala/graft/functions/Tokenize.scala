@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -30,15 +31,25 @@ import org.apache.spark.unsafe.types.UTF8String
   *     flag anywhere in the chain), and none of those byte values can
   *     occur inside a UTF-8 multibyte sequence, so a byte-level scan
   *     splits at precisely the positions the regex splits at;
-  *   - `split` emits a leading "" for leading whitespace and never a
-  *     trailing "" (Java split drops trailing empties), and the chain's
-  *     filter removes empties — equivalently, this scan emits maximal
-  *     non-whitespace runs, in order;
+  *   - `split` emits a leading "" for leading whitespace and (because
+  *     Spark's two-arg split uses limit = -1) also trailing ""s for
+  *     trailing whitespace; the chain's filter removes both kinds of
+  *     empties — equivalently, this scan emits maximal non-whitespace
+  *     runs, in order;
   *   - a null input is null; the output array contains no nulls.
   */
 case class Tokenize(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  // tokens() casts to UTF8String: any other child type must fail at
+  // analysis time rather than ClassCastException mid-scan
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"tokenize requires string, got ${other.catalogString}")
+  }
 
   override def nullSafeEval(v: Any): Any =
     Tokenize.tokens(v.asInstanceOf[UTF8String])

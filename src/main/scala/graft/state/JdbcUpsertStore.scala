@@ -52,8 +52,20 @@ class JdbcUpsertStore(url: String, driverClass: String =
     * probing only the uppercase form made [[init]] see "missing" tables
     * on the reference's own PG stack and fail on the re-CREATE. */
   private def tableExists(c: Connection, name: String): Boolean = {
+    val md = c.getMetaData
+    // getTables takes a LIKE pattern: a literal `_` matches any single
+    // char, so "graft_state" would false-positive on "graftXstate" and
+    // skip the CREATE. Escape with the driver's escape string.
+    val esc = Option(md.getSearchStringEscape).filter(_.nonEmpty)
+    def lit(n: String): String = esc match {
+      case Some(e) => n.flatMap {
+        case c if c == '_' || c == '%' => e + c
+        case c => c.toString
+      }
+      case None => n
+    }
     def probe(n: String): Boolean = {
-      val rs = c.getMetaData.getTables(null, null, n, null)
+      val rs = md.getTables(null, null, lit(n), null)
       try rs.next() finally rs.close()
     }
     probe(name.toUpperCase) || probe(name.toLowerCase)
