@@ -118,6 +118,7 @@ object SparkEntry {
     "similarity_topk_pq_idx" -> (Vectors.pqIndexTopK(_, _)),
     "emb_neardup"       -> (Vectors.embNearDupPairs(_, _)),
     "emb_neardup_lsh"   -> (Vectors.embNearDupLsh(_, _)),
+    "emb_neardup_lsh_scaled" -> (Vectors.embNearDupLshScaled(_, _)),
     "dedup_semantic"    -> (Vectors.semanticDedup(_, _)),
     "dedup_semantic_scaled" -> (Vectors.semanticDedupScaled(_, _)),
     "quality_classifier"-> (Quality.classifierScores(_, _)),
@@ -189,6 +190,12 @@ object SparkEntry {
     // dedup_simhash's brute-Hamming DuckDB oracle below
     "streaming_neardup" -> (graft.streaming.StreamingNearDup
       .streamingNearDupQuery(_, _)),
+    // the WATERMARKED form, fed as 10 event-time-ordered micro-batches:
+    // eviction + exactly-once dedup exercised; the emitted set has a
+    // closed form (brute-Hamming pairs ∩ the watermark-survival
+    // predicate) replayed by its dynamic oracle
+    "streaming_neardup_wm" -> (graft.streaming.StreamingNearDup
+      .streamingNearDupWatermarkedQuery(_, _)),
     // stateful streaming gate whose prefix-admission contract IS a SQL
     // window — the one streaming operator the DuckDB oracle can hash
     "streaming_quota_gate" -> (graft.streaming.StreamingQuotaGate
@@ -381,6 +388,14 @@ object SparkEntry {
     // the embedded centroids are the run's own scaled quantizer
     "dedup_semantic_scaled" -> ((s, d) =>
       Vectors.semanticDedupScaledSql(s, d)),
+    // corpus-scaled (w, B, t) rules: same derivation engine-side and
+    // oracle-side from the memoized corpus count, no trained state
+    "emb_neardup_lsh_scaled" -> ((s, d) =>
+      Vectors.embNearDupLshScaledSql(s, d)),
+    // chunk width C derives from the corpus count; the predicate is
+    // pure id arithmetic on top of the shared brute-Hamming pair SQL
+    "streaming_neardup_wm" -> ((s, d) => graft.streaming.StreamingNearDup
+      .streamingNearDupWatermarkedSql(s, d)),
     "similarity_topk_pq" -> ((s, d) => Vectors.simTopKPqSql(
       Vectors.pqCodebooks(s, d))),
     // the persisted index round-trips the same codebooks through

@@ -950,6 +950,18 @@ object Vectors {
         explode(array(bands.map { case (i, c) =>
           struct(lit(i).as("band_id"), c.as("band_val")) }: _*)).as("band"))
       .select(col("vec_id"), col("embedding"), col("band.band_id"), col("band.band_val"))
+    bandedNearDupVerify(banded, threshold)
+  }
+
+  /** Shared verify tail of the banded LSH variants: self-join inside
+    * (band_id, band_val), exact-cosine filter, distinct survivors.
+    * Catalyst pushes the cosine filter THROUGH the distinct (cos is a
+    * function of the grouping columns va/vb), so the verify runs
+    * map-side on the join output and only pairs ≥ threshold reach the
+    * distinct's shuffle — candidate pairs cost one codegen'd FloatDot
+    * chain each, never a wide-row shuffle. */
+  private def bandedNearDupVerify(banded: DataFrame,
+      threshold: Double): DataFrame = {
     val a = banded.select(col("band_id"), col("band_val"),
       col("vec_id").as("ida"), col("embedding").as("va"))
     val b = banded.select(col("band_id"), col("band_val"),
@@ -960,6 +972,82 @@ object Vectors {
       .filter(col("cos") >= threshold)
       .select(col("ida"), col("idb"), col("cos").as("cosine"))
     // (within-bucket pairs are few; per-pair norms are fine here)
+  }
+
+  /** Corpus-scaled SRP-LSH config — the sizing rules that keep the
+    * banded near-dup linear in corpus size, as engine behavior (the
+    * exact move [[scaledCells]] made for semantic dedup):
+    *
+    *   - band width w(n) = clamp(4, 20, ⌈log₂ n⌉ − 4): chance pairs
+    *     (θ ≈ π/2) match a w-bit band with probability ≈ 2⁻ʷ, so the
+    *     chance-candidate mass B·2⁻ʷ·n²/2 ≈ 8·B·n stays LINEAR in n —
+    *     the fixed 4-bit bands of the tradeoff config pass ≈ 23% of ALL
+    *     pairs, a candidate population quadratic in corpus size (the
+    *     measured 100× leg: 239 s, candidate-bound).
+    *   - band count B(w) = ⌈ln 5 / −ln(1 − p^w)⌉ with p = 1 − θ(0.9)/π:
+    *     holds ≥ 0.8 recall for TRUE near-dups (cosine ≥ 0.9) as w
+    *     grows — the anchor is the near-dup regime the operator is FOR,
+    *     not the chance tail.
+    *   - threshold t(n) = clamp(0.45, 0.75, √(2·ln n)/√dim): the
+    *     max-of-n-gaussians growth rate of the chance-cosine tail
+    *     N(0, 1/dim), so the OUTPUT the threshold admits stays
+    *     sub-linear in n instead of quadratic (0.45 is 3.6σ — fixed, it
+    *     admits chance mass ∝ n²; measured 953,897 pairs at 100×).
+    *
+    * At sf0.01 (n=500) this is w=5, B=3, t=0.45 — coinciding with the
+    * tradeoff threshold; the rules, not the constants, are what
+    * register. */
+  private[graft] def lshBandWidth(n: Long): Int = {
+    val log2n = math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2.0)).toInt
+    math.min(20, math.max(4, log2n - 4))
+  }
+  private[graft] def lshBands(w: Int): Int = {
+    val p = 1.0 - math.acos(0.9) / math.Pi // per-bit match prob at cos 0.9
+    math.ceil(math.log(5.0) / -math.log1p(-math.pow(p, w))).toInt
+  }
+  private[graft] def lshThreshold(n: Long, dim: Int = 64): Double = {
+    val t = math.sqrt(2.0 * math.log(math.max(2L, n).toDouble)) / math.sqrt(dim.toDouble)
+    math.min(0.75, math.max(0.45, t))
+  }
+
+  /** Per-band SRP values WITHOUT the packed-64-bit bucket: band b packs
+    * the sign bits of planes j = b·w .. b·w+w−1 into its own ≤20-bit
+    * long, so the scaled config's total bit budget w·B is not capped at
+    * 64. Plane constants, dot fold order, and sign rule are identical
+    * to [[srpBuckets]] (same [[planeComponent]] stream, consumed in the
+    * same global plane order). */
+  private def srpBandValues(emb: DataFrame, w: Int, nBands: Int,
+      dim: Int): DataFrame = {
+    val bands = (0 until nBands).map { b =>
+      val bits = (0 until w).map { i =>
+        val j = b * w + i
+        val plane = array((0 until dim).map(ii => lit(planeComponent(j, ii))): _*)
+        val dot = aggregate(zip_with(col("embedding"), plane,
+          (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
+        when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+      }
+      struct(lit(b).as("band_id"),
+        bits.reduce((x, y) => x.bitwiseOR(y)).as("band_val"))
+    }
+    emb.withColumn("band", explode(array(bands: _*)))
+      .select(col("vec_id"), col("embedding"),
+        col("band.band_id"), col("band.band_val"))
+  }
+
+  /** [[embNearDupLsh]] with banding AND threshold SCALED TO THE CORPUS
+    * (w = [[lshBandWidth]](n), B = [[lshBands]](w), t =
+    * [[lshThreshold]](n)): the serving shape for a corpus that grows.
+    * The tradeoff config's 100× leg is candidate-bound at 239 s because
+    * 4-bit bands pass ≈23% of all pairs and t = 0.45 = 3.6σ admits a
+    * chance-pair output ∝ n²; under these rules both masses are ~linear
+    * in n. SCALE_CURVE.jsonl carries the measured pair. */
+  def embNearDupLshScaled(spark: SparkSession, dir: String,
+      dim: Int = 64): DataFrame = {
+    val n = nVectors(spark, dir)
+    val w = lshBandWidth(n)
+    val banded = srpBandValues(
+      Tables.fanOut(Tables.embeddings(spark, dir)), w, lshBands(w), dim)
+    bandedNearDupVerify(banded, lshThreshold(n, dim))
   }
 
   /** DuckDB oracle for [[embNearDupLsh]] — possible because SRP-LSH has
@@ -997,6 +1085,51 @@ object Vectors {
        |  SELECT vec_id, embedding, bands.band_id,
        |    (bucket >> (${bandWidth} * bands.band_id)) & ${mask} AS band_val
        |  FROM bk CROSS JOIN (VALUES ${bandRows}) bands(band_id)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM banded a JOIN banded b
+       |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |   AND a.vec_id < b.vec_id),
+       |v AS (
+       |  SELECT cand.ida, cand.idb,
+       |    ${cosSql("ea.embedding", "eb.embedding")} AS cos
+       |  FROM cand
+       |  JOIN embeddings ea ON ea.vec_id = cand.ida
+       |  JOIN embeddings eb ON eb.vec_id = cand.idb)
+       |SELECT ida, idb, cos AS cosine FROM v WHERE cos >= ${threshold}""".stripMargin
+  }
+
+  /** Oracle twin of [[embNearDupLshScaled]]: the same corpus-derived
+    * (w, B, t) rules feeding the same splitmix64 plane stream, with
+    * each band's value assembled directly (sign-bit CASEs summed per
+    * band — disjoint powers of two, the per-band analogue of
+    * [[embNearDupLshSql]]'s bucket OR-as-sum) instead of shift/mask
+    * over a 64-bit bucket, since the scaled bit budget w·B exceeds 64.
+    * Plane dots are the same left-associated literal sum chains, so
+    * the replay pins the banding bit for bit. */
+  def embNearDupLshScaledSql(spark: SparkSession, dir: String,
+      dim: Int = 64): String = {
+    val n = nVectors(spark, dir)
+    val w = lshBandWidth(n)
+    val nBands = lshBands(w)
+    val threshold = lshThreshold(n, dim)
+    def chain(j: Int): String =
+      (0 until dim).map(i =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * (${planeComponent(j, i)})")
+        .mkString("(0.0 + ", " + ", ")")
+    def bandVal(b: Int): String =
+      (0 until w).map { i =>
+        s"CASE WHEN ${chain(b * w + i)} >= 0 THEN ${1L << i} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    val bandRows = (0 until nBands).map(b =>
+      s"SELECT vec_id, embedding, ${b} AS band_id, ${bandVal(b)} AS band_val FROM embeddings")
+      .mkString("\n  UNION ALL\n  ")
+    def cosSql(a: String, b: String): String =
+      s"""round(CAST(list_dot_product(${a}, ${b}) AS DOUBLE)
+         |    / (greatest(sqrt(CAST(list_dot_product(${a}, ${a}) AS DOUBLE)), 1e-12)
+         |       * greatest(sqrt(CAST(list_dot_product(${b}, ${b}) AS DOUBLE)), 1e-12)), 6)""".stripMargin
+    s"""WITH banded AS (
+       |  ${bandRows}),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
        |  FROM banded a JOIN banded b

@@ -393,6 +393,42 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recalled >= 0.95, f"mid-similarity recall $recalled%.3f at 8x2 bands")
   }
 
+  test("corpus-scaled LSH rules: candidate mass linear, recall anchor held, clamps bind") {
+    // band width tracks log2(n) so chance candidates B·2^-w·n²/2 stay ~linear
+    assert(Vectors.lshBandWidth(500L) == 5)
+    assert(Vectors.lshBandWidth(2000L) == 7)
+    assert(Vectors.lshBandWidth(200000L) == 14)
+    assert(Vectors.lshBandWidth(1L) == 4)           // floor clamp
+    assert(Vectors.lshBandWidth(Long.MaxValue) == 20) // ceiling clamp
+    // band count holds >= 0.8 recall for true near-dups (cos >= 0.9) at any w
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    for (w <- 4 to 20) {
+      val b = Vectors.lshBands(w)
+      val recall = 1.0 - math.pow(1.0 - math.pow(p, w), b)
+      assert(recall >= 0.8, f"w=$w B=$b recall $recall%.3f")
+    }
+    // threshold tracks the max-of-n-gaussians chance-tail growth, clamped
+    assert(Vectors.lshThreshold(500L) == 0.45)       // floor clamp binds
+    assert(math.abs(Vectors.lshThreshold(2000L) - 0.4876) < 0.001)
+    assert(Vectors.lshThreshold(Long.MaxValue) == 0.75) // ceiling clamp
+    // monotone: a bigger corpus never loosens any knob
+    for (Seq(a, b) <- Seq(100L, 1000L, 10000L, 1000000L).sliding(2)) {
+      assert(Vectors.lshBandWidth(a) <= Vectors.lshBandWidth(b))
+      assert(Vectors.lshThreshold(a) <= Vectors.lshThreshold(b))
+    }
+  }
+
+  test("scaled LSH near-dup is a verified subset of brute force at its threshold") {
+    val n = Tables.embeddings(spark, sf).count()
+    val t = Vectors.lshThreshold(n)
+    val brute = Vectors.embNearDupPairs(spark, sf, threshold = t)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scaled = Vectors.embNearDupLshScaled(spark, sf)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every emitted pair is exact-verified at the scaled threshold
+    assert(scaled.subsetOf(brute), s"spurious: ${scaled -- brute}")
+  }
+
   test("topk ranks are dense 1..k per query and ordered by cosine") {
     val rows = Vectors.simTopK(spark, sf, nQueries = 5, k = 3).collect()
     val byQ = rows.groupBy(_.getLong(0))
