@@ -100,24 +100,33 @@ object Bench {
     // output column computed by the executed plan), not df.count():
     // counting lets ColumnPruning drop computed projections, which
     // under-measures projection-heavy queries.
-    def runSuite(cold: Boolean): (Seq[(String, Double)], Seq[(String, String)]) = {
+    // Per query: (total_sec, builder_sec). builder_sec is the time to
+    // CONSTRUCT the DataFrame — where shared memo builders, driver-side
+    // model fits, and run-to-completion streams do their eager work —
+    // so the cold artifact can attribute "7× the oracle" rows honestly:
+    // patid1 cold charges the finestAgg/lowWeight memo build to itself,
+    // while its plan execution is ≈ oracle parity (same split RunQuery
+    // uses: its timer starts after the builder returns).
+    def runSuite(cold: Boolean): (Seq[(String, (Double, Double))], Seq[(String, String)]) = {
       if (cold) Caches.release(spark)
       val results = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
-        def once(): Either[String, Double] = {
+        def once(): Either[String, (Double, Double)] = {
           if (cold) Caches.release(spark)
           val t0 = System.nanoTime()
           try {
-            fn(spark, sfDir).queryExecution.toRdd.count()
-            Right((System.nanoTime() - t0) / 1e9)
+            val df = fn(spark, sfDir)
+            val builderSec = (System.nanoTime() - t0) / 1e9
+            df.queryExecution.toRdd.count()
+            Right(((System.nanoTime() - t0) / 1e9, builderSec))
           }
           catch { case e: Throwable => Left(e.getClass.getSimpleName) }
         }
         name -> (once() match {
           case Left(err) => Left(err)
           case Right(a) => once() match {
-            case Right(b) => Right(math.min(a, b))
+            case Right(b) => Right(if (b._1 < a._1) b else a) // min by total
             case Left(_)  => Right(a) // flaky second pass: keep the success
           }
         })
@@ -151,7 +160,8 @@ object Bench {
       if (mode != "warm") runSuite(cold = true) else (Nil, Nil)
     if (mode != "warm") mark("cold_after")
 
-    val headline = if (mode == "cold") coldOk else warmOk
+    val headline = (if (mode == "cold") coldOk else warmOk)
+      .map { case (k, (t, _)) => k -> t }
     // namespace the cold-pass failures: the same query can fail with
     // DIFFERENT exceptions warm vs cold, and duplicate JSON keys would
     // silently drop one of them in most parsers
@@ -171,7 +181,12 @@ object Bench {
     val total = headline.map(_._2).sum
     val coldPart =
       if (mode == "warm" || coldOk.isEmpty) ""
-      else f""","total_cold":${coldOk.map(_._2).sum}%.3f,"queries_cold":${fmt(coldOk)}"""
+      else {
+        val totals = coldOk.map { case (k, (t, _)) => k -> t }
+        val builders = coldOk.map { case (k, (_, b)) => k -> b }
+        f""","total_cold":${totals.map(_._2).sum}%.3f,"queries_cold":${fmt(totals)}""" +
+          s""","queries_cold_builder":${fmt(builders)}"""
+      }
     // canary fields: raw seconds per mark plus the within-run spread —
     // ratio > ~1.5 means the window SHIFTED mid-run; cross-window
     // comparison divides suite times by (canary / BASELINE's reference)

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query-name filter for fast local
+    // iteration on one operator (the driver always runs the full set)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    def selected(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +24,8 @@ object Verify {
     // an explicit row in errors.json, so the round's correctness artifact
     // stays diffable (15 silently-missing entries in round 9 made the
     // regression invisible in the machine-readable output)
-    val errors = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val errors = SparkEntry.queries.toSeq.filter(kv => selected(kv._1))
+      .sortBy(_._1).flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -54,6 +60,7 @@ object Verify {
           Seq("dynamic_oracle_sql" -> e.getClass.getSimpleName))
       }
     val json = (SparkEntry.oracleSql ++ dynamic)
+      .filter(kv => selected(kv._1)) // no-op for the driver's full run
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = (errors ++ dynErrors)
