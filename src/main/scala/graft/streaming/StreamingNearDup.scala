@@ -304,4 +304,157 @@ object StreamingNearDup extends Serializable {
       spark.catalog.dropTempView(name)
       local
     }
+
+  /** The registered WATERMARKED bounded query: the documents table fed
+    * as `nChunks` event-time-ordered micro-batches (one file per
+    * trigger) through [[nearDupStreamWatermarked]] — eviction and the
+    * exactly-once output dedup EXERCISED, not just spec-pinned.
+    *
+    * Determinism that makes a DuckDB oracle possible:
+    *   - event time is synthetic and data-derived: ts(doc) =
+    *     doc_id · stepSec seconds (doc_ids are dense 0..n−1, so chunks
+    *     of C = ⌈n/nChunks⌉ consecutive ids are ts-ordered batches);
+    *   - the chunk files are a fileStamp-keyed derived artifact with
+    *     modification times set to the chunk index, so
+    *     FileStreamSource's oldest-first ordering replays the same
+    *     batch sequence every run;
+    *   - Spark's watermark before batch k is max(ts over batches < k)
+    *     − delay = (k·C − 1)·step − D, and a stored member survives to
+    *     pair with a batch-k arrival iff ts + L ≥ watermark (the
+    *     per-member prune; the bucket timeout fires strictly later —
+    *     its bound is the bucket's NEWEST member + L — so it never
+    *     drops a member the prune would have kept). With the watermark
+    *     floor at 0 and ts monotone in doc_id, the full emitted set
+    *     has the closed form the oracle replays:
+    *       hamming(a,b) ≤ maxDist AND
+    *       ts_lo·1 + L + D + step ≥ (batch_hi·C)·step
+    *     (same-batch pairs satisfy it trivially; batch-0 arrivals see
+    *     watermark 0). [[streamingNearDupWatermarkedSql]] is exactly
+    *     [[graft.llm.Dedup.dedupSimhashSql]] plus that predicate. */
+  def streamingNearDupWatermarkedQuery(spark: SparkSession, dir: String,
+      maxDist: Int = 3, nChunks: Int = 10, stepSec: Long = 60L,
+      latenessSec: Long = 600L): DataFrame =
+    graft.Caches.memo(spark, s"streaming_neardup_wm:$dir:$maxDist") {
+      val chunkDir = wmChunkDir(spark, dir, nChunks)
+      val name = "snd_wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunkDir)
+        .withColumn("ts", timestamp_seconds(col("doc_id") * stepSec))
+        .repartition(spark.sparkContext.defaultParallelism)
+      // scoped set/restore (the streamingNearDupQuery pattern): 8 state
+      // partitions for a bounded table, and the global-watermark
+      // pattern check disabled for the fMGWS → dropDuplicates chain
+      // (see nearDupStreamWatermarked's doc for why the blanket check
+      // cannot see this operator's on-time-output invariant)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+      val prevCheck = spark.conf.get(checkKey)
+      // TWO watermark nodes exist (input sigs + emitted pairs), and the
+      // default multipleWatermarkPolicy=min takes the global watermark
+      // from the LAGGING pair-side node — whose max event time is the
+      // newest pair emitted so far, a data-dependent value that would
+      // make eviction timing (and the oracle) depend on which batches
+      // happened to emit pairs (measured: 199 vs 193 pairs at sf0.01).
+      // Pair event times never exceed input event times, so policy=max
+      // pins the global watermark to the INPUT node exactly: wm before
+      // batch k = maxTs(batches < k) − delay, the closed form the
+      // oracle replays. No input row is ever late under it (ts is
+      // monotone in doc_id across chunks).
+      val wmKey = "spark.sql.streaming.multipleWatermarkPolicy"
+      val prevWm = spark.conf.get(wmKey)
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set(checkKey, "false")
+      spark.conf.set(wmKey, "max")
+      val q =
+        try nearDupStreamWatermarked(stream, maxDist,
+            s"$latenessSec seconds", latenessSec * 1000L)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+          spark.conf.set(checkKey, prevCheck)
+          spark.conf.set(wmKey, prevWm)
+        }
+      try q.awaitTermination() finally q.stop()
+      val state = spark.table(name)
+        .select(col("ida"), col("idb"), col("hamming"))
+        .distinct()
+      val rows = java.util.Arrays.asList(state.collect(): _*)
+      val local = spark.createDataFrame(rows, state.schema)
+      spark.catalog.dropTempView(name)
+      local
+    }
+
+  /** Dense-id chunk files for the watermarked feed: C consecutive
+    * doc_ids per file, modification time = publish base + chunk index
+    * seconds (FileStreamSource orders by mtime). fileStamp-keyed like
+    * the ORC mirror so a regenerated table rebuilds the feed;
+    * atomic-rename publish for racing builders. */
+  private def wmChunkDir(spark: SparkSession, dir: String,
+      nChunks: Int): String = {
+    import org.apache.hadoop.fs.Path
+    val stamp = graft.Tables.fileStamp(spark, s"$dir/documents.parquet")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_snd_wm/" +
+      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${stamp}_$nChunks"
+    val fin = new Path(s"$base/final")
+    val fs = fin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$base/final/_PUBLISHED"))) {
+      val attempt = new Path(
+        s"$base/v_${java.util.UUID.randomUUID().toString.take(8)}")
+      val docs = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      val n = docs.count()
+      val c = (n + nChunks - 1) / nChunks
+      for (i <- 0 until nChunks) {
+        val w = new Path(s"$attempt/w_$i")
+        docs.filter(col("doc_id") >= i * c && col("doc_id") < (i + 1) * c)
+          .coalesce(1).write.mode("overwrite").parquet(w.toString)
+        val part = fs.listStatus(w).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $w"))
+        fs.rename(part, new Path(f"$attempt/chunk_$i%02d.parquet"))
+        fs.delete(w, true)
+        // mtime drives the file source's batch order; second-spaced so
+        // filesystem mtime granularity can never alias two chunks
+        fs.setTimes(new Path(f"$attempt/chunk_$i%02d.parquet"),
+          1000000000000L + i * 1000L, -1)
+      }
+      fs.create(new Path(s"$attempt/_PUBLISHED")).close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fin.toUri, spark.sparkContext.hadoopConfiguration)
+      try fc.rename(attempt, fin)
+      catch {
+        case e: java.io.IOException =>
+          fs.delete(attempt, true)
+          if (!fs.exists(new Path(s"$base/final/_PUBLISHED"))) throw e
+      }
+    }
+    fin.toString
+  }
+
+  /** Oracle twin of [[streamingNearDupWatermarkedQuery]]: the
+    * brute-Hamming pair set ([[graft.llm.Dedup.dedupSimhashSql]])
+    * filtered by the closed-form survival predicate derived in the
+    * query's doc. `_PUBLISHED`/`chunk_*` mechanics don't appear —
+    * batches are pure id arithmetic on the dense doc_id grid. */
+  def streamingNearDupWatermarkedSql(spark: SparkSession, dir: String,
+      maxDist: Int = 3, nChunks: Int = 10, stepSec: Long = 60L,
+      latenessSec: Long = 600L): String = {
+    val n = graft.Tables.documents(spark, dir).count()
+    val c = (n + nChunks - 1) / nChunks
+    val pairSql = graft.llm.Dedup.dedupSimhashSql(maxDist)
+    // ts_lo + L + D + step >= batch_hi * C * step   (seconds; L = D)
+    s"""WITH pairs AS (
+       |${pairSql}
+       |)
+       |SELECT ida, idb, hamming FROM pairs
+       |WHERE ida * ${stepSec} + ${2 * latenessSec + stepSec}
+       |      >= (idb // ${c}) * ${c} * ${stepSec}""".stripMargin
+  }
 }

@@ -68,6 +68,27 @@ class StreamingNearDupSpec extends AnyFunSuite {
       assert(want.exists { case (a, b) => a % 3 != b % 3 })
     }
 
+  test("registered watermarked query == brute pairs under the closed-form survival predicate") {
+    val got = StreamingNearDup.streamingNearDupWatermarkedQuery(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val all = Dedup.dedupSimhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val n = Tables.documents(spark, sf).count()
+    val c = (n + 9) / 10 // nChunks = 10, the registered default
+    val step = 60L; val lateness = 600L
+    // survival: ts_lo + L >= watermark(batch_hi) — see the query's doc
+    val want = all.filter { case (ida, idb, _) =>
+      ida * step + 2 * lateness + step >= (idb / c) * c * step
+    }
+    assert(got == want, s"missing ${want -- got}; spurious ${got -- want}")
+    assert(got.nonEmpty)
+    // every emitted pair is a true near-dup; and the watermark must have
+    // actually evicted something, or the test (and the registered query)
+    // would be indistinguishable from the unwatermarked form
+    assert(got.subsetOf(all))
+    assert(got != all, "no pair was evicted: the predicate is vacuous at this SF")
+  }
+
   test("watermarked pipeline: exactly-once pair emission and eviction of expired band state") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
