@@ -157,11 +157,20 @@ object Tables {
       // for exactly this purpose): one shared fact join feeds both
       // derived views, warm AND cold — the rollup arithmetic is the
       // same exact DECIMAL sum as the direct aggregation
-      fanOut(transactions(spark, dir)
+      // cached partitioned by (merchant, category): the percentile agg
+      // groups on exactly these keys and the low_weight_pairs /
+      // pattern-tree joins cluster on them, so every warm consumer
+      // rides the cache with NO exchange of its own. Explicit
+      // numPartitions (REPARTITION_BY_NUM) — an expression-only
+      // repartition is AQE-coalescible and this byte-small frame would
+      // collapse to 1 partition, serializing every cached consumer.
+      transactions(spark, dir)
         .groupBy(col("customer"), col("merchant"), col("category"))
         .agg(
           round(sum(col("discount").cast(DecimalType(18, 6))).cast("double") /
-            count(lit(1)), 6).as("weight")))
+            count(lit(1)), 6).as("weight"))
+        .repartition(spark.sparkContext.defaultParallelism,
+          col("merchant"), col("category"))
     }
 
   /** S2 — static CSV read with an explicit schema and header, the

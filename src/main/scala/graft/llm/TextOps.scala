@@ -429,6 +429,12 @@ object TextOps {
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
+        // cache partitioned by doc_id (AFTER the agg, so the map-side
+        // combine still shrinks the explode shuffle): the top-k window
+        // below requires only doc_id clustering, so it rides the cached
+        // partitioning with no exchange of its own — the agg's
+        // (doc_id, term) hash satisfies the agg but not the window
+        .repartition(col("doc_id"))
     }
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
