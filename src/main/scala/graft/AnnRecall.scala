@@ -44,6 +44,13 @@ object AnnRecall {
       "ivf" -> (Vectors.simTopKIvf(_, _)),
       "ivf_probe4" -> ((s, d) => Vectors.simTopKIvf(s, d, nProbe = 4)),
       "ivf_probe8" -> ((s, d) => Vectors.simTopKIvf(s, d, nProbe = 8)),
+      // the clustered-corpus serving shape: cells ≈ cluster count, a
+      // few probed — on the mixture-of-gaussians fixture
+      // (tools/gen_clustered.py) these hold recall ≥0.95 at a fraction
+      // of the scan; on the isotropic testdata they document the same
+      // honest recall loss the 16-cell partial probes show
+      "ivf_c64_p4" -> ((s, d) => Vectors.simTopKIvf(s, d, nCells = 64, nProbe = 4)),
+      "ivf_c64_p8" -> ((s, d) => Vectors.simTopKIvf(s, d, nCells = 64, nProbe = 8)),
       "sq8" -> (Vectors.simTopKSq8(_, _)),
       "pq" -> (Vectors.simTopKPq(_, _)),
       "pq_refine32" -> ((s, d) => Vectors.simTopKPq(s, d, refine = 32)),

@@ -133,8 +133,13 @@ object Retrieval {
       .withColumn("lex_rank", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))))
       .select(col("doc_id"), col("lex_rank"))
+    // greatest(): the zero-norm clamp every other cosine path carries
+    // (see Vectors.clampNorm — an all-zero embedding would NaN the
+    // cosine and seize rank 1 in BOTH engines); no real norm is near
+    // the floor, so scores are unchanged on any non-degenerate corpus
     val emb = Tables.fanOut(Tables.embeddings(spark, dir))
-      .withColumn("nrm", sqrt(Vectors.dotF32(col("embedding"), col("embedding"))))
+      .withColumn("nrm", greatest(
+        sqrt(Vectors.dotF32(col("embedding"), col("embedding"))), lit(1e-12)))
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qvec"), col("nrm").as("qnrm"))
     val denseTop = emb.filter(col("vec_id") =!= queryId)
@@ -188,8 +193,8 @@ object Retrieval {
        |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = $queryId),
        |dsc AS (SELECT e.vec_id AS doc_id,
        |          round(CAST(list_dot_product(q.qvec, e.embedding) AS DOUBLE)
-       |            / (sqrt(CAST(list_dot_product(q.qvec, q.qvec) AS DOUBLE))
-       |               * sqrt(CAST(list_dot_product(e.embedding, e.embedding) AS DOUBLE))), 6) AS cos
+       |            / (greatest(sqrt(CAST(list_dot_product(q.qvec, q.qvec) AS DOUBLE)), 1e-12)
+       |               * greatest(sqrt(CAST(list_dot_product(e.embedding, e.embedding) AS DOUBLE)), 1e-12)), 6) AS cos
        |        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> $queryId),
        |den AS (SELECT doc_id, rn AS vec_rank FROM (
        |          SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS rn
