@@ -54,7 +54,25 @@ object AnnRecall {
       "sq8" -> (Vectors.simTopKSq8(_, _)),
       "pq" -> (Vectors.simTopKPq(_, _)),
       "pq_refine32" -> ((s, d) => Vectors.simTopKPq(s, d, refine = 32)),
-      "pq_idx" -> (Vectors.pqIndexTopK(_, _)))
+      "pq_idx" -> (Vectors.pqIndexTopK(_, _)),
+      // residual IVF-PQ: quantizes v − centroid(cell), so the codebook
+      // spends its resolution on within-cluster structure — the rung
+      // that recovers the clustered corpus vanilla PQ collapses on
+      "ivfpq" -> (Vectors.simTopKIvfPq(_, _)),
+      "ivfpq_probe4" -> ((s, d) => Vectors.simTopKIvfPq(s, d, nProbe = 4)),
+      // corpus-scaled cells (k = n/125): sub-cluster-sized cells make
+      // the residual pure local noise — the config that recovers
+      // within-cluster ranking at corpus scale; the partial-probe rung
+      // probes 1/16 of the scaled cells
+      "ivfpq_scaled" -> (Vectors.simTopKIvfPqScaled(_, _)),
+      "ivfpq_scaled_probe" -> ((s, d) => Vectors.simTopKIvfPqScaled(s, d,
+        nProbe = math.max(4, Vectors.scaledCells(Vectors.nVectors(s, d)) / 16))),
+      // the quality knobs at corpus scale: 8-bit codebooks (the FAISS
+      // default) and a 4x-wider exact-refine window
+      "ivfpq_scaled_c256" -> ((s, d) =>
+        Vectors.simTopKIvfPqScaled(s, d, nCodes = 256)),
+      "ivfpq_scaled_c256_r128" -> ((s, d) =>
+        Vectors.simTopKIvfPqScaled(s, d, nCodes = 256, refine = 128)))
 
     def topkSets(df: DataFrame): Map[Long, Set[Long]] =
       df.select("query_id", "neighbor_id").collect()

@@ -116,6 +116,11 @@ object SparkEntry {
     "similarity_topk_sq8" -> (Vectors.simTopKSq8(_, _)),
     "similarity_topk_pq"  -> (Vectors.simTopKPq(_, _)),
     "similarity_topk_pq_idx" -> (Vectors.pqIndexTopK(_, _)),
+    // residual IVF-PQ (IVFADC): the rung vanilla PQ cannot serve on a
+    // clustered corpus (ANN_RECALL.json's 0.06-recall row); registered
+    // probe-all so the trained-constant oracle replays it exactly
+    "similarity_topk_ivfpq" -> (Vectors.simTopKIvfPq(_, _)),
+    "similarity_topk_ivfpq_scaled" -> (Vectors.simTopKIvfPqScaled(_, _)),
     "emb_neardup"       -> (Vectors.embNearDupPairs(_, _)),
     "emb_neardup_lsh"   -> (Vectors.embNearDupLsh(_, _)),
     "emb_neardup_lsh_scaled" -> (Vectors.embNearDupLshScaled(_, _)),
@@ -398,6 +403,14 @@ object SparkEntry {
       .streamingNearDupWatermarkedSql(s, d)),
     "similarity_topk_pq" -> ((s, d) => Vectors.simTopKPqSql(
       Vectors.pqCodebooks(s, d))),
+    // residual IVF-PQ: the run's own coarse centroids AND residual
+    // codebooks embed; assignment, residual encode, ADC fold, refine
+    // cut, and final rank all replay
+    "similarity_topk_ivfpq" -> ((s, d) => Vectors.simTopKIvfPqSql(
+      Vectors.coarseCentroids(s, d, nCells = 16),
+      Vectors.ivfPqCodebooks(s, d))),
+    "similarity_topk_ivfpq_scaled" -> ((s, d) =>
+      Vectors.simTopKIvfPqScaledSql(s, d)),
     // the persisted index round-trips the same codebooks through
     // Double.toString (exact), so it shares the inline replay
     "similarity_topk_pq_idx" -> ((s, d) => Vectors.simTopKPqSql(

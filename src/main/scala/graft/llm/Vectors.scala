@@ -846,6 +846,305 @@ object Vectors {
     adcQuery(encoded, emb, codebooks, nQueries, k, refine, m, nCodes, sub)
   }
 
+  /** RESIDUAL IVF-PQ top-k (IVFADC, Jégou et al. 2011 §III) — the rung
+    * vanilla PQ cannot serve on a clustered corpus: with tight clusters
+    * every same-cluster vector quantizes to near-identical codes, ADC
+    * cannot rank inside the resulting tie set, and recall collapses
+    * (measured 0.06 on the 200k mixture-of-gaussians fixture,
+    * ANN_RECALL.json). Quantizing the RESIDUAL v − centroid(cell)
+    * instead spends the whole codebook on within-cluster structure:
+    *   approx ⟨q, v⟩ = ⟨q, c_cell⟩ + Σ_j LUT_j[code_j]
+    * where ⟨q, c⟩ per cell and the m×nCodes residual LUT are
+    * driver-computed per query (queries are broadcast-sized), so the
+    * scan cost per row is still m lookups + one qcent lookup.
+    *
+    * 100 TB shape: coarse centroids and residual codebooks train
+    * driver-side on the shared pinned sample (zero cluster barriers);
+    * the encoded corpus (cell + codes + norm ≈ 13 bytes/vector) is the
+    * only full scan; `nProbe < nCells` additionally prunes the scan to
+    * the query's nearest cells (the FAISS IVFADC serving shape — on the
+    * clustered fixture it holds recall at a fraction of the scan; the
+    * REGISTERED default probes all cells, which keeps the rung exactly
+    * replayable: the dynamic oracle embeds centroids + codebooks and
+    * replays assignment, residual encode, the ADC fold, and the refine
+    * cut — the same algorithm, not the brute answer). */
+  def simTopKIvfPq(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, nCells: Int = 16, m: Int = 8, nCodes: Int = 64,
+      refine: Int = 32, dim: Int = 64, trainSample: Int = 2048,
+      nProbe: Int = Int.MaxValue): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    val emb = graft.Caches.memo(spark, s"ivfEmb:$dir") {
+      withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
+        "embedding", "nrm")
+    }
+    val cents = coarseCentroids(spark, dir, nCells, trainSample)
+    val codebooks = ivfPqCodebooks(spark, dir, nCells, m, nCodes, dim,
+      trainSample)
+    val encoded = graft.Caches.memo(spark,
+        s"ivfpqEncoded:$dir:$nCells:$m:$nCodes:$dim:$trainSample") {
+      ivfPqEncode(emb, cents, codebooks, m, sub)
+    }
+    ivfPqAdcQuery(encoded, emb, cents, codebooks, nQueries, k, refine,
+      m, nCodes, sub, math.min(nProbe, nCells))
+  }
+
+  /** [[simTopKIvfPq]] with the cell count SCALED TO THE CORPUS
+    * (k = [[scaledCells]](n), sample = [[trainSampleFor]](k)) — the
+    * same sizing rule as [[semanticDedupScaled]], and for the same
+    * reason measured on the ANN ladder: at fixed nCells=16 a clustered
+    * 200k corpus leaves ~12.5k vectors per cell, residuals still carry
+    * cluster offsets, and within-cell tie sets dwarf the refine window
+    * (recall 0.10, barely above vanilla PQ's 0.06); at k = n/125 cells
+    * are sub-cluster-sized, the residual is pure local noise, and the
+    * codebook spends its resolution on exactly the structure that ranks
+    * neighbors. Coincides with the fixed 16-cell config at every verify
+    * SF (2000/125 = 16), sharing its oracle arithmetic. */
+  def simTopKIvfPqScaled(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, m: Int = 8, nCodes: Int = 64,
+      refine: Int = 32, dim: Int = 64,
+      nProbe: Int = Int.MaxValue): DataFrame = {
+    val cells = scaledCells(nVectors(spark, dir))
+    simTopKIvfPq(spark, dir, nQueries, k, cells, m, nCodes, refine, dim,
+      trainSampleFor(cells), nProbe)
+  }
+
+  /** Oracle twin of [[simTopKIvfPqScaled]]: same corpus-scaled
+    * derivation feeding the same memoized centroids/codebooks. */
+  def simTopKIvfPqScaledSql(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, m: Int = 8, nCodes: Int = 64,
+      refine: Int = 32, dim: Int = 64): String = {
+    val cells = scaledCells(nVectors(spark, dir))
+    val ts = trainSampleFor(cells)
+    simTopKIvfPqSql(coarseCentroids(spark, dir, cells, ts),
+      ivfPqCodebooks(spark, dir, cells, m, nCodes, dim, ts),
+      nQueries, k, m, nCodes, refine, dim)
+  }
+
+  /** The m residual-PQ codebooks: assign each pinned sample vector to
+    * its coarse cell with the SAME first-min argmin the scan uses, then
+    * train each subspace's codebook on the residuals. Memoized and
+    * public so the oracle generator embeds the identical doubles. */
+  def ivfPqCodebooks(spark: SparkSession, dir: String, nCells: Int = 16,
+      m: Int = 8, nCodes: Int = 64, dim: Int = 64, trainSample: Int = 2048)
+      : Array[Array[Array[Double]]] =
+    graft.Caches.memoObj(spark,
+        s"ivfpqCodebooks:$dir:$nCells:$m:$nCodes:$dim:$trainSample") {
+      val sub = dim / m
+      val cents = coarseCentroids(spark, dir, nCells, trainSample)
+      val sample = Tables.fanOut(Tables.embeddings(spark, dir))
+        .orderBy(col("vec_id")).limit(trainSample)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val resid = sample.map { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nCells) {
+          var s = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - cents(c)(i); s += t * t; i += 1 }
+          if (s < bestD) { bestD = s; best = c } // strict <: first min
+          c += 1
+        }
+        Array.tabulate(dim)(i => v(i) - cents(best)(i))
+      }
+      Array.tabulate(m) { j =>
+        val pts = resid.map { r =>
+          val p = new Array[Double](sub)
+          var i = 0; while (i < sub) { p(i) = r(j * sub + i); i += 1 }
+          p
+        }
+        lloyd(pts, nCodes, iters = 5)
+      }
+    }
+
+  /** Encode (cell, residual codes, norm) in one scan: native
+    * [[graft.functions.NearestCell]] assignment, residual against the
+    * cell's centroid literal, per-subspace argmin against the residual
+    * codebook literals. Output carries no float vector. */
+  private def ivfPqEncode(emb: DataFrame,
+      cents: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      m: Int, sub: Int): DataFrame = {
+    val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val withResid = emb
+      .withColumn("cell", cellOf(cents))
+      .withColumn("resid", zip_with(
+        col("embedding"), element_at(centLit, col("cell") + 1),
+        (x, c) => x.cast("double") - c))
+    val codeCols = (0 until m).map { j =>
+      val subCol = slice(col("resid"), j * sub + 1, sub)
+      val cbLit = array(codebooks(j).map(cw => array(cw.map(lit): _*)): _*)
+      val dists = transform(cbLit, cw =>
+        aggregate(
+          zip_with(subCol, cw, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    withResid.select(col("vec_id"), col("nrm"), col("cell"),
+      array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC over (cell, codes): per query the driver computes the
+    * per-cell ⟨q, centroid⟩ array and the flat m×nCodes residual LUT;
+    * the scan folds m lookups + the cell term, `nProbe` prunes the
+    * scan to the query's best cells by normalized centroid cosine
+    * (probe-all ⇒ no pruning, the oracle-able default). */
+  private def ivfPqAdcQuery(encoded: DataFrame, emb: DataFrame,
+      cents: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      nQueries: Int, k: Int, refine: Int, m: Int, nCodes: Int, sub: Int,
+      nProbe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val nCells = cents.length
+    val dim = if (nCells > 0) cents(0).length else 0
+    val queryRows = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"), col("nrm")).collect()
+    import spark.implicits._
+    val luts = queryRows.map { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Float](1).toArray
+      val qnrm = r.getDouble(2)
+      val qcent = Array.tabulate(nCells) { c =>
+        var s = 0.0; var i = 0
+        while (i < dim) { s += q(i) * cents(c)(i); i += 1 }
+        s
+      }
+      val flat = new Array[Double](m * nCodes)
+      for (j <- 0 until m; c <- 0 until nCodes) {
+        val cw = codebooks(j)(c)
+        var s = 0.0; var i = 0
+        while (i < sub) { s += q(j * sub + i) * cw(i); i += 1 }
+        flat(j * nCodes + c) = s
+      }
+      // probe set: top-nProbe cells by normalized centroid cosine
+      // (simTopKIvf's rule), driver-side — cells are driver constants
+      val probed =
+        if (nProbe >= nCells) (0 until nCells).toArray
+        else qcent.zipWithIndex.map { case (s, c) =>
+          val cnrm = math.max(math.sqrt(cents(c).map(x => x * x).sum), 1e-12)
+          (-s / (qnrm * cnrm), c)
+        }.sorted.take(nProbe).map(_._2).sorted
+      (qid, q, qnrm, qcent, flat, probed)
+    }.toSeq.toDF("query_id", "qvec", "qnrm", "qcent", "lut", "probed")
+    val idx = sequence(lit(0), lit(m - 1))
+    val approx = encoded.join(broadcast(luts),
+        col("vec_id") =!= col("query_id") &&
+          array_contains(col("probed"), col("cell")))
+      .withColumn("ascore",
+        (element_at(col("qcent"), col("cell") + 1) +
+          aggregate(
+            zip_with(col("codes"), idx,
+              (c, j) => element_at(col("lut"), (j * nCodes + c + 1).cast("int"))),
+            lit(0.0), (acc, x) => acc + x)) / (col("qnrm") * col("nrm")))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("ascore").desc, col("vec_id"))))
+      .filter(col("ark") <= k * refine)
+      .select(col("query_id"), col("qvec"), col("qnrm"),
+        col("vec_id"), col("nrm"))
+    approx
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .withColumn("cos", round(
+        dotF32(col("qvec"), col("embedding")) / (col("qnrm") * col("nrm")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos").as("cosine"))
+  }
+
+  /** Oracle twin of [[simTopKIvfPq]] at the registered probe-all
+    * config: centroids + residual codebooks embed as literals; the
+    * replay pins cell assignment (first-min argmin over left-assoc
+    * distance chains), the residual encode, the ADC fold
+    * (⟨q,c_cell⟩ chain + per-subspace LUT chains, each from 0.0 in
+    * ascending element order), the refine cut, and the final exact
+    * rank. */
+  def simTopKIvfPqSql(cents: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], nQueries: Int = 10,
+      k: Int = 5, m: Int = 8, nCodes: Int = 64, refine: Int = 32,
+      dim: Int = 64): String = {
+    val sub = dim / m
+    val nCells = cents.length
+    val centsLit = cents.map(c => c.map(dlit).mkString("[", ", ", "]"))
+      .mkString("[\n      ", ",\n      ", "]")
+    def cbLit(j: Int): String =
+      codebooks(j).map(cw => cw.map(dlit).mkString("[", ", ", "]"))
+        .mkString("[\n      ", ",\n      ", "]")
+    // cell assignment: distance chain per centroid, first-min argmin
+    def cellChain: String = {
+      val chains = (0 until nCells).map { c =>
+        (0 until dim).map { i =>
+          val e = s"CAST(embedding[${i + 1}] AS DOUBLE)"
+          s"($e - (${dlit(cents(c)(i))})) * ($e - (${dlit(cents(c)(i))}))"
+        }.mkString("(0.0 + ", " + ", ")")
+      }.mkString("[", ",\n      ", "]")
+      s"list_position($chains, list_min($chains))"
+    }
+    // residual encode: ((e[i] − cellArr[i]) − cw[i'])², same tree as the
+    // engine's zip_with((x − c), cw)
+    def encChain(j: Int): String =
+      (0 until sub).map { i =>
+        val e = s"(CAST(embedding[${j * sub + i + 1}] AS DOUBLE) - cellArr[${j * sub + i + 1}])"
+        s"($e - cw[${i + 1}]) * ($e - cw[${i + 1}])"
+      }.mkString("(0.0 + ", " + ", ")")
+    val dlCols = (0 until m).map(j =>
+      s"list_transform(${cbLit(j)}, cw -> ${encChain(j)}) AS dl$j")
+      .mkString(",\n    ")
+    val codeCols = (0 until m).map(j =>
+      s"list_position(dl$j, list_min(dl$j)) AS p$j").mkString(",\n    ")
+    val cwCols = (0 until m).map(j =>
+      s"(${cbLit(j)})[c.p$j] AS w$j").mkString(",\n    ")
+    // ⟨q, c_cell⟩: the engine computes it driver-side i-ascending from 0.0
+    val qcentChain = (0 until dim).map(i =>
+      s"CAST(qvec[${i + 1}] AS DOUBLE) * cellArr[${i + 1}]")
+      .mkString("(0.0 + ", " + ", ")")
+    def lutChain(j: Int): String =
+      (0 until sub).map { i =>
+        s"CAST(qvec[${j * sub + i + 1}] AS DOUBLE) * w$j[${i + 1}]"
+      }.mkString("(0.0 + ", " + ", ")")
+    val ascore = (0 until m).map(j => s"${lutChain(j)}")
+      .mkString("(0.0 + ", " + ", ")")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    greatest(sqrt(CAST(list_dot_product(embedding, embedding) AS DOUBLE)), 1e-12) AS nrm,
+       |    ($centsLit)[${cellChain}] AS cellArr
+       |  FROM embeddings),
+       |dl AS (
+       |  SELECT vec_id, embedding, nrm, cellArr,
+       |    ${dlCols}
+       |  FROM e),
+       |c AS (
+       |  SELECT vec_id, nrm, cellArr,
+       |    ${codeCols}
+       |  FROM dl),
+       |q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm
+       |      FROM e WHERE vec_id < ${nQueries}),
+       |a AS (
+       |  SELECT q.query_id, q.qvec, q.qnrm, c.vec_id, c.nrm, c.cellArr,
+       |    ${cwCols}
+       |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+       |s AS (
+       |  SELECT query_id, qvec, qnrm, vec_id, nrm,
+       |    ((${qcentChain}) + ${ascore}) / (qnrm * nrm) AS ascore
+       |  FROM a),
+       |r AS (
+       |  SELECT query_id, qvec, qnrm, vec_id, nrm,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ascore DESC, vec_id) AS ark
+       |  FROM s),
+       |f AS (
+       |  SELECT r.query_id, r.vec_id,
+       |    round(CAST(list_dot_product(r.qvec, e.embedding) AS DOUBLE)
+       |      / (r.qnrm * r.nrm), 6) AS cos
+       |  FROM r JOIN e ON e.vec_id = r.vec_id
+       |  WHERE r.ark <= ${k * refine}),
+       |t AS (SELECT query_id, vec_id, cos,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |      FROM f)
+       |SELECT query_id, rank, vec_id AS neighbor_id, cos AS cosine
+       |FROM t WHERE rank <= ${k}""".stripMargin
+  }
+
   /** Deterministic in-memory Lloyd k-means for PQ codebook training:
     * farthest-point (maxmin) init — no RNG, the same sample always
     * learns the same codebook, and centroids can't clump the way a

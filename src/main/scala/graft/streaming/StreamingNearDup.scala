@@ -409,7 +409,15 @@ object StreamingNearDup extends Serializable {
         s"$base/v_${java.util.UUID.randomUUID().toString.take(8)}")
       val docs = graft.Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"))
-      val n = docs.count()
+      // the oracle's watermark formula needs maxTs(batch k−1) =
+      // (k·C − 1)·step, i.e. DENSE ids 0..n−1 — fail loudly on a corpus
+      // where chunk arithmetic and event-time order would silently split
+      val (n, maxId) = {
+        val r = docs.agg(count(lit(1)), max(col("doc_id"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      require(maxId == n - 1,
+        s"watermarked feed needs dense doc_ids 0..n-1; n=$n maxId=$maxId")
       val c = (n + nChunks - 1) / nChunks
       for (i <- 0 until nChunks) {
         val w = new Path(s"$attempt/w_$i")
@@ -418,7 +426,8 @@ object StreamingNearDup extends Serializable {
         val part = fs.listStatus(w).map(_.getPath)
           .find(_.getName.endsWith(".parquet"))
           .getOrElse(throw new IllegalStateException(s"no part file in $w"))
-        fs.rename(part, new Path(f"$attempt/chunk_$i%02d.parquet"))
+        require(fs.rename(part, new Path(f"$attempt/chunk_$i%02d.parquet")),
+          s"rename failed for chunk $i under $attempt")
         fs.delete(w, true)
         // mtime drives the file source's batch order; second-spaced so
         // filesystem mtime granularity can never alias two chunks

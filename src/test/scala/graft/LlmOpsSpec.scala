@@ -429,6 +429,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(scaled.subsetOf(brute), s"spurious: ${scaled -- brute}")
   }
 
+  test("residual IVF-PQ: recall floor vs brute, exact survivor cosines, dense ranks") {
+    val brute = Vectors.simTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val got = Vectors.simTopKIvfPq(spark, sf).collect()
+    val gotByQ = got.groupBy(_.getLong(0))
+    assert(gotByQ.keySet == brute.keys.map(_._1).toSet)
+    for ((q, rows) <- gotByQ) {
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+      // survivors carry TRUE cosines (the exact refine contract): any
+      // neighbor also in the brute set must carry the identical value
+      rows.foreach { r =>
+        brute.get((q, r.getLong(2))).foreach(c => assert(r.getDouble(3) == c))
+      }
+    }
+    val recall = brute.keys.count { case (q, n) =>
+      gotByQ(q).exists(_.getLong(2) == n)
+    }.toDouble / brute.size
+    assert(recall >= 0.9, f"ivfpq recall $recall%.2f") // refine=160 of 500
+  }
+
   test("topk ranks are dense 1..k per query and ordered by cosine") {
     val rows = Vectors.simTopK(spark, sf, nQueries = 5, k = 3).collect()
     val byQ = rows.groupBy(_.getLong(0))
