@@ -21,12 +21,15 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "similarity_topk_sq8", // quantized queries broadcast, joined vec_id =!= query_id
     "similarity_topk_pq",  // per-query ADC lookup tables broadcast, joined vec_id =!= query_id
     "similarity_topk_pq_idx", // same ADC scan, reading the persisted codes table
+    "similarity_topk_ivfpq",  // per-query (qcent + residual-LUT + probe-set) broadcast, joined vec_id =!= query_id
+    "similarity_topk_ivfpq_scaled", // same scan at corpus-scaled cells
     "bm25_topk",           // 1-row corpus-stats aggregate broadcast over the scan
     "hybrid_topk",         // bm25's 1-row stats + the 1-row query-vector broadcast
     "lm_score",            // 1-row vocabulary-size aggregate broadcast over the scoring join
     "token_budget_mix",    // 1-row ΣW aggregate broadcast over the |sources|-row rate frame
-    "epoch_shuffle",       // ≤256-row stratum-count frame, triangular (s2 < stratum) prefix-sum join
-    "corpus_shards",       // same triangular stratum-offset join + 1-row total-tokens broadcast
+    // (epoch_shuffle left the list in r17: its stratum offsets moved to
+    // a driver-collected literal map — no join remains in the plan)
+    "corpus_shards",       // triangular stratum-offset join + 1-row total-tokens broadcast
     "source_drift",        // |sources|×topN grid completion + 1-row ΣtopN broadcast
     "streaming_drift",     // same grid completion over the converged stream state
     "pmi_topk",            // two 1-row corpus-total broadcasts over the candidate frame
