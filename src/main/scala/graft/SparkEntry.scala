@@ -121,6 +121,9 @@ object SparkEntry {
     // probe-all so the trained-constant oracle replays it exactly
     "similarity_topk_ivfpq" -> (Vectors.simTopKIvfPq(_, _)),
     "similarity_topk_ivfpq_scaled" -> (Vectors.simTopKIvfPqScaled(_, _)),
+    // the persisted build-once/probe-many form: reloaded models are
+    // Double.toString-exact, so it shares the inline oracle
+    "similarity_topk_ivfpq_idx" -> (Vectors.ivfPqIndexTopK(_, _)),
     "emb_neardup"       -> (Vectors.embNearDupPairs(_, _)),
     "emb_neardup_lsh"   -> (Vectors.embNearDupLsh(_, _)),
     "emb_neardup_lsh_scaled" -> (Vectors.embNearDupLshScaled(_, _)),
@@ -411,6 +414,9 @@ object SparkEntry {
       Vectors.ivfPqCodebooks(s, d))),
     "similarity_topk_ivfpq_scaled" -> ((s, d) =>
       Vectors.simTopKIvfPqScaledSql(s, d)),
+    "similarity_topk_ivfpq_idx" -> ((s, d) => Vectors.simTopKIvfPqSql(
+      Vectors.coarseCentroids(s, d, nCells = 16),
+      Vectors.ivfPqCodebooks(s, d))),
     // the persisted index round-trips the same codebooks through
     // Double.toString (exact), so it shares the inline replay
     "similarity_topk_pq_idx" -> ((s, d) => Vectors.simTopKPqSql(

@@ -1051,6 +1051,83 @@ object Vectors {
         col("cos").as("cosine"))
   }
 
+  /** Build a PERSISTED residual IVF-PQ index — [[buildPqIndex]]'s shape
+    * at the residual rung: `path/codes` (vec_id, nrm, cell, codes),
+    * `path/centroids.txt` (one `c v,v,…` line per coarse centroid) and
+    * `path/codebooks.txt` (the PQ layout). Double.toString round-trips
+    * exactly, so a reloaded model is bit-identical to the trained one
+    * and the persisted path shares the inline form's oracle. */
+  def buildIvfPqIndex(spark: SparkSession, dir: String, path: String,
+      nCells: Int = 16, m: Int = 8, nCodes: Int = 64, dim: Int = 64,
+      trainSample: Int = 2048): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$path/centroids.txt")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return
+    val sub = dim / m
+    val emb = withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
+      "embedding", "nrm")
+    val cents = coarseCentroids(spark, dir, nCells, trainSample)
+    val codebooks = ivfPqCodebooks(spark, dir, nCells, m, nCodes, dim,
+      trainSample)
+    ivfPqEncode(emb, cents, codebooks, m, sub)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    val cbText = (for (j <- 0 until m; c <- 0 until nCodes)
+      yield s"$j $c ${codebooks(j)(c).mkString(",")}").mkString("\n")
+    val cbOut = fs.create(new org.apache.hadoop.fs.Path(s"$path/codebooks.txt"), true)
+    cbOut.write(cbText.getBytes("UTF-8")); cbOut.close()
+    // centroids LAST: their presence is the completed-build marker, so
+    // a torn build (codes without models) reads as "no index"
+    val ctText = cents.zipWithIndex
+      .map { case (c, i) => s"$i ${c.mkString(",")}" }.mkString("\n")
+    val ctOut = fs.create(marker, true)
+    ctOut.write(ctText.getBytes("UTF-8")); ctOut.close()
+  }
+
+  /** Index location for [[ivfPqIndexTopK]] — every model-shaping
+    * parameter plus the source stamp, the [[pqIndexPath]] discipline. */
+  def ivfPqIndexPath(spark: SparkSession, dir: String, nCells: Int = 16,
+      m: Int = 8, nCodes: Int = 64, dim: Int = 64,
+      trainSample: Int = 2048): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index/" +
+      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${nCells}_${m}_${nCodes}_${dim}_${trainSample}_" +
+      graft.Tables.fileStamp(spark, s"$dir/embeddings.parquet")
+
+  /** Query a persisted residual IVF-PQ index (building it first if
+    * absent): the ADC scan reads the codes parquet — never the float
+    * vectors — and only refine survivors rejoin the embedding table.
+    * Same reloaded-exact models ⇒ same results as [[simTopKIvfPq]]
+    * (LlmOpsSpec pins equality), so it shares the inline oracle. */
+  def ivfPqIndexTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5, nCells: Int = 16, m: Int = 8, nCodes: Int = 64,
+      refine: Int = 32, dim: Int = 64, trainSample: Int = 2048,
+      nProbe: Int = Int.MaxValue): DataFrame = {
+    val path = ivfPqIndexPath(spark, dir, nCells, m, nCodes, dim, trainSample)
+    buildIvfPqIndex(spark, dir, path, nCells, m, nCodes, dim, trainSample)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readLines(name: String): Array[String] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/$name"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.split("\n")
+      finally in.close()
+    }
+    val cents = new Array[Array[Double]](nCells)
+    readLines("centroids.txt").foreach { line =>
+      val parts = line.split(" ")
+      cents(parts(0).toInt) = parts(1).split(",").map(_.toDouble)
+    }
+    val codebooks = Array.fill(m)(new Array[Array[Double]](nCodes))
+    readLines("codebooks.txt").foreach { line =>
+      val parts = line.split(" ")
+      codebooks(parts(0).toInt)(parts(1).toInt) =
+        parts(2).split(",").map(_.toDouble)
+    }
+    val emb = withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
+      "embedding", "nrm")
+    val encoded = spark.read.parquet(s"$path/codes")
+    ivfPqAdcQuery(encoded, emb, cents, codebooks, nQueries, k, refine,
+      m, nCodes, dim / m, math.min(nProbe, nCells))
+  }
+
   /** Oracle twin of [[simTopKIvfPq]] at the registered probe-all
     * config: centroids + residual codebooks embed as literals; the
     * replay pins cell assignment (first-min argmin over left-assoc

@@ -447,6 +447,13 @@ class LlmOpsSpec extends AnyFunSuite {
       gotByQ(q).exists(_.getLong(2) == n)
     }.toDouble / brute.size
     assert(recall >= 0.9, f"ivfpq recall $recall%.2f") // refine=160 of 500
+    // the persisted index reloads Double.toString-exact models, so its
+    // results equal the inline form's bit for bit
+    val idx = Vectors.ivfPqIndexTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val inline = got
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(idx == inline)
   }
 
   test("topk ranks are dense 1..k per query and ordered by cosine") {
