@@ -60,6 +60,7 @@ object AnnRecall {
       // that recovers the clustered corpus vanilla PQ collapses on
       "ivfpq" -> (Vectors.simTopKIvfPq(_, _)),
       "ivfpq_probe4" -> ((s, d) => Vectors.simTopKIvfPq(s, d, nProbe = 4)),
+      "ivfpq_idx" -> (Vectors.ivfPqIndexTopK(_, _)),
       // corpus-scaled cells (k = n/125): sub-cluster-sized cells make
       // the residual pure local noise — the config that recovers
       // within-cluster ranking at corpus scale; the partial-probe rung
