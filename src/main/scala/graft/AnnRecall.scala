@@ -61,19 +61,27 @@ object AnnRecall {
       "ivfpq" -> (Vectors.simTopKIvfPq(_, _)),
       "ivfpq_probe4" -> ((s, d) => Vectors.simTopKIvfPq(s, d, nProbe = 4)),
       "ivfpq_idx" -> (Vectors.ivfPqIndexTopK(_, _)),
-      // corpus-scaled cells (k = n/125): sub-cluster-sized cells make
-      // the residual pure local noise — the config that recovers
-      // within-cluster ranking at corpus scale; the partial-probe rung
-      // probes 1/16 of the scaled cells
+      // corpus-scaled cells AND resolution (cells = n/125; m/nCodes/
+      // refine step to full resolution at n ≥ 2^16 — scaledPqKnobs):
+      // sub-cluster-sized cells make the residual pure local noise, and
+      // the resolution step-up keeps quantization noise below the
+      // neighbor gaps a denser corpus carries
       "ivfpq_scaled" -> (Vectors.simTopKIvfPqScaled(_, _)),
       "ivfpq_scaled_probe" -> ((s, d) => Vectors.simTopKIvfPqScaled(s, d,
         nProbe = math.max(4, Vectors.scaledCells(Vectors.nVectors(s, d)) / 16))),
-      // the quality knobs at corpus scale: 8-bit codebooks (the FAISS
-      // default) and a 4x-wider exact-refine window
-      "ivfpq_scaled_c256" -> ((s, d) =>
-        Vectors.simTopKIvfPqScaled(s, d, nCodes = 256)),
-      "ivfpq_scaled_c256_r128" -> ((s, d) =>
-        Vectors.simTopKIvfPqScaled(s, d, nCodes = 256, refine = 128)))
+      // the compact knobs pinned at scaled cells: the r17 serving point
+      // whose measured 0.32 recall on clustered-200k is WHY the rule
+      // steps resolution up with the corpus (on small corpora this
+      // coincides with ivfpq_scaled)
+      "ivfpq_compact" -> ((s, d) => {
+        val cells = Vectors.scaledCells(Vectors.nVectors(s, d))
+        Vectors.simTopKIvfPq(s, d, nCells = cells, m = 8, nCodes = 64,
+          refine = 32, trainSample = Vectors.trainSampleFor(cells))
+      }),
+      // the full rule stack — scaled cells + scaled resolution + probe
+      // promoted iff the corpus's own assignment tightness supports it:
+      // what a 100-TB user actually runs
+      "ivfpq_serving" -> (Vectors.simTopKIvfPqServing(_, _)))
 
     def topkSets(df: DataFrame): Map[Long, Set[Long]] =
       df.select("query_id", "neighbor_id").collect()

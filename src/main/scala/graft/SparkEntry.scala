@@ -121,6 +121,13 @@ object SparkEntry {
     // probe-all so the trained-constant oracle replays it exactly
     "similarity_topk_ivfpq" -> (Vectors.simTopKIvfPq(_, _)),
     "similarity_topk_ivfpq_scaled" -> (Vectors.simTopKIvfPqScaled(_, _)),
+    // the full rule stack (scaled cells + scaled resolution + probe
+    // promoted from the corpus's own assignment tightness): on the
+    // isotropic testdata the promotion rule decides probe-all, so this
+    // equals _scaled exactly and shares its oracle; the partial-probe
+    // branch is pinned on the clustered fixture in LlmOpsSpec and
+    // measured in ANN_RECALL.json's ivfpq_serving rung
+    "similarity_topk_ivfpq_serving" -> (Vectors.simTopKIvfPqServing(_, _)),
     // the persisted build-once/probe-many form: reloaded models are
     // Double.toString-exact, so it shares the inline oracle
     "similarity_topk_ivfpq_idx" -> (Vectors.ivfPqIndexTopK(_, _)),
@@ -414,6 +421,20 @@ object SparkEntry {
       Vectors.ivfPqCodebooks(s, d))),
     "similarity_topk_ivfpq_scaled" -> ((s, d) =>
       Vectors.simTopKIvfPqScaledSql(s, d)),
+    // tightness on the isotropic testdata is ≲0.5 < τ=0.7 → probe-all →
+    // serving ≡ scaled; the generator asserts that decision rather than
+    // assuming it, so a testdata regeneration that flips the rule fails
+    // loudly here instead of as an opaque hash mismatch
+    "similarity_topk_ivfpq_serving" -> ((s, d) => {
+      val cells = Vectors.scaledCells(Vectors.nVectors(s, d))
+      val probe = Vectors.promotedProbe(s, d, cells,
+        Vectors.trainSampleFor(cells))
+      require(probe >= cells,
+        s"ivfpq_serving oracle assumes probe-all on this corpus, but " +
+          s"the promotion rule picked nProbe=$probe of $cells cells — " +
+          "the partial-probe replay is not SQL-registered")
+      Vectors.simTopKIvfPqScaledSql(s, d)
+    }),
     "similarity_topk_ivfpq_idx" -> ((s, d) => Vectors.simTopKIvfPqSql(
       Vectors.coarseCentroids(s, d, nCells = 16),
       Vectors.ivfPqCodebooks(s, d))),
@@ -439,8 +460,17 @@ object SparkEntry {
     * (Lloyd, PQ, PCA, logistic), and one query should not pay six
     * unrelated driver-side fits. */
   def dynamicOracleSql(spark: SparkSession, sfDir: String)
-      : Map[String, String] =
-    dynamicOracles.map { case (k, f) => k -> f(spark, sfDir) }
+      : Map[String, String] = dynamicOracleSql(spark, sfDir, _ => true)
+
+  /** [[dynamicOracleSql]] restricted to `selected` names — generators
+    * for unselected operators never run, so a name-filtered Verify pass
+    * neither pays for, nor can be poisoned by, unrelated model
+    * training. */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String,
+      selected: String => Boolean): Map[String, String] =
+    dynamicOracles.collect { case (k, f) if selected(k) =>
+      k -> f(spark, sfDir)
+    }
 
   /** Static key set of [[dynamicOracles]] (ContractSpec accounting
     * without a SparkSession). */

@@ -53,7 +53,8 @@ object Verify {
     // model; a generator failure is recorded like a query failure
     // rather than silently shrinking the oracle set
     val (dynamic, dynErrors) =
-      try (SparkEntry.dynamicOracleSql(spark, sfDir), Seq.empty[(String, String)])
+      try (SparkEntry.dynamicOracleSql(spark, sfDir, selected),
+        Seq.empty[(String, String)])
       catch { case e: Throwable =>
         System.err.println(s"[verify] dynamic oracle generation failed: $e")
         (Map.empty[String, String],

@@ -121,23 +121,20 @@ object KllSketch {
     * FunctionsSpec. */
   def quantileSketch(spark: SparkSession, dir: String, k: Int = 256,
       requireExact: Boolean = false): DataFrame = {
-    import spark.implicits._
     val qs = Seq(0.25, 0.5, 0.75, 0.95)
-    val ds = graft.Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_extendedprice"))
-      .as[(String, Double)]
-    val inner = KllSketch(k, qs, requireExact)
-    val agg = new Aggregator[(String, Double), Buf, Seq[Double]] {
-      def zero = inner.zero
-      def reduce(b: Buf, r: (String, Double)) = inner.reduce(b, r._2)
-      def merge(a: Buf, b: Buf) = inner.merge(a, b)
-      def finish(b: Buf) = inner.finish(b)
-      def bufferEncoder = inner.bufferEncoder
-      def outputEncoder = inner.outputEncoder
-    }
-    ds.groupByKey(_._1)
-      .agg(agg.toColumn.name("est"))
-      .toDF("l_returnflag", "est")
+    // untyped udaf over the typed Aggregator: the earlier
+    // groupByKey(_._1) form deserialized a (String, Double) tuple and
+    // evaluated a Scala keying lambda PER ROW before the aggregate even
+    // saw the value — grouping in Tungsten with a Double-only input
+    // encoder drops that per-row cost with bit-identical output
+    // (the exact-when-wide readout is order-insensitive, and the
+    // approximate path's deterministic compaction coin depends only on
+    // per-partition arrival order, which groupBy preserves identically)
+    val sketch = udaf(KllSketch(k, qs, requireExact),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    graft.Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(sketch(col("l_extendedprice")).as("est"))
       .select(col("l_returnflag"), posexplode(col("est")).as(Seq("pos", "est")))
       .select(col("l_returnflag"),
         element_at(typedLit(qs), col("pos") + 1).as("q"), col("est"))

@@ -360,14 +360,29 @@ object Sampling {
     * re-reading two narrow columns beats materializing a per-doc frame. */
   def tokenBudgetMix(spark: SparkSession, dir: String,
       budget: Long = 20000L): DataFrame =
+    // memoized per-doc token counts: the mix consumes perDoc TWICE
+    // (source totals, then the kept aggregate) and Spark does not reuse
+    // identical subplans — uncached, the corpus would be tokenized
+    // twice per run. Unlike dsir's exploded frame (one row per TOKEN —
+    // measured slower cached), this is one narrow row per DOC, so the
+    // cache is corpus-small and both consumers ride it.
     tokenBudgetMixFromDocs(
-      Tables.fanOut(Tables.documents(spark, dir)), budget)
+      graft.Caches.memo(spark, s"tokmix_perdoc:$dir") {
+        perDocTokens(Tables.fanOut(Tables.documents(spark, dir)))
+      }, budget, preCounted = true)
 
-  def tokenBudgetMixFromDocs(docs: DataFrame, budget: Long): DataFrame = {
-    val perDoc = docs.select(
+  /** (doc_id, source, n_toks, u): the per-document token-count frame
+    * the budget mix aggregates — split out so [[tokenBudgetMix]] can
+    * memoize it across the two consumers in its own plan. */
+  private def perDocTokens(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"), col("source"),
       size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
       u52(col("doc_id").cast("string")).as("u"))
+
+  def tokenBudgetMixFromDocs(docs: DataFrame, budget: Long,
+      preCounted: Boolean = false): DataFrame = {
+    val perDoc = if (preCounted) docs else perDocTokens(docs)
     val weight = (lit(1L) + length(col("source")).cast("long") % 3L)
       .cast("double").as("weight")
     val weighted = perDoc.groupBy(col("source"))
@@ -603,9 +618,13 @@ object Sampling {
       (col("nt").cast("double") + lit(alpha) * col("v").cast("double"))
     val pR = (col("cr").cast("double") + lit(alpha)) /
       (col("nr").cast("double") + lit(alpha) * col("v").cast("double"))
-    toks.join(model, Seq("term"))
-      .crossJoin(broadcast(totals))
-      .withColumn("lr", round(log(pT / pR), 9))
+    // lr is a function of the TERM alone: fold it into the vocabulary-
+    // sized model frame (one log+round per distinct term) rather than
+    // computing it per token instance — corpus-token transcendentals
+    // were the hot profile line, and the value is identical
+    val modelLr = model.crossJoin(broadcast(totals))
+      .select(col("term"), round(log(pT / pR), 9).as("lr"))
+    toks.join(modelLr, Seq("term"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("lr").cast(org.apache.spark.sql.types.DecimalType(28, 9)))

@@ -433,8 +433,10 @@ object TextOps {
         // combine still shrinks the explode shuffle): the top-k window
         // below requires only doc_id clustering, so it rides the cached
         // partitioning with no exchange of its own — the agg's
-        // (doc_id, term) hash satisfies the agg but not the window
-        .repartition(col("doc_id"))
+        // (doc_id, term) hash satisfies the agg but not the window;
+        // explicit count — a bare repartition(col) is AQE-coalescible
+        // and a byte-small cached frame would collapse to 1 partition
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     }
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))

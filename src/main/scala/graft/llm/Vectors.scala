@@ -296,6 +296,34 @@ object Vectors {
   private[graft] def scaledCells(nVec: Long): Int =
     math.min(4096L, math.max(16L, nVec / 125L)).toInt
 
+  /** Corpus-scaled residual-PQ resolution: (m, nCodes, refine) for a
+    * corpus of nVec vectors of width dim. Two regimes, both anchored by
+    * the measured clustered-200k ladder (ANN_RECALL.json / BASELINE.md):
+    *
+    *   - nVec < 2^16 — COMPACT (m = dim/8, 64 codes, refine 32): at
+    *     small n the scan PQ exists to cheapen is already trivial, so
+    *     the engine keeps the code small and the oracle replay light;
+    *     coincides with the registered fixed config at every verify SF,
+    *     sharing its memoized models and oracle arithmetic.
+    *   - nVec ≥ 2^16 — FULL RESOLUTION (m = dim/4, 256 codes,
+    *     refine 128): as the corpus densifies, the gap between true
+    *     neighbors shrinks below the compact code's quantization noise
+    *     and ADC can no longer rank inside clusters — measured recall
+    *     on the clustered 200k fixture: 0.32 compact, 0.88 at 8-bit
+    *     codes alone, 0.76 at halved subspace width alone, **0.98 with
+    *     both + the 128-wide exact-refine window** (the registered
+    *     serving point). m = dim/4 × 8-bit is FAISS's standard PQ
+    *     sizing; refine 128 makes the exact-rerank window wider than
+    *     the residual tie sets the 0.32-recall failure mode produced.
+    *
+    * The threshold sits where the full-res model is trainable from the
+    * pinned sample (trainSampleFor(scaledCells(2^16)) = 4,192 ≥ 8·256
+    * per-subspace points) and the encode cost story flips: below it
+    * brute scan beats any index; above it the 13→17-byte code is what
+    * a 100-TB scan reads instead of 256-byte vectors. */
+  private[graft] def scaledPqKnobs(nVec: Long, dim: Int): (Int, Int, Int) =
+    if (nVec >= 65536L) (dim / 4, 256, 128) else (dim / 8, 64, 32)
+
   /** Training-sample width for a k-cell quantizer: the quantizer
     * saturates on a bounded sample, but the sample must comfortably
     * exceed k (Lloyd with n ≈ k degenerates to "sample points are the
@@ -899,26 +927,106 @@ object Vectors {
     * are sub-cluster-sized, the residual is pure local noise, and the
     * codebook spends its resolution on exactly the structure that ranks
     * neighbors. Coincides with the fixed 16-cell config at every verify
-    * SF (2000/125 = 16), sharing its oracle arithmetic. */
+    * SF (2000/125 = 16), sharing its oracle arithmetic.
+    *
+    * Since round 18, (m, nCodes, refine) are also RULE-DRIVEN
+    * ([[scaledPqKnobs]]): cells alone proved insufficient — at 200k
+    * clustered vectors the compact code's quantization noise exceeds
+    * within-cluster neighbor gaps and serving recall read 0.32; the
+    * full-resolution regime the rule switches to at n ≥ 2^16 measures
+    * 0.98 on the same fixture (ANN_RECALL.json). Below the threshold
+    * the knobs are the registered fixed config — same models, same
+    * oracle arithmetic. */
   def simTopKIvfPqScaled(spark: SparkSession, dir: String,
-      nQueries: Int = 10, k: Int = 5, m: Int = 8, nCodes: Int = 64,
-      refine: Int = 32, dim: Int = 64,
+      nQueries: Int = 10, k: Int = 5, dim: Int = 64,
       nProbe: Int = Int.MaxValue): DataFrame = {
-    val cells = scaledCells(nVectors(spark, dir))
+    val n = nVectors(spark, dir)
+    val cells = scaledCells(n)
+    val (m, nCodes, refine) = scaledPqKnobs(n, dim)
     simTopKIvfPq(spark, dir, nQueries, k, cells, m, nCodes, refine, dim,
       trainSampleFor(cells), nProbe)
   }
 
   /** Oracle twin of [[simTopKIvfPqScaled]]: same corpus-scaled
-    * derivation feeding the same memoized centroids/codebooks. */
+    * derivation (cells AND resolution knobs) feeding the same memoized
+    * centroids/codebooks. */
   def simTopKIvfPqScaledSql(spark: SparkSession, dir: String,
-      nQueries: Int = 10, k: Int = 5, m: Int = 8, nCodes: Int = 64,
-      refine: Int = 32, dim: Int = 64): String = {
-    val cells = scaledCells(nVectors(spark, dir))
+      nQueries: Int = 10, k: Int = 5, dim: Int = 64): String = {
+    val n = nVectors(spark, dir)
+    val cells = scaledCells(n)
+    val (m, nCodes, refine) = scaledPqKnobs(n, dim)
     val ts = trainSampleFor(cells)
     simTopKIvfPqSql(coarseCentroids(spark, dir, cells, ts),
       ivfPqCodebooks(spark, dir, cells, m, nCodes, dim, ts),
       nQueries, k, m, nCodes, refine, dim)
+  }
+
+  /** Mean assignment cosine of the pinned training sample to its own
+    * coarse-cell centroid — the ingest-time statistic that reveals
+    * whether a corpus CLUSTERS, computed driver-side from data the
+    * quantizer training already collected (no extra cluster pass).
+    * Clustered corpora (vectors = cluster center + local noise) read
+    * ≈0.9; isotropic gaussians read ≈ the best-of-k chance cosine
+    * (≈0.3 at k=16, ≈0.5 even at k=1600 in 64 dims). */
+  private[graft] def assignmentTightness(spark: SparkSession, dir: String,
+      nCells: Int, trainSample: Int = 2048): Double =
+    graft.Caches.memoObj[java.lang.Double](spark,
+        s"ivfTightness:$dir:$nCells:$trainSample") {
+      val cents = coarseCentroids(spark, dir, nCells, trainSample)
+      val dim = cents(0).length
+      val sample = Tables.fanOut(Tables.embeddings(spark, dir))
+        .orderBy(col("vec_id")).limit(trainSample)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val cosSum = sample.map { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nCells) {
+          var s = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - cents(c)(i); s += t * t; i += 1 }
+          if (s < bestD) { bestD = s; best = c } // strict <: first min
+          c += 1
+        }
+        var dot = 0.0; var vn = 0.0; var cn = 0.0; var i = 0
+        while (i < dim) {
+          dot += v(i) * cents(best)(i)
+          vn += v(i) * v(i); cn += cents(best)(i) * cents(best)(i)
+          i += 1
+        }
+        dot / math.max(math.sqrt(vn) * math.sqrt(cn), 1e-12)
+      }.sum
+      java.lang.Double.valueOf(cosSum / sample.length)
+    }.doubleValue()
+
+  /** Corpus-conditional probe promotion: the measured clustered ladder
+    * shows partial probe is worth ~4× under brute EXACTLY when the
+    * corpus clusters (recall 1.0 on the mixture fixture at nProbe =
+    * cells/16) and costs recall (0.66) when it does not — so the
+    * engine promotes it from the corpus's own [[assignmentTightness]]:
+    * ≥ 0.7 (well above the isotropic chance band ≲0.5, well below the
+    * clustered ≈0.9) → probe cells/16 floored at 4; otherwise
+    * probe-all, the honest serving config on a corpus whose cells do
+    * not capture neighborhoods. LlmOpsSpec pins both decisions on the
+    * two fixtures, plus the recall floor under promotion. */
+  def promotedProbe(spark: SparkSession, dir: String, nCells: Int,
+      trainSample: Int = 2048, tau: Double = 0.7): Int =
+    if (assignmentTightness(spark, dir, nCells, trainSample) >= tau)
+      math.max(4, nCells / 16)
+    else Int.MaxValue
+
+  /** The SERVING configuration the sizing + promotion rules pick
+    * together: corpus-scaled cells and resolution, probe promoted iff
+    * the corpus's own geometry supports it. On the isotropic testdata
+    * this equals [[simTopKIvfPqScaled]] exactly (tightness ≲0.5 →
+    * probe-all), so the registered query shares the scaled oracle; on
+    * the clustered fixture it serves recall ≥0.9 at a fraction of the
+    * probe-all scan (ANN_RECALL.json's `ivfpq_serving` rung). */
+  def simTopKIvfPqServing(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, dim: Int = 64): DataFrame = {
+    val n = nVectors(spark, dir)
+    val cells = scaledCells(n)
+    simTopKIvfPqScaled(spark, dir, nQueries, k, dim,
+      nProbe = promotedProbe(spark, dir, cells, trainSampleFor(cells)))
   }
 
   /** The m residual-PQ codebooks: assign each pinned sample vector to
@@ -957,16 +1065,32 @@ object Vectors {
       }
     }
 
-  /** Encode (cell, residual codes, norm) in one scan: native
-    * [[graft.functions.NearestCell]] assignment, residual against the
-    * cell's centroid literal, per-subspace argmin against the residual
-    * codebook literals. Output carries no float vector. */
+  /** Encode (cell, residual codes, norm) in one scan via the native
+    * one-pass [[graft.functions.IvfPqEncode]] expression (coarse
+    * assignment + all m residual argmins share one residual buffer;
+    * codegen'd, allocation-light). Output carries no float vector.
+    * [[ivfPqEncodeHof]] keeps the original higher-order-function
+    * formulation as the parity cross-check (VectorsSpec asserts
+    * bit-identical output) — at full resolution (m=16, 256 codes) the
+    * interpreted HOF chain measured ~100× this expression's cost. */
   private def ivfPqEncode(emb: DataFrame,
+      cents: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      m: Int, sub: Int): DataFrame =
+    emb
+      .withColumn("enc",
+        graft.functions.IvfPqEncode.ivfpq_encode(col("embedding"), cents,
+          codebooks))
+      .select(col("vec_id"), col("nrm"),
+        element_at(col("enc"), 1).as("cell"),
+        slice(col("enc"), 2, m).as("codes"))
+
+  /** The pre-r18 HOF formulation of [[ivfPqEncode]] — spec-only twin. */
+  private[graft] def ivfPqEncodeHof(emb: DataFrame,
       cents: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
       m: Int, sub: Int): DataFrame = {
     val centLit = array(cents.map(c => array(c.map(lit): _*)): _*)
     val withResid = emb
-      .withColumn("cell", cellOf(cents))
+      .withColumn("cell", cellOfHof(cents))
       .withColumn("resid", zip_with(
         col("embedding"), element_at(centLit, col("cell") + 1),
         (x, c) => x.cast("double") - c))
@@ -1024,16 +1148,16 @@ object Vectors {
         }.sorted.take(nProbe).map(_._2).sorted
       (qid, q, qnrm, qcent, flat, probed)
     }.toSeq.toDF("query_id", "qvec", "qnrm", "qcent", "lut", "probed")
-    val idx = sequence(lit(0), lit(m - 1))
     val approx = encoded.join(broadcast(luts),
         col("vec_id") =!= col("query_id") &&
           array_contains(col("probed"), col("cell")))
       .withColumn("ascore",
         (element_at(col("qcent"), col("cell") + 1) +
-          aggregate(
-            zip_with(col("codes"), idx,
-              (c, j) => element_at(col("lut"), (j * nCodes + c + 1).cast("int"))),
-            lit(0.0), (acc, x) => acc + x)) / (col("qnrm") * col("nrm")))
+          // native ADC fold (Σ_j lut[j·nCodes + codes_j], ascending from
+          // 0.0 — bit-identical to the aggregate(zip_with(…)) HOF chain
+          // it replaces, which paid 2m interpreted lambdas per row)
+          graft.functions.AdcScore.adc_score(col("codes"), col("lut")))
+          / (col("qnrm") * col("nrm")))
       .withColumn("ark", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("ascore").desc, col("vec_id"))))
@@ -1060,9 +1184,18 @@ object Vectors {
   def buildIvfPqIndex(spark: SparkSession, dir: String, path: String,
       nCells: Int = 16, m: Int = 8, nCodes: Int = 64, dim: Int = 64,
       trainSample: Int = 2048): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(s"$path/centroids.txt")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import org.apache.hadoop.fs.Path
+    val fin = new Path(path)
+    val marker = new Path(s"$path/centroids.txt")
+    val fs = fin.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return
+    // attempt-dir + atomic-rename publish (the wmChunkDir discipline):
+    // racing builders each assemble a private sibling and the FIRST
+    // rename wins whole — no interleaving of one process's codes with
+    // another's models, which the in-place marker-last convention
+    // allowed
+    val attempt = new Path(
+      s"${path}_v_${java.util.UUID.randomUUID().toString.take(8)}")
     val sub = dim / m
     val emb = withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
       "embedding", "nrm")
@@ -1070,17 +1203,28 @@ object Vectors {
     val codebooks = ivfPqCodebooks(spark, dir, nCells, m, nCodes, dim,
       trainSample)
     ivfPqEncode(emb, cents, codebooks, m, sub)
-      .write.mode("overwrite").parquet(s"$path/codes")
+      .write.mode("overwrite").parquet(s"$attempt/codes")
     val cbText = (for (j <- 0 until m; c <- 0 until nCodes)
       yield s"$j $c ${codebooks(j)(c).mkString(",")}").mkString("\n")
-    val cbOut = fs.create(new org.apache.hadoop.fs.Path(s"$path/codebooks.txt"), true)
+    val cbOut = fs.create(new Path(s"$attempt/codebooks.txt"), true)
     cbOut.write(cbText.getBytes("UTF-8")); cbOut.close()
-    // centroids LAST: their presence is the completed-build marker, so
-    // a torn build (codes without models) reads as "no index"
+    // centroids LAST within the attempt: even a torn ATTEMPT (crash
+    // mid-build) reads as "no index" should anything look inside it
     val ctText = cents.zipWithIndex
       .map { case (c, i) => s"$i ${c.mkString(",")}" }.mkString("\n")
-    val ctOut = fs.create(marker, true)
+    val ctOut = fs.create(new Path(s"$attempt/centroids.txt"), true)
     ctOut.write(ctText.getBytes("UTF-8")); ctOut.close()
+    // a pre-publish torn final dir (old in-place builds) reads as "no
+    // index" — clear it so the rename can land
+    if (fs.exists(fin) && !fs.exists(marker)) fs.delete(fin, true)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fin.toUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(attempt, fin)
+    catch {
+      case e: java.io.IOException =>
+        fs.delete(attempt, true)
+        if (!fs.exists(marker)) throw e // a racer published; else real
+    }
   }
 
   /** Index location for [[ivfPqIndexTopK]] — every model-shaping

@@ -334,7 +334,8 @@ object StreamingNearDup extends Serializable {
   def streamingNearDupWatermarkedQuery(spark: SparkSession, dir: String,
       maxDist: Int = 3, nChunks: Int = 10, stepSec: Long = 60L,
       latenessSec: Long = 600L): DataFrame =
-    graft.Caches.memo(spark, s"streaming_neardup_wm:$dir:$maxDist") {
+    graft.Caches.memo(spark,
+        s"streaming_neardup_wm:$dir:$maxDist:$nChunks:$stepSec:$latenessSec") {
       val chunkDir = wmChunkDir(spark, dir, nChunks)
       val name = "snd_wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val stream = spark.readStream

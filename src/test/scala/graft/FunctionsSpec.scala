@@ -119,6 +119,60 @@ class FunctionsSpec extends AnyFunSuite {
       "256-cell quantizer should spread beyond 16 cells")
   }
 
+  test("ivfpq_encode == the HOF chain on real embeddings; null semantics; adc_score == the fold") {
+    import graft.llm.Vectors
+    import graft.functions.IvfPqEncode.ivfpq_encode
+    import graft.functions.AdcScore.adc_score
+    val m = 8; val dim = 64; val sub = dim / m; val nCodes = 64
+    val cents = Vectors.coarseCentroids(spark, sf, 16)
+    val books = Vectors.ivfPqCodebooks(spark, sf, 16, m, nCodes, dim)
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("nrm", lit(1.0)) // encode ignores nrm; HOF twin carries it
+    // the parity the residual IVF-PQ oracles rely on: native one-pass
+    // encode ≡ NearestCell + zip_with residual + per-subspace HOF argmin
+    val hof = Vectors.ivfPqEncodeHof(emb, cents, books, m, sub).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getSeq[Int](3).toList))).toMap
+    val native = emb.select(col("vec_id"),
+        ivfpq_encode(col("embedding"), cents, books).as("enc")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1).head, r.getSeq[Int](1).tail.toList))).toMap
+    assert(native.nonEmpty && native.keySet == hof.keySet)
+    native.foreach { case (id, enc) =>
+      assert(enc == hof(id), s"vec $id: native $enc != hof ${hof(id)}")
+    }
+
+    // null array, wrong width, null element -> null (the HOF chain's
+    // null-propagation)
+    val rows: Seq[(Long, Option[Array[Option[Float]]])] = Seq(
+      (1L, Some(Array.fill(dim)(Option(0.5f)))),
+      (2L, None),
+      (3L, Some(Array.fill(dim - 1)(Option(0.5f)))),
+      (4L, Some(Array.tabulate(dim)(i =>
+        if (i == 5) Option.empty[Float] else Option(0.5f)))))
+    import spark.implicits._
+    val weird = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), ivfpq_encode(col("embedding"), cents, books))
+      .collect().map(r => (r.getLong(0), Option(r.get(1))))
+    weird.foreach { case (id, v) =>
+      if (id == 1L) assert(v.nonEmpty) else assert(v.isEmpty, s"row $id")
+    }
+
+    // adc_score ≡ the ascending left fold over lut[j*nCodes + code_j]
+    val lut = Array.tabulate(m * nCodes)(i => math.sin(i.toDouble))
+    val codes = Seq(Seq(0, 5, 63, 17, 2, 2, 40, 8), Seq.fill(m)(63))
+    val scored = codes.map(c => (c, lut.toSeq)).toDF("codes", "lut")
+      .select(adc_score(col("codes"), col("lut"))).collect().map(_.getDouble(0))
+    codes.zip(scored).foreach { case (c, got) =>
+      var s = 0.0
+      c.zipWithIndex.foreach { case (code, j) => s += lut(j * nCodes + code) }
+      assert(got == s)
+    }
+    // out-of-range code (corrupt input) -> null, not garbage
+    val bad = Seq((Seq(0, 5, 64, 0, 0, 0, 0, 0), lut.toSeq)).toDF("codes", "lut")
+      .select(adc_score(col("codes"), col("lut"))).collect()
+    assert(bad.head.isNullAt(0))
+  }
+
   test("KLL quantile sketch: rank error within 2% of exact, laws hold") {
     import graft.functions.KllSketch
     val qs = Seq(0.25, 0.5, 0.75, 0.95)

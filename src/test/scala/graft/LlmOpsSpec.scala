@@ -429,6 +429,58 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(scaled.subsetOf(brute), s"spurious: ${scaled -- brute}")
   }
 
+  test("PQ sizing + probe promotion rules: decisions pinned on both corpus geometries") {
+    // the sizing rule's two regimes and the boundary
+    assert(Vectors.scaledPqKnobs(2000L, 64) == ((8, 64, 32)))
+    assert(Vectors.scaledPqKnobs(65535L, 64) == ((8, 64, 32)))
+    assert(Vectors.scaledPqKnobs(65536L, 64) == ((16, 256, 128)))
+    assert(Vectors.scaledPqKnobs(200000L, 64) == ((16, 256, 128)))
+
+    // ISOTROPIC corpus (the testdata): assignment tightness sits in the
+    // chance band, the rule decides probe-all, and the registered
+    // serving query is therefore EXACTLY the scaled one — the premise
+    // of its shared oracle
+    val isoTight = Vectors.assignmentTightness(spark, sf, 16)
+    assert(isoTight < 0.7, f"isotropic tightness $isoTight%.3f >= tau")
+    assert(Vectors.promotedProbe(spark, sf, 16) == Int.MaxValue)
+    val scaled = Vectors.simTopKIvfPqScaled(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val serving = Vectors.simTopKIvfPqServing(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(serving == scaled)
+
+    // CLUSTERED corpus (cells sub-cluster-sized): tightness reads ≈0.9,
+    // the rule promotes partial probe, and promoted serving still holds
+    // the recall floor vs brute — the measured clustered-ladder story
+    // (ANN_RECALL.json) pinned as a deterministic fixture
+    val dim = 64
+    val rng = new java.util.Random(20260816L)
+    val centers = Array.fill(4) {
+      val c = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(x => (x / n).toFloat)
+    }
+    val noise = 0.5 / math.sqrt(dim)
+    val vecs = (0L until 500L).map { id =>
+      val c = centers((id % 4).toInt)
+      (id, c.map(x => (x + noise * rng.nextGaussian()).toFloat).toSeq)
+    }
+    import SparkTestSession.spark.implicits._
+    val cdir = java.nio.file.Files
+      .createTempDirectory("graft_clustered_fixture").toString
+    vecs.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$cdir/embeddings.parquet")
+    val cluTight = Vectors.assignmentTightness(spark, cdir, 16)
+    assert(cluTight >= 0.7, f"clustered tightness $cluTight%.3f < tau")
+    assert(Vectors.promotedProbe(spark, cdir, 16) == 4)
+    val brute = Vectors.simTopK(spark, cdir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val served = Vectors.simTopKIvfPqServing(spark, cdir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.count(served.contains).toDouble / brute.size
+    assert(recall >= 0.9, f"promoted serving recall $recall%.2f")
+  }
+
   test("residual IVF-PQ: recall floor vs brute, exact survivor cosines, dense ranks") {
     val brute = Vectors.simTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap

@@ -23,6 +23,7 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "similarity_topk_pq_idx", // same ADC scan, reading the persisted codes table
     "similarity_topk_ivfpq",  // per-query (qcent + residual-LUT + probe-set) broadcast, joined vec_id =!= query_id
     "similarity_topk_ivfpq_scaled", // same scan at corpus-scaled cells
+    "similarity_topk_ivfpq_serving", // same scan; probe-all on this corpus by the promotion rule
     "similarity_topk_ivfpq_idx", // same ADC scan reading the persisted codes
     "bm25_topk",           // 1-row corpus-stats aggregate broadcast over the scan
     "hybrid_topk",         // bm25's 1-row stats + the 1-row query-vector broadcast
