@@ -725,14 +725,27 @@ object Vectors {
 
   /** Encode vectors to PQ codes IN the scan: per subspace, squared
     * distance to each of the nCodes codewords, argmin — one pass, the
-    * output carries codes + norm ONLY. The codeword loop is a runtime
-    * `transform` over a LITERAL nCodes×sub array, not nCodes unrolled
-    * aggregate expressions: at the 64-code default the unrolled form
-    * generated 512 nested folds whose codegen compilation alone cost
-    * ~3 s per session — the literal-array form is the same arithmetic
-    * with O(m) generated code regardless of nCodes. */
+    * output carries codes + norm ONLY. Since round 18 this is the
+    * native [[graft.functions.IvfPqEncode]] kernel at its degenerate
+    * single-ZERO-centroid rung: residual v − 0.0 ≡ v bit-for-bit, so
+    * vanilla PQ is exactly residual PQ against the origin, and the
+    * codes are unchanged (PropertySpec-era HOF twin kept as
+    * [[pqEncodeHof]], parity-pinned in FunctionsSpec). The interpreted
+    * HOF chain it replaces measured 36 s cold for a 200k-vector encode
+    * where the kernel reads ~2 s. */
   private def pqEncode(emb: DataFrame, codebooks: Array[Array[Array[Double]]],
       m: Int, sub: Int): DataFrame = {
+    val zeroCent = Array(Array.fill(m * sub)(0.0))
+    emb
+      .withColumn("enc",
+        graft.functions.IvfPqEncode.ivfpq_encode(col("embedding"), zeroCent,
+          codebooks))
+      .select(col("vec_id"), col("nrm"), slice(col("enc"), 2, m).as("codes"))
+  }
+
+  /** The pre-r18 HOF formulation of [[pqEncode]] — spec-only twin. */
+  private[graft] def pqEncodeHof(emb: DataFrame,
+      codebooks: Array[Array[Array[Double]]], m: Int, sub: Int): DataFrame = {
     val codeCols = (0 until m).map { j =>
       val subCol = slice(col("embedding"), j * sub + 1, sub)
       val cbLit = array(codebooks(j).map(cw => array(cw.map(lit): _*)): _*)
@@ -774,16 +787,14 @@ object Vectors {
       }
       (qid, q, qnrm, flat)
     }.toSeq.toDF("query_id", "qvec", "qnrm", "lut")
-    // scan: approximate dot = m lookups per row (zip each code with its
-    // subspace index; the LUT is flat-indexed j*nCodes+code)
-    val idx = sequence(lit(0), lit(m - 1))
+    // scan: approximate dot = m lookups per row via the native ADC fold
+    // (Σ_j lut[j·nCodes + codes_j] ascending from 0.0 — bit-identical
+    // to the aggregate(zip_with(…)) chain it replaces)
     val approx = encoded.join(broadcast(luts),
         col("vec_id") =!= col("query_id"))
       .withColumn("ascore",
-        aggregate(
-          zip_with(col("codes"), idx,
-            (c, j) => element_at(col("lut"), (j * nCodes + c + 1).cast("int"))),
-          lit(0.0), (acc, x) => acc + x) / (col("qnrm") * col("nrm")))
+        graft.functions.AdcScore.adc_score(col("codes"), col("lut"))
+          / (col("qnrm") * col("nrm")))
       .withColumn("ark", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("ascore").desc, col("vec_id"))))
       .filter(col("ark") <= k * refine)

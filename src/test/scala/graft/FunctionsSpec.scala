@@ -141,6 +141,17 @@ class FunctionsSpec extends AnyFunSuite {
       assert(enc == hof(id), s"vec $id: native $enc != hof ${hof(id)}")
     }
 
+    // vanilla PQ = the kernel's degenerate single-zero-centroid rung
+    // (residual v − 0.0 ≡ v): codes equal the HOF twin's bit for bit
+    val pqBooks = Vectors.pqCodebooks(spark, sf, m, nCodes, dim)
+    val pqHof = Vectors.pqEncodeHof(emb, pqBooks, m, sub).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](2).toList).toMap
+    val zero = Array(Array.fill(dim)(0.0))
+    val pqNative = emb.select(col("vec_id"),
+        ivfpq_encode(col("embedding"), zero, pqBooks).as("enc")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).tail.toList).toMap
+    assert(pqNative == pqHof)
+
     // null array, wrong width, null element -> null (the HOF chain's
     // null-propagation)
     val rows: Seq[(Long, Option[Array[Option[Float]]])] = Seq(
