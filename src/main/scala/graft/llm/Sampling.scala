@@ -610,8 +610,13 @@ object Sampling {
       .select(col("doc_id"),
         (col("lang") === "en").cast("long").as("is_t"),
         explode(graft.llm.TextOps.tokens(col("text"))).as("term"))
-    val model = toks.groupBy(col("term"))
-      .agg(count(lit(1)).as("cr"), sum(col("is_t")).as("ct"))
+    // the MODEL (vocabulary-sized (term, cr, ct)) IS worth memoizing:
+    // unlike the exploded frame it is small, and caching it removes one
+    // of the two corpus tokenize+agg passes from every warm run
+    val model = graft.Caches.memo(spark, s"dsir_model:$dir") {
+      toks.groupBy(col("term"))
+        .agg(count(lit(1)).as("cr"), sum(col("is_t")).as("ct"))
+    }
     val totals = model.agg(count(lit(1)).as("v"),
       sum(col("cr")).as("nr"), sum(col("ct")).as("nt")) // 1 row
     val pT = (col("ct").cast("double") + lit(alpha)) /
