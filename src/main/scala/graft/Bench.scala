@@ -204,7 +204,13 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(headline)}$coldPart,"errors":$es,"canary":$canaryJson,"passes":2,"mode":"$mode","sf":"$sfDir"}"""
     println(line)
     try {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+      // a name-filtered run defaults to a SEPARATE file: the committed
+      // suite artifact must never be shadowed by a targeted probe (the
+      // r18 failure mode — a 2-query run overwrote the round's
+      // adjudicated 133-query artifact at HEAD)
+      val defaultOut =
+        if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json"
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // best-effort mirror of stdout
