@@ -5,9 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** One-off knob sweep for the residual IVF-PQ sizing rule: measures
   * recall@k + warm latency for candidate (m, nCodes, refine, nProbe)
   * configs on a given corpus, against the brute truth. This is the
-  * measurement loop behind [[graft.llm.Vectors.scaledCodes]] /
-  * [[graft.llm.Vectors.scaledRefine]] — the committed ANN_RECALL.json
-  * ladder records the chosen rule; this records why it was chosen.
+  * measurement loop behind [[graft.llm.Vectors.scaledPqKnobs]] — the
+  * committed ANN_RECALL.json ladder records the chosen rule; this
+  * records why it was chosen, and prints the rule's own pick (RULE
+  * line) beside the swept candidates so the harness stays honest.
   *
   *   sbt "runMain graft.AnnSweep <dir> m8:c256:r256,m16:c64:r32,..."
   */
@@ -38,6 +39,9 @@ object AnnSweep {
 
     println(f"TIGHTNESS cells=$cells v=${Vectors.assignmentTightness(spark, dir, cells, ts)}%.4f " +
       f"c16=${Vectors.assignmentTightness(spark, dir, 16)}%.4f probe=${Vectors.promotedProbe(spark, dir, cells, ts)}")
+    val (rm, rc, rr) = Vectors.scaledPqKnobs(n, dim = 64)
+    println(s"RULE n=$n cells=$cells m=$rm c=$rc r=$rr " +
+      s"p=${Vectors.promotedProbe(spark, dir, cells, ts)}")
     val truth = topkSets(Vectors.simTopK(spark, dir))
     configs.foreach { cfg =>
       val kv = cfg.split(":").map { t =>

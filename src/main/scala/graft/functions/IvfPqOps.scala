@@ -102,6 +102,23 @@ case class IvfPqEncode(child: Expression, cents: Array[Array[Double]],
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "ivfpq_encode"
+
+  // Case-class equals/hashCode on Array args are reference-based, which
+  // would make two semantically identical encodes never canonicalize
+  // together (defeating subexpression elimination and exchange reuse).
+  // Compare the flattened model matrices structurally instead.
+  override def equals(other: Any): Boolean = other match {
+    case that: IvfPqEncode =>
+      child == that.child && k == that.k && d == that.d &&
+        m == that.m && nCodes == that.nCodes &&
+        java.util.Arrays.equals(flatCents, that.flatCents) &&
+        java.util.Arrays.equals(flatBooks, that.flatBooks)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(java.util.Arrays.hashCode(flatCents)),
+      Integer.valueOf(java.util.Arrays.hashCode(flatBooks)))
 }
 
 object IvfPqEncode {
@@ -216,8 +233,9 @@ case class AdcScore(left: Expression, right: Expression)
 }
 
 object AdcScore {
-  /** Static, allocation-free. Null on empty codes, a null element, or
-    * an out-of-range lookup. */
+  /** Static, allocation-free. Null on empty codes, a null element (in
+    * EITHER array — a null LUT slot must propagate like element_at's
+    * null, not read as 0.0), or an out-of-range lookup. */
   def score(codes: ArrayData, lut: ArrayData): java.lang.Double = {
     val m = codes.numElements()
     val n = lut.numElements()
@@ -229,6 +247,7 @@ object AdcScore {
       if (codes.isNullAt(j)) return null
       val c = codes.getInt(j)
       if (c < 0 || c >= nCodes) return null
+      if (lut.isNullAt(j * nCodes + c)) return null
       s += lut.getDouble(j * nCodes + c)
       j += 1
     }
