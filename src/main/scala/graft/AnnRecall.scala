@@ -51,6 +51,11 @@ object AnnRecall {
       // honest recall loss the 16-cell partial probes show
       "ivf_c64_p4" -> ((s, d) => Vectors.simTopKIvf(s, d, nCells = 64, nProbe = 4)),
       "ivf_c64_p8" -> ((s, d) => Vectors.simTopKIvf(s, d, nCells = 64, nProbe = 8)),
+      // plain IVF under the serving rules (scaled cells, probe promoted
+      // from the corpus's own assignment tightness): probe-all ⇒ brute
+      // on isotropic corpora, partial probe exactly where the geometry
+      // pays for it
+      "ivf_serving" -> (Vectors.simTopKIvfServing(_, _)),
       "sq8" -> (Vectors.simTopKSq8(_, _)),
       "pq" -> (Vectors.simTopKPq(_, _)),
       "pq_refine32" -> ((s, d) => Vectors.simTopKPq(s, d, refine = 32)),
@@ -60,7 +65,15 @@ object AnnRecall {
       // that recovers the clustered corpus vanilla PQ collapses on
       "ivfpq" -> (Vectors.simTopKIvfPq(_, _)),
       "ivfpq_probe4" -> ((s, d) => Vectors.simTopKIvfPq(s, d, nProbe = 4)),
+      // the fixed-compact-knob persisted index (explicit-knob API): the
+      // r18 rung whose 0.1 recall on clustered-200k motivated making
+      // the REGISTERED persisted path rule-driven
       "ivfpq_idx" -> (Vectors.ivfPqIndexTopK(_, _)),
+      // the rule-driven persisted index (the registered
+      // similarity_topk_ivfpq_idx since r19): derives cells/m/nCodes/
+      // refine/nProbe from the same sizing + promotion rules as the
+      // inline serving path, keyed into the index path
+      "ivfpq_idx_scaled" -> (Vectors.ivfPqIndexTopKScaled(_, _)),
       // corpus-scaled cells AND resolution (cells = n/125; m/nCodes/
       // refine step to full resolution at n ≥ 2^16 — scaledPqKnobs):
       // sub-cluster-sized cells make the residual pure local noise, and

@@ -128,9 +128,18 @@ object SparkEntry {
     // branch is pinned on the clustered fixture in LlmOpsSpec and
     // measured in ANN_RECALL.json's ivfpq_serving rung
     "similarity_topk_ivfpq_serving" -> (Vectors.simTopKIvfPqServing(_, _)),
-    // the persisted build-once/probe-many form: reloaded models are
-    // Double.toString-exact, so it shares the inline oracle
-    "similarity_topk_ivfpq_idx" -> (Vectors.ivfPqIndexTopK(_, _)),
+    // plain-IVF under the same serving rules (scaled cells + promoted
+    // probe): probe-all on the isotropic testdata, so it shares the
+    // brute oracle; the partial-probe decision is pinned on the
+    // clustered fixture in LlmOpsSpec
+    "similarity_topk_ivf_serving" -> (Vectors.simTopKIvfServing(_, _)),
+    // the persisted build-once/probe-many form, RULE-DRIVEN since r19:
+    // (cells, m, nCodes, refine, nProbe) derive from the same sizing +
+    // promotion rules as the inline serving path (before r19 the fixed
+    // compact knobs read recall 0.1 on clustered-200k — the one rung
+    // the rules skipped); reloaded models are Double.toString-exact,
+    // so it shares the inline scaled oracle
+    "similarity_topk_ivfpq_idx" -> (Vectors.ivfPqIndexTopKScaled(_, _)),
     "emb_neardup"       -> (Vectors.embNearDupPairs(_, _)),
     "emb_neardup_lsh"   -> (Vectors.embNearDupLsh(_, _)),
     "emb_neardup_lsh_scaled" -> (Vectors.embNearDupLshScaled(_, _)),
@@ -435,9 +444,32 @@ object SparkEntry {
           "the partial-probe replay is not SQL-registered")
       Vectors.simTopKIvfPqScaledSql(s, d)
     }),
-    "similarity_topk_ivfpq_idx" -> ((s, d) => Vectors.simTopKIvfPqSql(
-      Vectors.coarseCentroids(s, d, nCells = 16),
-      Vectors.ivfPqCodebooks(s, d))),
+    // the persisted rule-driven index shares the inline scaled replay
+    // (Double.toString-exact model round-trip); like _serving, the
+    // generator asserts the probe-all decision rather than assuming it
+    "similarity_topk_ivfpq_idx" -> ((s, d) => {
+      val cells = Vectors.scaledCells(Vectors.nVectors(s, d))
+      val probe = Vectors.promotedProbe(s, d, cells,
+        Vectors.trainSampleFor(cells))
+      require(probe >= cells,
+        s"ivfpq_idx oracle assumes probe-all on this corpus, but the " +
+          s"promotion rule picked nProbe=$probe of $cells cells — " +
+          "the partial-probe replay is not SQL-registered")
+      Vectors.simTopKIvfPqScaledSql(s, d)
+    }),
+    // probe-all plain IVF with exact in-cell cosine IS the brute scan;
+    // the assert keeps a testdata regeneration that flips the promotion
+    // rule failing loudly instead of as an opaque hash mismatch
+    "similarity_topk_ivf_serving" -> ((s, d) => {
+      val cells = Vectors.scaledCells(Vectors.nVectors(s, d))
+      val probe = Vectors.promotedProbe(s, d, cells,
+        Vectors.trainSampleFor(cells))
+      require(probe >= cells,
+        s"ivf_serving oracle assumes probe-all on this corpus, but the " +
+          s"promotion rule picked nProbe=$probe of $cells cells — " +
+          "the partial-probe replay is not SQL-registered")
+      Vectors.simTopKSql()
+    }),
     // the persisted index round-trips the same codebooks through
     // Double.toString (exact), so it shares the inline replay
     "similarity_topk_pq_idx" -> ((s, d) => Vectors.simTopKPqSql(

@@ -69,12 +69,32 @@ object Tables {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
-    val tail = new Array[Byte](math.min(st.getLen, 65536L).toInt)
-    val in = fs.open(p)
-    try in.readFully(math.max(0L, st.getLen - tail.length), tail)
+    // a Spark-written table is a DIRECTORY of part files: stamp the
+    // name-ordered data files (aggregate length + max mtime) and CRC
+    // the last part's tail — the same "footer changes when content
+    // does" property, still one bounded read
+    val target =
+      if (!st.isDirectory) st
+      else {
+        val parts = fs.listStatus(p)
+          .filter(s => !s.isDirectory && !s.getPath.getName.startsWith("_")
+            && !s.getPath.getName.startsWith("."))
+          .sortBy(_.getPath.getName)
+        require(parts.nonEmpty, s"fileStamp: no data files under $path")
+        parts.last
+      }
+    val totalLen =
+      if (!st.isDirectory) st.getLen
+      else fs.listStatus(p).filter(!_.isDirectory).map(_.getLen).sum
+    val mtime =
+      if (!st.isDirectory) st.getModificationTime
+      else fs.listStatus(p).map(_.getModificationTime).max
+    val tail = new Array[Byte](math.min(target.getLen, 65536L).toInt)
+    val in = fs.open(target.getPath)
+    try in.readFully(math.max(0L, target.getLen - tail.length), tail)
     finally in.close()
     val crc = new java.util.zip.CRC32(); crc.update(tail)
-    s"${st.getLen}_${st.getModificationTime}_${java.lang.Long.toHexString(crc.getValue)}"
+    s"${totalLen}_${mtime}_${java.lang.Long.toHexString(crc.getValue)}"
   }
 
   /** Fan a small-file scan out to every core — but ONLY when the scan

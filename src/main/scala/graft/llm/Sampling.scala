@@ -359,17 +359,71 @@ object Sampling {
     * rest of this file). The double scan is deliberate: at 100 TB,
     * re-reading two narrow columns beats materializing a per-doc frame. */
   def tokenBudgetMix(spark: SparkSession, dir: String,
-      budget: Long = 20000L): DataFrame =
+      budget: Long = 20000L): DataFrame = {
     // memoized per-doc token counts: the mix consumes perDoc TWICE
     // (source totals, then the kept aggregate) and Spark does not reuse
     // identical subplans — uncached, the corpus would be tokenized
     // twice per run. Unlike dsir's exploded frame (one row per TOKEN —
     // measured slower cached), this is one narrow row per DOC, so the
     // cache is corpus-small and both consumers ride it.
-    tokenBudgetMixFromDocs(
-      graft.Caches.memo(spark, s"tokmix_perdoc:$dir") {
-        perDocTokens(Tables.fanOut(Tables.documents(spark, dir)))
-      }, budget, preCounted = true)
+    val perDoc = graft.Caches.memo(spark, s"tokmix_perdoc:$dir") {
+      perDocTokens(Tables.fanOut(Tables.documents(spark, dir)))
+    }
+    // the per-source rate table is SOURCES-bounded (the previous plan
+    // already asserted that by broadcasting it) — collect it once,
+    // computed by Spark's own arithmetic (bit-identity with the
+    // distributed form needs no replication), memoized per
+    // (dir, budget): the epochShuffle offsets discipline. This folds
+    // the old plan's three pre-pass jobs (totals agg, ΣW broadcast,
+    // rate-table broadcast) into one memoized collect; warm runs pay
+    // exactly ONE job — the kept aggregate over the cached per-doc
+    // frame with a literal-map rate lookup.
+    val totals = graft.Caches.memoObj[Array[(String, Double, Long, Double, Double)]](
+        spark, s"tokmix_totals:$dir:$budget") {
+      mixRates(perDoc, budget).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4)))
+        .sortBy(_._1)
+    }
+    val rateMap = totals.map(t => t._1 -> t._5).toMap
+    val kept = perDoc
+      .filter(col("u") < element_at(typedLit(rateMap), col("source")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_toks")).as("tokens_kept"))
+    import spark.implicits._
+    val totalsDf = totals.toSeq
+      .toDF("source", "weight", "tokens_total", "target_share",
+        "accept_rate")
+    totalsDf.join(broadcast(kept), Seq("source"), "left")
+      .select(col("source"), col("weight"), col("tokens_total"),
+        col("target_share"), col("accept_rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+  }
+
+  /** The sources-bounded (source, weight, tokens_total, target_share,
+    * accept_rate) rate table — the mix's trained-constant frame, shared
+    * by [[tokenBudgetMix]]'s collected path and
+    * [[tokenBudgetMixFromDocs]]' fully-distributed form. */
+  private def mixRates(perDoc: DataFrame, budget: Long): DataFrame = {
+    val weight = (lit(1L) + length(col("source")).cast("long") % 3L)
+      .cast("double").as("weight")
+    val weighted = perDoc.groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("tokens_total"))
+      .withColumn("weight", weight)
+    // ΣW via a 1-row broadcast (the bm25 corpus-stats idiom) — an empty
+    // partitionBy window would serialize the frame and WARN, even though
+    // it is one row per source
+    val sumW = weighted.agg(sum(col("weight")).as("sum_w"))
+    weighted.crossJoin(broadcast(sumW))
+      .withColumn("target_share", col("weight") / col("sum_w"))
+      .withColumn("accept_rate",
+        least(lit(1.0),
+          lit(budget.toDouble) * col("target_share")
+            / col("tokens_total").cast("double")))
+      .select(col("source"), col("weight"), col("tokens_total"),
+        col("target_share"), col("accept_rate"))
+  }
 
   /** (doc_id, source, n_toks, u): the per-document token-count frame
     * the budget mix aggregates — split out so [[tokenBudgetMix]] can
@@ -383,21 +437,7 @@ object Sampling {
   def tokenBudgetMixFromDocs(docs: DataFrame, budget: Long,
       preCounted: Boolean = false): DataFrame = {
     val perDoc = if (preCounted) docs else perDocTokens(docs)
-    val weight = (lit(1L) + length(col("source")).cast("long") % 3L)
-      .cast("double").as("weight")
-    val weighted = perDoc.groupBy(col("source"))
-      .agg(sum(col("n_toks")).as("tokens_total"))
-      .withColumn("weight", weight)
-    // ΣW via a 1-row broadcast (the bm25 corpus-stats idiom) — an empty
-    // partitionBy window would serialize the frame and WARN, even though
-    // it is one row per source
-    val sumW = weighted.agg(sum(col("weight")).as("sum_w"))
-    val totals = weighted.crossJoin(broadcast(sumW))
-      .withColumn("target_share", col("weight") / col("sum_w"))
-      .withColumn("accept_rate",
-        least(lit(1.0),
-          lit(budget.toDouble) * col("target_share")
-            / col("tokens_total").cast("double")))
+    val totals = mixRates(perDoc, budget)
     val kept = perDoc
       .join(broadcast(totals.select(col("source"), col("accept_rate"))),
         Seq("source"))
@@ -598,35 +638,83 @@ object Sampling {
     * and a TakeOrdered(k). */
   def dsirSelect(spark: SparkSession, dir: String, k: Int = 100,
       alpha: Double = 0.5): DataFrame = {
-    // deliberately NOT memoized (unlike tfidf_tf): the two consumers
-    // (model aggregate, scoring join) each fuse scan+tokenize+explode
-    // into one codegen stage, and measured A/B the cached exploded
-    // frame is SLOWER than re-scanning (0.83 vs 0.68 s warm at sf0.1) —
-    // an InMemoryRelation of corpus×token string rows reads worse than
-    // the vectorized parquet scan it replaces, the same reason a
-    // 100 TB deployment re-scans rather than persisting an exploded
-    // corpus
+    // CORPUS-CONDITIONAL scoring path (the promotedProbe discipline):
+    // when the vocabulary fits the driver bound, collect the model ONCE
+    // (Spark's own arithmetic produces the values — no replication
+    // risk) and score every document in a single Generate-side fold
+    // ([[graft.functions.DsirDocScore]]): scan → project → TakeOrdered,
+    // ZERO corpus shuffles, where the join plan exchanged the exploded
+    // token frame twice (join on term, re-aggregate on doc_id). The
+    // per-term long is the unscaled CAST(lr AS DECIMAL(28,9)) — exactly
+    // the decimal the join plan's SUM added, so the two paths are
+    // bit-identical (SamplingSpec pins it) and share the oracle. The
+    // vocabulary of a 100 TB corpus does NOT fit a driver — past the
+    // bound the engine keeps the shuffle join.
+    val scorer = graft.Caches.memoObj[Option[graft.functions.DsirScorer]](
+        spark, s"dsir_scorer:$dir:$alpha") {
+      if (nVocabTerms(spark, dir) > dsirMaxDriverVocab) None
+      else {
+        val model = dsirModel(spark, dir)
+        val totals = model.agg(count(lit(1)).as("v"),
+          sum(col("cr")).as("nr"), sum(col("ct")).as("nt")) // 1 row
+        val pT = (col("ct").cast("double") + lit(alpha)) /
+          (col("nt").cast("double") + lit(alpha) * col("v").cast("double"))
+        val pR = (col("cr").cast("double") + lit(alpha)) /
+          (col("nr").cast("double") + lit(alpha) * col("v").cast("double"))
+        // lr is a function of the TERM alone: one log+round per
+        // distinct term, never per token instance
+        val modelLr = model.crossJoin(broadcast(totals))
+          .select(col("term"), round(log(pT / pR), 9).as("lr"))
+        val rows = modelLr.collect()
+        val terms = new Array[String](rows.length)
+        val lrs = new Array[Long](rows.length)
+        var i = 0
+        while (i < rows.length) {
+          terms(i) = rows(i).getString(0)
+          // unscaled long of BigDecimal.valueOf(lr).setScale(9, HALF_UP)
+          // — Spark's double → Decimal(28,9) cast, made exact
+          lrs(i) = java.math.BigDecimal.valueOf(rows(i).getDouble(1))
+            .setScale(9, java.math.RoundingMode.HALF_UP)
+            .unscaledValue().longValueExact()
+          i += 1
+        }
+        Some(new graft.functions.DsirScorer(terms, lrs))
+      }
+    }
+    scorer match {
+      case Some(sc) =>
+        Tables.fanOut(Tables.documents(spark, dir))
+          .select(col("doc_id"),
+            graft.functions.DsirDocScore.dsir_doc_score(
+              graft.llm.TextOps.tokens(col("text")), sc).as("a"))
+          .select(col("doc_id"),
+            element_at(col("a"), 1).cast("long").as("n_tokens"),
+            round(element_at(col("a"), 2) / element_at(col("a"), 1), 6)
+              .as("dsir_score"))
+          .filter(col("n_tokens") > 0)
+          .orderBy(col("dsir_score").desc, col("doc_id"))
+          .limit(k)
+      case None => dsirSelectShuffle(spark, dir, k, alpha)
+    }
+  }
+
+  /** The fully-distributed DSIR scoring plan — the path a vocabulary
+    * past [[dsirMaxDriverVocab]] takes: explode → sort-merge join
+    * positions against the vocabulary model on term → doc_id aggregate.
+    * Kept callable so SamplingSpec pins its bit-identity with the
+    * collected-table fold whatever path the gate picks. */
+  private[graft] def dsirSelectShuffle(spark: SparkSession, dir: String,
+      k: Int = 100, alpha: Double = 0.5): DataFrame = {
     val toks = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"),
-        (col("lang") === "en").cast("long").as("is_t"),
         explode(graft.llm.TextOps.tokens(col("text"))).as("term"))
-    // the MODEL (vocabulary-sized (term, cr, ct)) IS worth memoizing:
-    // unlike the exploded frame it is small, and caching it removes one
-    // of the two corpus tokenize+agg passes from every warm run
-    val model = graft.Caches.memo(spark, s"dsir_model:$dir") {
-      toks.groupBy(col("term"))
-        .agg(count(lit(1)).as("cr"), sum(col("is_t")).as("ct"))
-    }
+    val model = dsirModel(spark, dir)
     val totals = model.agg(count(lit(1)).as("v"),
-      sum(col("cr")).as("nr"), sum(col("ct")).as("nt")) // 1 row
+      sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     val pT = (col("ct").cast("double") + lit(alpha)) /
       (col("nt").cast("double") + lit(alpha) * col("v").cast("double"))
     val pR = (col("cr").cast("double") + lit(alpha)) /
       (col("nr").cast("double") + lit(alpha) * col("v").cast("double"))
-    // lr is a function of the TERM alone: fold it into the vocabulary-
-    // sized model frame (one log+round per distinct term) rather than
-    // computing it per token instance — corpus-token transcendentals
-    // were the hot profile line, and the value is identical
     val modelLr = model.crossJoin(broadcast(totals))
       .select(col("term"), round(log(pT / pR), 9).as("lr"))
     toks.join(modelLr, Seq("term"))
@@ -640,6 +728,33 @@ object Sampling {
       .orderBy(col("dsir_score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Driver-collect bound for the DSIR scoring table: 4M distinct terms
+    * (a few hundred MB of strings + longs) — far above any verify-SF
+    * vocabulary, far below a web corpus's. */
+  private[graft] val dsirMaxDriverVocab: Long = 1L << 22
+
+  /** The memoized DSIR unigram model: vocabulary-sized
+    * (term, raw-count, target-count). Small — unlike the exploded token
+    * frame — and caching it removes one of the two corpus tokenize+agg
+    * passes from every warm run. */
+  private def dsirModel(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(spark, s"dsir_model:$dir") {
+      Tables.fanOut(Tables.documents(spark, dir))
+        .select((col("lang") === "en").cast("long").as("is_t"),
+          explode(graft.llm.TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("cr"), sum(col("is_t")).as("ct"))
+    }
+
+  /** Memoized distinct-term count of the corpus vocabulary — the gate
+    * statistic for [[dsirSelect]]'s driver-collect decision (one cheap
+    * agg over the cached vocabulary-sized model frame; warm passes skip
+    * it entirely). */
+  private[graft] def nVocabTerms(spark: SparkSession, dir: String): Long =
+    graft.Caches.memoObj[java.lang.Long](spark, s"dsir_vocab:$dir") {
+      java.lang.Long.valueOf(dsirModel(spark, dir).count())
+    }.longValue()
 
   def dsirSelectSql(k: Int = 100, alpha: Double = 0.5): String = {
     val pT = s"((CAST(ct AS DOUBLE) + $alpha) / (CAST(nt AS DOUBLE) + $alpha * CAST(v AS DOUBLE)))"

@@ -215,12 +215,13 @@ object Vectors {
     * brute-force SQL the exact oracle; the partial-probe rungs stay
     * measured in ANN_RECALL.json and LlmOpsSpec. */
   def simTopKIvf(spark: SparkSession, dir: String, nQueries: Int = 10,
-      k: Int = 5, nCells: Int = 16, nProbe: Int = 16): DataFrame = {
+      k: Int = 5, nCells: Int = 16, nProbe: Int = 16,
+      trainSample: Int = 2048): DataFrame = {
     val emb = graft.Caches.memo(spark, s"ivfEmb:$dir") {
       withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
         "embedding", "nrm")
     }
-    val cents = coarseCentroids(spark, dir, nCells)
+    val cents = coarseCentroids(spark, dir, nCells, trainSample)
     val assigned = emb
       .select(col("vec_id"), col("embedding"), col("nrm"),
         cellOf(cents).as("cell"))
@@ -253,6 +254,26 @@ object Vectors {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("cos").as("cosine"))
+  }
+
+  /** [[simTopKIvf]] under the SERVING rules — the plain-IVF sibling of
+    * [[simTopKIvfPqServing]]: cells scale with the corpus
+    * ([[scaledCells]], trained on [[trainSampleFor]] vectors) and the
+    * probe is promoted from the corpus's own [[assignmentTightness]].
+    * The measured clustered ladder (ANN_RECALL.json) shows partial-probe
+    * IVF at recall 1.0 for ~1/4 the scan exactly where the tightness
+    * statistic says the cells capture neighborhoods; on an isotropic
+    * corpus the rule decides probe-all, and probe-all IVF with exact
+    * in-cell cosine IS the brute scan — so the registered query shares
+    * the brute-force oracle (the generator asserts the probe-all
+    * decision rather than assuming it). */
+  def simTopKIvfServing(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val cells = scaledCells(nVectors(spark, dir))
+    val ts = trainSampleFor(cells)
+    simTopKIvf(spark, dir, nQueries, k, cells,
+      nProbe = math.min(cells, promotedProbe(spark, dir, cells, ts)),
+      trainSample = ts)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -1281,6 +1302,33 @@ object Vectors {
     val encoded = spark.read.parquet(s"$path/codes")
     ivfPqAdcQuery(encoded, emb, cents, codebooks, nQueries, k, refine,
       m, nCodes, dim / m, math.min(nProbe, nCells))
+  }
+
+  /** [[ivfPqIndexTopK]] under the FULL RULE STACK — the persisted
+    * build-once/probe-many form of [[simTopKIvfPqServing]]: (cells, m,
+    * nCodes, refine) derive from [[scaledCells]]/[[scaledPqKnobs]] and
+    * the probe from [[promotedProbe]], exactly as the inline serving
+    * path does. This is the deployment shape a large corpus actually
+    * serves from, and before round 19 it was the one ANN rung the
+    * sizing rule skipped: the fixed compact config (16 cells, m=8, 64
+    * codes, refine 32) collapses to ~0.1 recall on a clustered corpus
+    * ≥2^16 vectors — the failure mode the rule exists to prevent —
+    * while this form measures ≥0.9 on the same fixture
+    * (ANN_RECALL.json's idx rung). The derived knobs key into
+    * [[ivfPqIndexPath]], so differently-sized corpora (and the fixed
+    * explicit-knob form) build disjoint indexes — no collision, and a
+    * corpus crossing the 2^16 threshold rebuilds at full resolution.
+    * At every verify SF the rules pick the compact probe-all config,
+    * so the registered query shares [[simTopKIvfPqScaledSql]]'s oracle
+    * (the generator asserts the probe-all decision). */
+  def ivfPqIndexTopKScaled(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, dim: Int = 64): DataFrame = {
+    val n = nVectors(spark, dir)
+    val cells = scaledCells(n)
+    val (m, nCodes, refine) = scaledPqKnobs(n, dim)
+    val ts = trainSampleFor(cells)
+    ivfPqIndexTopK(spark, dir, nQueries, k, cells, m, nCodes, refine,
+      dim, ts, nProbe = promotedProbe(spark, dir, cells, ts))
   }
 
   /** Oracle twin of [[simTopKIvfPq]] at the registered probe-all

@@ -448,6 +448,19 @@ class LlmOpsSpec extends AnyFunSuite {
     val serving = Vectors.simTopKIvfPqServing(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     assert(serving == scaled)
+    // the persisted RULE-DRIVEN index rides the same knobs and reloads
+    // Double.toString-exact models → bit-equal to the inline scaled form
+    // (the premise of the registered _idx query's shared oracle)
+    val idxScaled = Vectors.ivfPqIndexTopKScaled(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(idxScaled == scaled)
+    // plain-IVF serving: probe-all on the isotropic corpus ⇒ the exact
+    // brute scan (the premise of ITS shared oracle)
+    val bruteIso = Vectors.simTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val ivfServing = Vectors.simTopKIvfServing(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(ivfServing == bruteIso)
 
     // CLUSTERED corpus (cells sub-cluster-sized): tightness reads ≈0.9,
     // the rule promotes partial probe, and promoted serving still holds
@@ -479,6 +492,20 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = brute.count(served.contains).toDouble / brute.size
     assert(recall >= 0.9, f"promoted serving recall $recall%.2f")
+    // the persisted rule-driven index makes the same promotion decision
+    // (build-once/probe-many was the one rung the rules skipped pre-r19)
+    // and holds the same floor
+    val idxServed = Vectors.ivfPqIndexTopKScaled(spark, cdir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val idxRecall = brute.count(idxServed.contains).toDouble / brute.size
+    assert(idxRecall >= 0.9, f"promoted idx recall $idxRecall%.2f")
+    // plain-IVF serving promotes identically; in-cell scoring is exact,
+    // so promoted recall is bounded only by cell co-location — on this
+    // fixture the measured ladder reads 1.0
+    val ivfServed = Vectors.simTopKIvfServing(spark, cdir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfRecall = brute.count(ivfServed.contains).toDouble / brute.size
+    assert(ivfRecall >= 0.9, f"promoted ivf recall $ivfRecall%.2f")
   }
 
   test("residual IVF-PQ: recall floor vs brute, exact survivor cosines, dense ranks") {
@@ -1268,6 +1295,18 @@ class LlmOpsSpec extends AnyFunSuite {
     val selEn = got.count(g => lang(g._1) == "en").toDouble / got.length
     val baseEn = rows.count(_._2 == "en").toDouble / rows.length
     assert(selEn > baseEn, s"selected en-share $selEn <= base $baseEn")
+  }
+
+  test("dsir scoring: collected-table fold is bit-identical to the distributed shuffle plan") {
+    // the gate picks the zero-shuffle collected-table fold at every
+    // verify SF; the 100-TB fallback (vocabulary past the driver bound)
+    // is the original explode-join-aggregate plan — the two must agree
+    // bit for bit, which is what lets the registered query share one
+    // oracle whichever path the vocabulary size selects
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(graft.llm.Sampling.dsirSelect(spark, sf)) ==
+      rows(graft.llm.Sampling.dsirSelectShuffle(spark, sf)))
   }
 
   test("containment pairs: matches a driver-side refold; catches a quoted-inside pair Jaccard misses") {

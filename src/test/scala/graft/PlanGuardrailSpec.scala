@@ -18,6 +18,7 @@ class PlanGuardrailSpec extends AnyFunSuite {
   private val bnljAllowed = Set(
     "similarity_topk",     // nQueries rows broadcast, joined vec_id =!= query_id
     "similarity_topk_ivf", // nQueries × nCells centroid ranking cross, both tiny
+    "similarity_topk_ivf_serving", // same centroid-ranking cross under the serving rules
     "similarity_topk_sq8", // quantized queries broadcast, joined vec_id =!= query_id
     "similarity_topk_pq",  // per-query ADC lookup tables broadcast, joined vec_id =!= query_id
     "similarity_topk_pq_idx", // same ADC scan, reading the persisted codes table
@@ -28,14 +29,14 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "bm25_topk",           // 1-row corpus-stats aggregate broadcast over the scan
     "hybrid_topk",         // bm25's 1-row stats + the 1-row query-vector broadcast
     "lm_score",            // 1-row vocabulary-size aggregate broadcast over the scoring join
-    "token_budget_mix",    // 1-row ΣW aggregate broadcast over the |sources|-row rate frame
-    // (epoch_shuffle left the list in r17: its stratum offsets moved to
-    // a driver-collected literal map — no join remains in the plan)
+    // (epoch_shuffle left the list in r17, token_budget_mix and
+    // dsir_select in r19: their 1-row/rate-table broadcasts moved into
+    // driver-collected memoized artifacts — the registered plans are
+    // now a single aggregate pass and a zero-shuffle scoring scan)
     "corpus_shards",       // triangular stratum-offset join + 1-row total-tokens broadcast
     "source_drift",        // |sources|×topN grid completion + 1-row ΣtopN broadcast
     "streaming_drift",     // same grid completion over the converged stream state
-    "pmi_topk",            // two 1-row corpus-total broadcasts over the candidate frame
-    "dsir_select")         // 1-row vocab/total broadcast over the scoring join
+    "pmi_topk")            // two 1-row corpus-total broadcasts over the candidate frame
 
   /** Queries with a deliberate single-partition exchange feeding a
     * window: the window input is an aggregate of bounded size. */
