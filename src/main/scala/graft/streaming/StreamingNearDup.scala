@@ -282,9 +282,11 @@ object StreamingNearDup extends Serializable {
       // first start via spark.sql.shuffle.partitions as usual.
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val ckpt = ephemeralCheckpoint(name)
       val q =
         try nearDupStream(stream, maxDist)
           .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       try {
@@ -293,7 +295,10 @@ object StreamingNearDup extends Serializable {
         // the cold-attribution loop (batch count × per-batch floor)
         if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1"))
           q.recentProgress.foreach(p => println(p.json))
-      } finally q.stop()
+      } finally {
+        q.stop()
+        dropEphemeralCheckpoint(spark, ckpt)
+      }
       // materialize the bounded pair set and drop the memory-sink view
       // — cold reruns must not accumulate driver-memory tables
       val state = spark.table(name)
@@ -338,6 +343,16 @@ object StreamingNearDup extends Serializable {
         s"streaming_neardup_wm:$dir:$maxDist:$nChunks:$stepSec:$latenessSec") {
       val chunkDir = wmChunkDir(spark, dir, nChunks)
       val name = "snd_wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // fan-out width sized to the BATCH, not the machine: each trigger
+      // carries one C-doc chunk, and repartitioning a 50-doc batch to 32
+      // partitions schedules 32 near-empty tasks per batch — at
+      // nChunks=100 that task floor, not compute, was the wall
+      // (SCALE_CURVE's c100 1× leg). ~32 docs of simhash per partition
+      // keeps the per-batch compute parallel exactly as far as it pays.
+      val nDocs = graft.Tables.documents(spark, dir).count()
+      val chunkRows = (nDocs + nChunks - 1) / nChunks
+      val fanWidth = math.min(spark.sparkContext.defaultParallelism.toLong,
+        math.max(2L, (chunkRows + 31L) / 32L)).toInt
       val stream = spark.readStream
         .schema(org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
@@ -347,12 +362,18 @@ object StreamingNearDup extends Serializable {
         .option("maxFilesPerTrigger", "1")
         .parquet(chunkDir)
         .withColumn("ts", timestamp_seconds(col("doc_id") * stepSec))
-        .repartition(spark.sparkContext.defaultParallelism)
-      // scoped set/restore (the streamingNearDupQuery pattern): 8 state
-      // partitions for a bounded table, and the global-watermark
-      // pattern check disabled for the fMGWS → dropDuplicates chain
-      // (see nearDupStreamWatermarked's doc for why the blanket check
-      // cannot see this operator's on-time-output invariant)
+        .repartition(fanWidth)
+      // scoped set/restore (the streamingNearDupQuery pattern): state
+      // partitions sized WITH the fan width — each state-store instance
+      // pays a per-commit delta fsync, so at 50-doc batches 8 instances
+      // ×2 stateful operators is commit floor, not parallelism (measured
+      // on the c100 leg: 8→2 partitions cut the wall 76.8→56.7 s with
+      // the pair set unchanged). The registered c10 configs keep their 8.
+      // The global-watermark pattern check is disabled for the fMGWS →
+      // dropDuplicates chain (see nearDupStreamWatermarked's doc for why
+      // the blanket check cannot see this operator's on-time-output
+      // invariant).
+      val stateWidth = math.max(2, math.min(8, fanWidth))
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
       val prevCheck = spark.conf.get(checkKey)
@@ -369,20 +390,50 @@ object StreamingNearDup extends Serializable {
       // monotone in doc_id across chunks).
       val wmKey = "spark.sql.streaming.multipleWatermarkPolicy"
       val prevWm = spark.conf.get(wmKey)
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // NO-DATA micro-batches off: every watermark advance otherwise
+      // schedules an EXTRA batch after each data batch purely to let
+      // stateful operators act on the new watermark — doubling the
+      // per-batch floor at high batch counts. Both operators here emit
+      // only on ARRIVALS (fMGWS pairs a new doc against stored members;
+      // dropDuplicatesWithinWatermark emits first-seen immediately), so
+      // a no-data batch can only evict state it would have evicted at
+      // the next data batch anyway — the emitted pair set is invariant
+      // (StreamingNearDupSpec pins it; the c100 leg's 1,865-row truth
+      // is unchanged).
+      val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prevNd = spark.conf.get(ndKey)
+      // a scratch checkpoint retains nothing worth recovering: keeping
+      // the default 100 batches of offset/commit/state history makes
+      // every batch's log maintenance list-and-purge a growing dir
+      val retainKey = "spark.sql.streaming.minBatchesToRetain"
+      val prevRetain = spark.conf.get(retainKey)
+      spark.conf.set("spark.sql.shuffle.partitions", stateWidth.toString)
       spark.conf.set(checkKey, "false")
       spark.conf.set(wmKey, "max")
+      spark.conf.set(ndKey, "true")
+      spark.conf.set(retainKey, "2")
+      val ckpt = ephemeralCheckpoint(name)
       val q =
         try nearDupStreamWatermarked(stream, maxDist,
             s"$latenessSec seconds", latenessSec * 1000L)
           .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         finally {
           spark.conf.set("spark.sql.shuffle.partitions", prevParts)
           spark.conf.set(checkKey, prevCheck)
           spark.conf.set(wmKey, prevWm)
+          spark.conf.set(ndKey, prevNd)
+          spark.conf.set(retainKey, prevRetain)
         }
-      try q.awaitTermination() finally q.stop()
+      try {
+        q.awaitTermination()
+        if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1"))
+          q.recentProgress.foreach(p => println(p.json))
+      } finally {
+        q.stop()
+        dropEphemeralCheckpoint(spark, ckpt)
+      }
       val state = spark.table(name)
         .select(col("ida"), col("idb"), col("hamming"))
         .distinct()
@@ -391,6 +442,33 @@ object StreamingNearDup extends Serializable {
       spark.catalog.dropTempView(name)
       local
     }
+
+  /** Checkpoint location for a BOUNDED run-to-completion replay (memory
+    * sink, rebuilt from scratch every run): the checkpoint has zero
+    * recovery value — the recovery story is "re-run the query" — yet
+    * every micro-batch pays offset-log, commit-log, and state-delta
+    * fsyncs into it, which at high batch counts IS the wall (the c100
+    * leg's profile: ~110 ms/batch of metadata writes + ~16 delta
+    * commits). Scratch checkpoints therefore go to RAM-backed tmpfs
+    * when the host has one, falling back to the JVM tmpdir. An
+    * UNBOUNDED production ingest must keep its checkpoint on durable
+    * storage — this helper is only for replays whose sink is rebuilt
+    * per run. */
+  private def ephemeralCheckpoint(name: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    s"$base/graft_ckpt/$name"
+  }
+
+  private def dropEphemeralCheckpoint(spark: SparkSession,
+      ckpt: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(ckpt)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    } catch { case _: java.io.IOException => () }
 
   /** Dense-id chunk files for the watermarked feed: C consecutive
     * doc_ids per file, modification time = publish base + chunk index
