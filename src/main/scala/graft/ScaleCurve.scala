@@ -58,11 +58,16 @@ object ScaleCurve {
       }
     }
     // committed-artifact mirror (same contract as Bench's
-    // SPARK_GRAFT_BENCH_OUT): one JSON line per (query, dir)
+    // SPARK_GRAFT_BENCH_OUT): one JSON line per (query, dir). APPEND —
+    // the jsonl is an accumulated cross-round log, and an overwrite
+    // here would erase every prior leg the way the r18 targeted Bench
+    // run clobbered BENCH_FULL.json
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_CURVE.jsonl")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     } catch {
       case e: java.io.IOException =>
         // Warn-and-continue: the stdout lines above remain the primary

@@ -222,9 +222,18 @@ object Vectors {
         "embedding", "nrm")
     }
     val cents = coarseCentroids(spark, dir, nCells, trainSample)
-    val assigned = emb
-      .select(col("vec_id"), col("embedding"), col("nrm"),
+    // memoized like ivfpqEncoded: cell assignment is the scan-side
+    // O(n·k·d) fold — at serving-scale k (scaledCells: thousands of
+    // cells on a large corpus) re-assigning the corpus per query run
+    // costs more than the probe itself (measured: clustered-200k
+    // ivf_serving warm 3.97 s, assignment-bound). A real deployment
+    // persists the assignment with the index; the session memo is the
+    // in-process equivalent.
+    val assigned = graft.Caches.memo(spark,
+        s"ivfAssigned:$dir:$nCells:$trainSample") {
+      emb.select(col("vec_id"), col("embedding"), col("nrm"),
         cellOf(cents).as("cell"))
+    }
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("nrm").as("qnrm"), col("cell").as("qcell"))
