@@ -42,6 +42,22 @@ object Bench {
     // warmup: touch the fact table once so the first timed query doesn't
     // absorb IO/codegen initialization
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // untimed canary warmup: added to test whether the persistent
+    // 2× "inflated start" on warm_before (0.42→0.20 within the same
+    // run, every r18/r19 window) was the canary plan's own codegen +
+    // heap warmup rather than host steal. MEASURED ANSWER: no — with
+    // this probe immediately preceding it, warm_before still reads
+    // ~0.43 while warm_after/cold sit at the 0.19 clean floor, so the
+    // start-of-run inflation is host-side. Kept so the artifact's
+    // before-mark can never again be attributed to JVM warmup.
+    locally {
+      import org.apache.spark.sql.functions.{col, expr, xxhash64}
+      spark.range(0L, 1000000000L, 1L, cpus.toInt)
+        .select(xxhash64(col("id")).as("h"))
+        .agg(expr("bit_xor(h)")).queryExecution.toRdd.count()
+      spark.sparkContext.parallelize(0 until cpus.toInt, cpus.toInt)
+        .map(_ + 1).count()
+    }
 
     // STEAL CANARY: a pinned fixed-plan probe (1G xxhash64 rows over all
     // cores, no IO, no caches) timed before and after each suite pass.
