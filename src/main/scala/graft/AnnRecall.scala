@@ -33,6 +33,26 @@ object AnnRecall {
     spark.read.parquet(s"$sfDir/embeddings.parquet").count() // untimed IO warmup
 
     import graft.llm.Vectors
+    // the sizing/promotion rules' own pick for THIS corpus, printed and
+    // embedded in the artifact beside the fixed-knob ladder rungs (pq /
+    // pq_idx / ivf / ivfpq keep deliberately pinned compact knobs as
+    // ladder references — the scaladoc fences them): a reader of either
+    // the stdout ladder or the committed JSON sees what the engine
+    // would actually serve with at this corpus size next to what the
+    // fixed rungs measured (AnnSweep's RULE-line pattern)
+    val nVec = Vectors.nVectors(spark, sfDir)
+    val rCells = Vectors.scaledCells(nVec)
+    val rTs = Vectors.trainSampleFor(rCells)
+    val (rM, rC, rR) = Vectors.scaledPqKnobs(nVec, dim = 64)
+    val rProbe = Vectors.promotedProbe(spark, sfDir, rCells, rTs)
+    val ruleJson = s""""rule":{"n":$nVec,"cells":$rCells,"m":$rM,""" +
+      s""""codes":$rC,"refine":$rR,"probe":${
+        if (rProbe == Int.MaxValue) "\"all\"" else rProbe.toString},""" +
+      s""""serving_rungs":["ivf_serving","ivf_idx_scaled",""" +
+      s""""ivfpq_serving","ivfpq_idx_scaled"]}"""
+    println(s"RULE n=$nVec cells=$rCells m=$rM c=$rC r=$rR " +
+      s"p=$rProbe (fixed-knob rungs pq/pq_idx/ivf/ivfpq are ladder " +
+      "references; serve from the *_serving/*_idx_scaled rungs)")
     // registered defaults PLUS one tuned config per approximate rung, so
     // the artifact records the knob each rung trades recall with (IVF:
     // cells probed; PQ: exact-refine window)
@@ -56,6 +76,11 @@ object AnnRecall {
       // on isotropic corpora, partial probe exactly where the geometry
       // pays for it
       "ivf_serving" -> (Vectors.simTopKIvfServing(_, _)),
+      // the persisted rule-driven plain-IVF index (the registered
+      // similarity_topk_ivf_idx since r20): same rules, assignment
+      // precomputed and partitioned by cell — cold attributes the
+      // build, warm is the build-once/probe-many serving cost
+      "ivf_idx_scaled" -> (Vectors.ivfIndexTopKScaled(_, _)),
       "sq8" -> (Vectors.simTopKSq8(_, _)),
       "pq" -> (Vectors.simTopKPq(_, _)),
       "pq_refine32" -> ((s, d) => Vectors.simTopKPq(s, d, refine = 32)),
@@ -125,7 +150,7 @@ object AnnRecall {
       f""""$name":{"recall":$recall%.4f,"warm_sec":$warm%.3f,"cold_sec":$cold%.3f}"""
     }
     val line = s"""{"sf":"$sfDir","k":$k,"n_queries":${truth.size},""" +
-      s""""rungs":{${rows.mkString(",")}}}"""
+      s"""$ruleJson,"rungs":{${rows.mkString(",")}}}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))

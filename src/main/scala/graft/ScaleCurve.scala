@@ -39,6 +39,14 @@ object ScaleCurve {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Run tag: the jsonl is append-only (see the artifact-mirror note
+    // below), so a re-run of the same (query, dir) leg would otherwise
+    // append rows indistinguishable from the ones they supersede.
+    // Consumers pick the latest row per (query, dir) by `run` —
+    // SPARK_GRAFT_RUN_TAG when the driver sets one, else wall-clock
+    // epoch seconds (monotone across runs on one host).
+    val runTag = sys.env.getOrElse("SPARK_GRAFT_RUN_TAG",
+      (System.currentTimeMillis() / 1000L).toString)
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     for (dir <- Seq(dirA, dirB)) {
       spark.read.parquet(s"$dir/documents.parquet").count() // warm IO
@@ -52,7 +60,7 @@ object ScaleCurve {
           ((System.nanoTime() - t0) / 1e9, n)
         }
         val best = secs.minBy(_._1)
-        val line = f"""{"metric":"scale_curve","query":"$name","dir":"$dir","docs":$nDocs,"cold_sec":${best._1}%.2f,"rows":${best._2}}"""
+        val line = f"""{"metric":"scale_curve","run":"$runTag","query":"$name","dir":"$dir","docs":$nDocs,"cold_sec":${best._1}%.2f,"rows":${best._2}}"""
         println(line)
         lines += line
       }

@@ -140,6 +140,13 @@ object SparkEntry {
     // the rules skipped); reloaded models are Double.toString-exact,
     // so it shares the inline scaled oracle
     "similarity_topk_ivfpq_idx" -> (Vectors.ivfPqIndexTopKScaled(_, _)),
+    // the persisted PLAIN-IVF (IVF-Flat) sibling, rule-driven since
+    // r20: the assignment parquet (partitioned by cell — a partial
+    // probe is a partition-pruned scan) replaces the per-run O(n·k·d)
+    // assignment fold that was the inline serving wall; reloaded
+    // centroids are Double.toString-exact, so it shares the brute
+    // oracle under the same asserted probe-all decision as _serving
+    "similarity_topk_ivf_idx" -> (Vectors.ivfIndexTopKScaled(_, _)),
     "emb_neardup"       -> (Vectors.embNearDupPairs(_, _)),
     "emb_neardup_lsh"   -> (Vectors.embNearDupLsh(_, _)),
     "emb_neardup_lsh_scaled" -> (Vectors.embNearDupLshScaled(_, _)),
@@ -466,6 +473,19 @@ object SparkEntry {
         Vectors.trainSampleFor(cells))
       require(probe >= cells,
         s"ivf_serving oracle assumes probe-all on this corpus, but the " +
+          s"promotion rule picked nProbe=$probe of $cells cells — " +
+          "the partial-probe replay is not SQL-registered")
+      Vectors.simTopKSql()
+    }),
+    // the persisted plain-IVF index shares the brute replay under the
+    // same asserted probe-all decision (reloaded centroids are
+    // Double.toString-exact; the probe/score tail is the same code)
+    "similarity_topk_ivf_idx" -> ((s, d) => {
+      val cells = Vectors.scaledCells(Vectors.nVectors(s, d))
+      val probe = Vectors.promotedProbe(s, d, cells,
+        Vectors.trainSampleFor(cells))
+      require(probe >= cells,
+        s"ivf_idx oracle assumes probe-all on this corpus, but the " +
           s"promotion rule picked nProbe=$probe of $cells cells — " +
           "the partial-probe replay is not SQL-registered")
       Vectors.simTopKSql()

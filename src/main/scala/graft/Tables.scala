@@ -73,22 +73,27 @@ object Tables {
     // name-ordered data files (aggregate length + max mtime) and CRC
     // the last part's tail — the same "footer changes when content
     // does" property, still one bounded read
-    val target =
-      if (!st.isDirectory) st
+    // the directory branch stamps ONLY data files — _SUCCESS / hidden
+    // markers and subdirectories are excluded from length, mtime, AND
+    // the CRC target, so all three stamp inputs describe the same set.
+    // Nested layouts (partitioned tables) recurse one listing per level;
+    // graft tables are flat, but a partitioned dir stamps correctly too.
+    def dataFiles(dir: org.apache.hadoop.fs.Path)
+        : Array[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir)
+        .filter(s => !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+        .flatMap(s => if (s.isDirectory) dataFiles(s.getPath) else Array(s))
+    val parts =
+      if (!st.isDirectory) Array(st)
       else {
-        val parts = fs.listStatus(p)
-          .filter(s => !s.isDirectory && !s.getPath.getName.startsWith("_")
-            && !s.getPath.getName.startsWith("."))
-          .sortBy(_.getPath.getName)
-        require(parts.nonEmpty, s"fileStamp: no data files under $path")
-        parts.last
+        val ps = dataFiles(p).sortBy(_.getPath.toString)
+        require(ps.nonEmpty, s"fileStamp: no data files under $path")
+        ps
       }
-    val totalLen =
-      if (!st.isDirectory) st.getLen
-      else fs.listStatus(p).filter(!_.isDirectory).map(_.getLen).sum
-    val mtime =
-      if (!st.isDirectory) st.getModificationTime
-      else fs.listStatus(p).map(_.getModificationTime).max
+    val target = parts.last
+    val totalLen = parts.map(_.getLen).sum
+    val mtime = parts.map(_.getModificationTime).max
     val tail = new Array[Byte](math.min(target.getLen, 65536L).toInt)
     val in = fs.open(target.getPath)
     try in.readFully(math.max(0L, target.getLen - tail.length), tail)

@@ -94,7 +94,12 @@ class DsirScorer(terms: Array[String], lrs: Array[Long])
     while (i < n) {
       if (!toks.isNullAt(i)) {
         val lr = entries.get(toks.getUTF8String(i))
-        if (lr != null) { present += 1L; sum += lr.longValue() }
+        // addExact: the shuffle plan this replaces summed Decimal(38,9),
+        // which fails loudly on overflow; a silent Long wrap here would
+        // break the bit-identity contract, so overflow must throw too.
+        // (28,9) unscaled values fit a Long with ~10^9 headroom per term,
+        // so a real corpus never trips this — it is a tripwire, not a path.
+        if (lr != null) { present += 1L; sum = Math.addExact(sum, lr.longValue()) }
       }
       i += 1
     }

@@ -410,7 +410,7 @@ object StreamingNearDup extends Serializable {
       spark.conf.set("spark.sql.shuffle.partitions", stateWidth.toString)
       spark.conf.set(checkKey, "false")
       spark.conf.set(wmKey, "max")
-      spark.conf.set(ndKey, "true")
+      spark.conf.set(ndKey, "false")
       spark.conf.set(retainKey, "2")
       val ckpt = ephemeralCheckpoint(name)
       val q =

@@ -461,6 +461,13 @@ class LlmOpsSpec extends AnyFunSuite {
     val ivfServing = Vectors.simTopKIvfServing(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     assert(ivfServing == bruteIso)
+    // the persisted plain-IVF index rides the same rules and reloads
+    // Double.toString-exact centroids + the shared probe/score tail →
+    // bit-equal to the inline serving form (the premise of the
+    // registered similarity_topk_ivf_idx query's shared brute oracle)
+    val ivfIdx = Vectors.ivfIndexTopKScaled(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(ivfIdx == bruteIso)
 
     // CLUSTERED corpus (cells sub-cluster-sized): tightness reads ≈0.9,
     // the rule promotes partial probe, and promoted serving still holds
@@ -506,6 +513,30 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val ivfRecall = brute.count(ivfServed.contains).toDouble / brute.size
     assert(ivfRecall >= 0.9, f"promoted ivf recall $ivfRecall%.2f")
+    // the persisted plain-IVF index makes the same promotion decision
+    // (its partial probe reads only probed cell PARTITIONS) and, with
+    // exact in-cell cosine, equals the inline promoted serving set
+    val ivfIdxServed = Vectors.ivfIndexTopKScaled(spark, cdir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivfIdxServed == ivfServed)
+  }
+
+  test("persisted plain-IVF index: identical to inline IVF, built once") {
+    val viaIdx = Vectors.ivfIndexTopK(spark, sf, nQueries = 5, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val inline = Vectors.simTopKIvf(spark, sf, nQueries = 5, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaIdx == inline)
+    // the second query reuses the published index rather than
+    // rebuilding (path from the SAME constructor ivfIndexTopK uses)
+    val marker = new java.io.File(
+      s"${Vectors.ivfIndexPath(spark, sf)}/centroids.txt")
+    assert(marker.exists())
+    val mtime = marker.lastModified()
+    Vectors.ivfIndexTopK(spark, sf, nQueries = 5, k = 3).collect()
+    assert(marker.lastModified() == mtime, "index was rebuilt on re-query")
   }
 
   test("residual IVF-PQ: recall floor vs brute, exact survivor cosines, dense ranks") {

@@ -19,6 +19,7 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "similarity_topk",     // nQueries rows broadcast, joined vec_id =!= query_id
     "similarity_topk_ivf", // nQueries × nCells centroid ranking cross, both tiny
     "similarity_topk_ivf_serving", // same centroid-ranking cross under the serving rules
+    "similarity_topk_ivf_idx", // same cross, reading the persisted assignment
     "similarity_topk_sq8", // quantized queries broadcast, joined vec_id =!= query_id
     "similarity_topk_pq",  // per-query ADC lookup tables broadcast, joined vec_id =!= query_id
     "similarity_topk_pq_idx", // same ADC scan, reading the persisted codes table
