@@ -390,14 +390,19 @@ object StreamingNearDup extends Serializable {
       // monotone in doc_id across chunks).
       val wmKey = "spark.sql.streaming.multipleWatermarkPolicy"
       val prevWm = spark.conf.get(wmKey)
-      // NO-DATA micro-batches off: every watermark advance otherwise
-      // schedules an EXTRA batch after each data batch purely to let
-      // stateful operators act on the new watermark — doubling the
-      // per-batch floor at high batch counts. Both operators here emit
+      // NO-DATA micro-batches off. MEASURED (r20, progress logs at
+      // nChunks=20): under Trigger.AvailableNow this run schedules
+      // exactly ONE trailing no-data batch after the last data batch —
+      // not one per data batch as the r19 note assumed — so disabling
+      // them saves a single batch's floor, not half the run (the
+      // interleaved r20 A/B read no difference beyond host noise; the
+      // r19 90.6→55.6 c100 cut came entirely from the batch-sized
+      // fan-out/state width and checkpoint-retention fixes). Kept OFF
+      // because it is still strictly correct here: both operators emit
       // only on ARRIVALS (fMGWS pairs a new doc against stored members;
       // dropDuplicatesWithinWatermark emits first-seen immediately), so
-      // a no-data batch can only evict state it would have evicted at
-      // the next data batch anyway — the emitted pair set is invariant
+      // the trailing no-data batch could only evict state the run is
+      // about to discard — the emitted pair set is invariant
       // (StreamingNearDupSpec pins it; the c100 leg's 1,865-row truth
       // is unchanged).
       val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"

@@ -539,6 +539,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(marker.lastModified() == mtime, "index was rebuilt on re-query")
   }
 
+  test("index meta: persisted tightness round-trips exactly and decides the same probe") {
+    // the serving contract behind meta.txt: a cold query against a
+    // published index must make the IDENTICAL promotion decision the
+    // inline rule would, without re-deriving the corpus statistic
+    for ((cells, path) <- Seq(
+        (Vectors.scaledCells(Vectors.nVectors(spark, sf)), {
+          Vectors.ivfIndexTopKScaled(spark, sf).collect() // ensure built
+          Vectors.ivfIndexPath(spark, sf,
+            Vectors.scaledCells(Vectors.nVectors(spark, sf)),
+            Vectors.trainSampleFor(
+              Vectors.scaledCells(Vectors.nVectors(spark, sf))))
+        }))) {
+      val ts = Vectors.trainSampleFor(cells)
+      val meta = Vectors.indexMetaTightness(spark, path)
+      assert(meta.isDefined, s"no meta.txt under $path")
+      // Double.toString round-trip is exact, so the stored statistic IS
+      // the inline one — and therefore so is the decision
+      assert(meta.get == Vectors.assignmentTightness(spark, sf, cells, ts))
+      assert(Vectors.probeFromTightness(meta.get, cells) ==
+        Vectors.promotedProbe(spark, sf, cells, ts))
+    }
+  }
+
   test("residual IVF-PQ: recall floor vs brute, exact survivor cosines, dense ranks") {
     val brute = Vectors.simTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
