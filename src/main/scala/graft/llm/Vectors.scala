@@ -242,29 +242,16 @@ object Vectors {
     * assignment ([[simTopKIvf]]) and the PERSISTED one
     * ([[ivfIndexTopK]]) share every downstream operator — which is
     * what makes the two forms result-identical and lets the index
-    * query inherit the inline oracle. */
+    * query inherit the inline oracle. `probesOpt` lets the persisted
+    * path hand in a probe frame built over a DRIVER-LOCALIZED query
+    * set ([[ivfIndexTopK]]) — same expressions, so same probe set. */
   private def ivfProbeScore(spark: SparkSession, assigned: DataFrame,
       cents: Array[Array[Double]], nQueries: Int, k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int, probesOpt: Option[DataFrame] = None): DataFrame = {
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
-        col("nrm").as("qnrm"), col("cell").as("qcell"))
-    // probe selection: rank cells by NORMALIZED cosine between the query
-    // and the cell centroid. Centroids are driver constants, broadcast
-    // as literals — no aggregation over the corpus.
-    import spark.implicits._
-    val cellMeans = broadcast(cents.toSeq.zipWithIndex.map {
-      case (c, i) =>
-        (i, c, math.max(math.sqrt(c.map(x => x * x).sum), 1e-12))
-    }.toDF("pcell", "centroid", "cnrm"))
-    val centDot = aggregate(zip_with(col("qvec"), col("centroid"),
-      (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
-    val probes = q.join(cellMeans, lit(true))
-      .withColumn("csim", centDot / (col("qnrm") * col("cnrm")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("pcell"))))
-      .filter(col("rk") <= nProbe)
-      .select(col("query_id"), col("qvec"), col("qnrm"), col("pcell"))
+        col("nrm").as("qnrm"))
+    val probes = probesOpt.getOrElse(ivfProbes(spark, q, cents, nProbe))
     val joined = assigned.join(broadcast(probes),
         col("cell") === col("pcell") && col("vec_id") =!= col("query_id"))
       .withColumn("cos", round(
@@ -275,6 +262,30 @@ object Vectors {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("cos").as("cosine"))
+  }
+
+  /** Probe selection over a (query_id, qvec, qnrm) frame: rank cells
+    * by NORMALIZED cosine between the query and the cell centroid,
+    * keep each query's top nProbe. Centroids are driver constants,
+    * broadcast as literals — no aggregation over the corpus. Factored
+    * so the persisted path can run the IDENTICAL expressions over a
+    * localized query frame (bit-equal csim folds ⇒ bit-equal probe
+    * sets) and push the resulting cell set into the scan. */
+  private def ivfProbes(spark: SparkSession, q: DataFrame,
+      cents: Array[Array[Double]], nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val cellMeans = broadcast(cents.toSeq.zipWithIndex.map {
+      case (c, i) =>
+        (i, c, math.max(math.sqrt(c.map(x => x * x).sum), 1e-12))
+    }.toDF("pcell", "centroid", "cnrm"))
+    val centDot = aggregate(zip_with(col("qvec"), col("centroid"),
+      (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
+    q.join(cellMeans, lit(true))
+      .withColumn("csim", centDot / (col("qnrm") * col("cnrm")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("pcell"))))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("qnrm"), col("pcell"))
   }
 
   /** [[simTopKIvf]] under the SERVING rules — the plain-IVF sibling of
@@ -393,13 +404,68 @@ object Vectors {
     // serving-scale cell counts costs more than the probe (measured:
     // clustered-200k warm 5.2 s un-memoized vs 0.4 inline). The key is
     // the stamp-carrying index path, so a rebuilt index re-reads.
-    val assigned = graft.Caches.memo(spark, s"ivfIdxAssigned:$path") {
-      spark.read.parquet(s"$path/assignment")
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          col("cell").cast("int").as("cell"))
+    def readAssignment(): DataFrame = {
+      val raw = spark.read.parquet(s"$path/assignment")
+      // the cell partition column reads back as int via partition-type
+      // inference; cast ONLY if a non-default session inferred string —
+      // an unconditional cast aliases the partition column and BLOCKS
+      // partition pruning (measured: PartitionFilters empty under the
+      // cast, `cell IN (…)` without it)
+      val typed =
+        if (raw.schema("cell").dataType ==
+            org.apache.spark.sql.types.IntegerType) raw
+        else raw.withColumn("cell", col("cell").cast("int"))
+      typed.select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
     }
-    ivfProbeScore(spark, assigned, cents, nQueries, k,
-      math.min(nProbe, nCells))
+    val effProbe = math.min(nProbe, nCells)
+    if (effProbe >= nCells) {
+      // probe-all: the whole index is the working set — memoize it
+      // (hot-index residency; first touch reads every cell once)
+      val assigned = graft.Caches.memo(spark, s"ivfIdxAssigned:$path") {
+        readAssignment()
+      }
+      ivfProbeScore(spark, assigned, cents, nQueries, k, effProbe)
+    } else {
+      // PARTIAL probe — the path where the per-cell layout earns its
+      // keep. Dynamic partition pruning does NOT fire for the broadcast
+      // probe join (measured: PartitionFilters [] on the direct read),
+      // so the probe-cell set is derived driver-side and pushed as a
+      // STATIC IN filter, which DOES prune (PartitionFilters [cell IN
+      // (…)]): only the probed cells' directories are ever read — the
+      // inverted-list contract, and the behavior a larger-than-memory
+      // index needs. The query frame is LOCALIZED first (nQueries
+      // bounded rows collected from the pushdown-filtered embeddings
+      // scan — the same frame the assignment was encoded from, so the
+      // values are bit-identical) and the probe ranking runs the SAME
+      // ivfProbes expressions over it ⇒ the probe set cannot diverge
+      // from the inline form's. The pruned frame is memoized per
+      // (index, cell-set): residency covers probed cells only.
+      val emb = withNorm(Tables.fanOut(Tables.embeddings(spark, dir)),
+        "embedding", "nrm")
+      val qRows = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+          col("nrm").as("qnrm")).collect()
+      val localQ = spark.createDataFrame(
+        java.util.Arrays.asList(qRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("qvec",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType, containsNull = true)),
+          org.apache.spark.sql.types.StructField("qnrm",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+      val probes = ivfProbes(spark, localQ, cents, effProbe)
+      val probeCells = probes.select(col("pcell")).distinct().collect()
+        .map(_.getInt(0)).sorted
+      val pruned = graft.Caches.memo(spark,
+          s"ivfIdxAssigned:$path:${probeCells.mkString(",")}") {
+        readAssignment().filter(col("cell").isin(
+          probeCells.map(Int.box).toSeq: _*))
+      }
+      ivfProbeScore(spark, pruned, cents, nQueries, k, effProbe,
+        probesOpt = Some(probes))
+    }
   }
 
   /** [[ivfIndexTopK]] under the FULL RULE STACK — the plain-IVF
