@@ -165,6 +165,28 @@ object Bench {
     val (warmOk, warmErr) =
       if (mode != "cold") runSuite(cold = false) else (Nil, Nil)
     if (mode != "cold") mark("warm_after")
+    // SELF-ADJUDICATING RETEST (r21): every round's windows start
+    // steal-inflated (warm_before jobfloor 3-19x the clean 0.011 floor,
+    // recovering mid-run — three rounds of BASELINE floor-watch rows
+    // accrued from exactly this), so the rows timed EARLY in the warm
+    // pass carry inflation their own artifact cannot refute. Re-run the
+    // N worst warm rows once more at the END of the warm pass — after
+    // the canary shows the floor recovered — and record them under
+    // `queries_warm_retest` (an ADDED block; `queries` keeps the
+    // in-suite numbers untouched). A watch row is adjudicated from its
+    // own run: retest ≈ oracle ⇒ floor-class inflation, retest still
+    // high ⇒ a real regression.
+    val warmRetest: Seq[(String, Double)] =
+      if (mode == "cold" || warmOk.isEmpty) Nil
+      else warmOk.sortBy(-_._2._1).take(12).map { case (name, _) =>
+        val t0 = System.nanoTime()
+        val t = try {
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          df.queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 } // -1 = retest failed
+        name -> t
+      }
     // dual mode: warm_after and cold_before bracket the same instant —
     // reuse the measurement instead of paying a second ~10 s probe pair
     if (mode == "both")
@@ -195,6 +217,9 @@ object Bench {
     val es = errs.map { case (k, e) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = headline.map(_._2).sum
+    val retestPart =
+      if (warmRetest.isEmpty) ""
+      else s""","queries_warm_retest":${fmt(warmRetest)}"""
     val coldPart =
       if (mode == "warm" || coldOk.isEmpty) ""
       else {
@@ -217,7 +242,7 @@ object Bench {
       fields.mkString("{", ",", "") + ratios + "}"
     }
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(headline)}$coldPart,"errors":$es,"canary":$canaryJson,"passes":2,"mode":"$mode","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(headline)}$retestPart$coldPart,"errors":$es,"canary":$canaryJson,"passes":2,"mode":"$mode","sf":"$sfDir"}"""
     println(line)
     try {
       // a name-filtered run defaults to a SEPARATE file: the committed

@@ -115,7 +115,19 @@ object Dedup {
     // the edge input of dedupClusters — without the cache the
     // prefix-filter join (the expensive pass) runs once per consumer
     graft.Caches.memo(spark, s"ngramPairs:$dir:$threshold") {
-      ngramJaccardFromSets(shingleArrays(spark, dir), threshold)
+      val sets = shingleArrays(spark, dir)
+      // the prefix relation feeds BOTH sides of the candidate self-join;
+      // left inline, each side re-runs the rank window + df join ABOVE
+      // the (AQE-reused) posting exchange — r21 measured the inline
+      // build at 3.5-5.0 s vs 2.7 s with the relation persisted (sf0.1,
+      // cold, candidates+verify included). Memoized as its own session
+      // entry so Caches.release owns the lifecycle; at corpus scale this
+      // persists the ~t-fraction prefix of the posting relation, the
+      // frame the self-join reads twice by construction.
+      val pre = graft.Caches.memo(spark, s"ngramPrefix:$dir:$threshold") {
+        prefixPostings(sets, threshold)
+      }
+      ngramJaccardFromPrefix(pre, sets, threshold)
     }
 
   /** The ONE exact candidate-verification block every banded/filtered
@@ -126,7 +138,7 @@ object Dedup {
     * diverge between the self-join, MinHash, incremental and
     * persisted-index paths — all four are oracle- or spec-pinned
     * against the same math. */
-  private[llm] def verifiedJaccardPairs(cand: DataFrame,
+  private[graft] def verifiedJaccardPairs(cand: DataFrame,
       aSets: DataFrame, bSets: DataFrame,
       aName: String, bName: String, threshold: Double): DataFrame =
     cand
@@ -142,8 +154,14 @@ object Dedup {
 
   /** The prefix-filtered join over an explicit (doc_id, shset) relation —
     * the testable core of [[ngramJaccardPairs]]. */
-  def ngramJaccardFromSets(sets: DataFrame, threshold: Double): DataFrame = {
-    val pre = prefixPostings(sets, threshold)
+  def ngramJaccardFromSets(sets: DataFrame, threshold: Double): DataFrame =
+    ngramJaccardFromPrefix(prefixPostings(sets, threshold), sets, threshold)
+
+  /** Candidate self-join + exact verify over an already-built prefix
+    * relation — split out so [[ngramJaccardPairs]] can persist `pre`
+    * (both self-join sides read it). */
+  private def ngramJaccardFromPrefix(pre: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
     val cand = pre.select(col("doc_id").as("ida"), col("shingle"))
       .join(pre.select(col("doc_id").as("idb"), col("shingle")), Seq("shingle"))
       .filter(col("ida") < col("idb"))
@@ -222,6 +240,7 @@ object Dedup {
       .transform(chk)
     var changed = 1L
     while (changed > 0) {
+      val t0 = System.nanoTime()
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("doc_id"))
@@ -233,6 +252,9 @@ object Dedup {
         .transform(chk)
       changed = next.filter(col("label") =!= col("old_label")).count()
       labels = next.select(col("doc_id"), col("label"))
+      if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1"))
+        println(f"[labelprop] round changed=$changed%d " +
+          f"${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     edges.unpersist()
     // singletons re-enter as their own cluster at the end — one join
@@ -385,6 +407,11 @@ object Dedup {
     * Rides the memoized [[shingleArrays]]. */
   def containmentPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.9, maxDf: Int = 64): DataFrame = {
+    // r21 A/B note: persisting either the capped posting relation or
+    // the kept-shingle list was measured a net wash (warm −0.4…−0.6 s
+    // but cold +0.8…+1.2 s — the extra materialization pass costs what
+    // the re-aggregations above the AQE-reused exchange cost), so the
+    // exchange-reuse form stays.
     val sh = shingleArrays(spark, dir)
       .select(col("doc_id"), explode(col("shset")).as("shingle"))
     val kept = sh.groupBy(col("shingle"))

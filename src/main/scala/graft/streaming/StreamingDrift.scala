@@ -35,15 +35,40 @@ object StreamingDrift {
       topN: Int = 100, alpha: Double = 0.5): DataFrame = {
     val spark = stream.sparkSession
     val name = "sdrift_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = stream
-      .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
-      .join(broadcast(top.select(col("term"))), Seq("term")) // stream-static
-      .groupBy(col("source"), col("term"))
-      .agg(count(lit(1)).as("cs"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    // r21: (1) fan the single-file micro-batch out BEFORE the tokenize
+    // (the streamingNearDupQuery rationale — the scan arrives as one
+    // partition and the per-row tokenize+explode would run
+    // single-threaded; a real multi-file ingest arrives parallel and a
+    // production deployment drops this); (2) state width sized to the
+    // state — the complete-mode count state is ≤ |sources|·topN rows
+    // (2,000 here), and every one of the session's 32 shuffle
+    // partitions hosts a state store paying the per-commit floor, so
+    // the count-state shuffle is scoped to the data-sized width
+    // (measured with the wm query: width 8→2 cut the per-batch commit
+    // floor ~26%); counts are exact longs, so the result is
+    // partitioning-invariant (same oracle row set). Scratch checkpoint
+    // on tmpfs like the near-dup replays: a run-to-completion memory
+    // sink has zero recovery value, so its offset/commit fsyncs should
+    // not pay disk.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val ckpt = StreamingNearDup.ephemeralCheckpoint(name)
+    val q =
+      try stream
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+        .join(broadcast(top.select(col("term"))), Seq("term")) // stream-static
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("cs"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try q.awaitTermination()
-    finally q.stop()
+    finally {
+      q.stop()
+      StreamingNearDup.dropEphemeralCheckpoint(spark, ckpt)
+    }
     // materialize the tiny converged state (≤ topN·|sources| rows) and
     // drop the memory-sink view — repeated cold runs must not accumulate
     // orphaned driver-memory tables

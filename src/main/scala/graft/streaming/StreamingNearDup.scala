@@ -275,13 +275,19 @@ object StreamingNearDup extends Serializable {
         .repartition(spark.sparkContext.defaultParallelism)
       // state partitioning sized to the data (scoped set/restore, the
       // StreamingNearDupSpec conf pattern): each state-store instance
-      // pays a per-commit delta-file fsync, so 32 instances for a
-      // 5k-doc bounded table is floor, not parallelism — 8 carries the
-      // same bands at 1/4 the commit cost. A real unbounded ingest
-      // sizes this to corpus state (hundreds of partitions), set at
-      // first start via spark.sql.shuffle.partitions as usual.
+      // pays a fixed per-commit cost, so instance count — not
+      // parallelism — is the floor for a bounded table. r21 unifies
+      // this with the watermarked query's rule: one store per ~250k
+      // stored band members, floor 2 (5k docs × 4 bands = 20k → 2
+      // here; an unbounded 100 TB ingest derives hundreds of stores).
+      // Pair set is partitioning-invariant (per-bucket emission) and
+      // re-verified oracle-green at both SFs.
+      val nDocsQ = graft.Tables.documents(spark, dir).count()
+      val widthQ = math.max(2L, math.min(
+        spark.sparkContext.defaultParallelism.toLong,
+        (nDocsQ * Dedup.bandScheme(maxDist)._1 + 249999L) / 250000L)).toInt
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", widthQ.toString)
       val ckpt = ephemeralCheckpoint(name)
       val q =
         try nearDupStream(stream, maxDist)
@@ -364,16 +370,32 @@ object StreamingNearDup extends Serializable {
         .withColumn("ts", timestamp_seconds(col("doc_id") * stepSec))
         .repartition(fanWidth)
       // scoped set/restore (the streamingNearDupQuery pattern): state
-      // partitions sized WITH the fan width — each state-store instance
-      // pays a per-commit delta fsync, so at 50-doc batches 8 instances
-      // ×2 stateful operators is commit floor, not parallelism (measured
-      // on the c100 leg: 8→2 partitions cut the wall 76.8→56.7 s with
-      // the pair set unchanged). The registered c10 configs keep their 8.
+      // partitions sized TO THE STATE, not the machine — each
+      // state-store instance pays a fixed per-commit cost (~100 ms/
+      // partition/op in the r21 progress logs, dwarfing the actual
+      // delta bytes at this corpus), so instance count is the per-batch
+      // floor until per-store state is large enough to matter. Rule:
+      // one store per ~250k stored band members (≈8 MB of (id, sig, ts)
+      // entries per delta at steady state), floor 2 (so the operator
+      // stays visibly partitioned), capped by the session's
+      // parallelism. r21 measurement at sf0.1/c10 (cold, min-of-2):
+      // width 8 → 10.0 s, 4 → 8.8 s, 2 → 7.4 s, pair set unchanged
+      // (oracle-green); RocksDB provider + changelog checkpointing read
+      // 12.4 s — per-batch store open/commit overhead exceeds the HDFS
+      // provider's on tmpfs-small state, so it stays the cluster-scale
+      // option only. The same rule at an unbounded 100 TB ingest
+      // (billions of live members in the lateness window) derives
+      // hundreds of stores — the parallelism a real state footprint
+      // needs — instead of a constant tuned to either scale. The
+      // r19 c100 leg measured the same direction (8→2 cut 76.8→56.7 s).
       // The global-watermark pattern check is disabled for the fMGWS →
       // dropDuplicates chain (see nearDupStreamWatermarked's doc for why
       // the blanket check cannot see this operator's on-time-output
       // invariant).
-      val stateWidth = math.max(2, math.min(8, fanWidth))
+      val nBands = Dedup.bandScheme(maxDist)._1
+      val stateWidth = math.max(2L, math.min(
+        spark.sparkContext.defaultParallelism.toLong,
+        (nDocs * nBands + 249999L) / 250000L)).toInt
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
       val prevCheck = spark.conf.get(checkKey)
@@ -459,7 +481,7 @@ object StreamingNearDup extends Serializable {
     * UNBOUNDED production ingest must keep its checkpoint on durable
     * storage — this helper is only for replays whose sink is rebuilt
     * per run. */
-  private def ephemeralCheckpoint(name: String): String = {
+  private[streaming] def ephemeralCheckpoint(name: String): String = {
     val shm = new java.io.File("/dev/shm")
     val base =
       if (shm.isDirectory && shm.canWrite) "/dev/shm"
@@ -467,7 +489,7 @@ object StreamingNearDup extends Serializable {
     s"$base/graft_ckpt/$name"
   }
 
-  private def dropEphemeralCheckpoint(spark: SparkSession,
+  private[streaming] def dropEphemeralCheckpoint(spark: SparkSession,
       ckpt: String): Unit =
     try {
       val p = new org.apache.hadoop.fs.Path(ckpt)

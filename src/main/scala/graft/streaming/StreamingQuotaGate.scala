@@ -99,11 +99,30 @@ object StreamingQuotaGate extends Serializable {
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
         .select(col("doc_id"), col("source"), col("text"))
-      val q = admissions(stream, quota).toDF()
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        // r21: fan the single-file micro-batch out BEFORE the per-row
+        // tokenize (the streamingNearDupQuery rationale); admission is
+        // batch-shuffle-invariant — the handler sorts each batch's rows
+        // per source (same oracle row set). Production multi-file
+        // ingest arrives parallel and drops this.
+        .repartition(spark.sparkContext.defaultParallelism)
+      // state is ONE long per source (20 here): scope the stateful
+      // shuffle to the data-sized width instead of 32 near-empty state
+      // stores each paying the per-commit floor; scratch checkpoint on
+      // tmpfs (zero recovery value in a run-to-completion replay).
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val ckpt = StreamingNearDup.ephemeralCheckpoint(name)
+      val q =
+        try admissions(stream, quota).toDF()
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       try q.awaitTermination()
-      finally q.stop()
+      finally {
+        q.stop()
+        StreamingNearDup.dropEphemeralCheckpoint(spark, ckpt)
+      }
       // materialize the bounded admitted set and drop the memory-sink
       // view — cold reruns must not accumulate driver-memory tables
       val state = spark.table(name)
