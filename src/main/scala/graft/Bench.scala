@@ -179,13 +179,21 @@ object Bench {
     val warmRetest: Seq[(String, Double)] =
       if (mode == "cold" || warmOk.isEmpty) Nil
       else warmOk.sortBy(-_._2._1).take(12).map { case (name, _) =>
-        val t0 = System.nanoTime()
-        val t = try {
-          val df = SparkEntry.queries(name)(spark, sfDir)
-          df.queryExecution.toRdd.count()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => -1.0 } // -1 = retest failed
-        name -> t
+        // min-of-2, same discipline as the suite loop: a single retest
+        // pass is itself one steal episode away from re-inflating the
+        // row it exists to adjudicate (seen in the first r21 window:
+        // single-shot retest read decontam_fp 60% over its in-suite min)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try {
+            val df = SparkEntry.queries(name)(spark, sfDir)
+            df.queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => -1.0 } // -1 = retest failed
+        }
+        val a = once()
+        val b = once()
+        name -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
       }
     // dual mode: warm_after and cold_before bracket the same instant —
     // reuse the measurement instead of paying a second ~10 s probe pair

@@ -559,10 +559,18 @@ object Sampling {
       stratumNibbles: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = md5(col("doc_id").cast("string"))
-    val docs = Tables.fanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"), h.as("h"),
-        substring(h, 1, stratumNibbles).as("stratum"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+    // per-doc token counts ride the SAME memo as tokenBudgetMix: the
+    // window branch and the per-stratum totals branch both consume the
+    // tokenized frame, and their exchanges differ in shape (window
+    // shuffle vs partially-aggregated rollup) so AQE cannot reuse one
+    // for the other -- uncached, the corpus is tokenized twice here and
+    // a third time by token_budget_mix. The md5/stratum columns are
+    // cheap post-cache arithmetic on the narrow cached rows.
+    val perDoc = graft.Caches.memo(spark, s"tokmix_perdoc:$dir") {
+      perDocTokens(Tables.fanOut(Tables.documents(spark, dir)))
+    }
+    val docs = perDoc.select(col("doc_id"), h.as("h"),
+      substring(h, 1, stratumNibbles).as("stratum"), col("n_toks"))
     val w = Window.partitionBy(col("stratum")).orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cumIn = docs.withColumn("cum_in",
