@@ -60,15 +60,38 @@ object CorpusExport {
       .rowsBetween(Window.unboundedPreceding, -1)
     val cumIn = base.withColumn("cum_in",
       coalesce(sum(col("n_toks")).over(w), lit(0L)))
-    val tot = base.groupBy(col("split"), col("stratum"))
-      .agg(sum(col("n_toks")).as("st"))
-    val offs = Sampling.stratumOffsets(tot, Seq("split"), "stratum", "st", "off")
-    // per-split totals roll up from the tiny per-stratum frame instead
-    // of a second corpus scan (exact: sums of the same longs)
-    val totals = tot.groupBy(col("split")).agg(sum(col("st")).as("t_total"))
-    cumIn.join(broadcast(offs), Seq("split", "stratum"))
-      .join(broadcast(totals), Seq("split"))
-      .withColumn("cum_before", col("off") + col("cum_in"))
+    // (split, stratum) token offsets + per-split totals via ONE bounded
+    // collect (≤ |splits|·256 rows), folded driver-side and embedded as
+    // literal maps — the [[Sampling.epochShuffle]] offsets discipline
+    // (r21). The previous triangular-broadcast prefix sum scheduled an
+    // agg stage, a BNLJ and two broadcast builds per run over a
+    // few-hundred-row frame — pure job floor. Strata are hex (ASCII
+    // sort = SQL sort), the per-split running sum in stratum order IS
+    // the offset, and the per-split totals are sums of the same longs —
+    // exact, so the assignment is bit-identical to the join form.
+    val offT = graft.Caches.memoObj[(Map[String, Long], Map[String, Long])](
+        spark, s"exportOffsets:$dir:$nShards:$trainFrac:$valFrac") {
+      val rows = base.groupBy(col("split"), col("stratum"))
+        .agg(sum(col("n_toks")).as("st"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      val offs = scala.collection.mutable.LinkedHashMap[String, Long]()
+      val tots = scala.collection.mutable.LinkedHashMap[String, Long]()
+      var curSplit = ""
+      var acc = 0L
+      rows.foreach { case (sp, st, c) =>
+        if (sp != curSplit) { curSplit = sp; acc = 0L }
+        offs(s"$sp|$st") = acc
+        acc += c
+        tots(sp) = acc
+      }
+      (offs.toMap, tots.toMap)
+    }
+    cumIn
+      .withColumn("cum_before",
+        element_at(typedLit(offT._1),
+          concat(col("split"), lit("|"), col("stratum"))) + col("cum_in"))
+      .withColumn("t_total", element_at(typedLit(offT._2), col("split")))
       .withColumn("shard_id",
         // coalesce the division: a split whose documents all tokenize
         // to zero tokens gives t_total = 0 -> NULL div, which least()

@@ -42,26 +42,11 @@ object Sampling {
     concat(docId.cast("string"), lit(":split"))
   private[llm] val splitKeySql: String = "CAST(doc_id AS VARCHAR) || ':split'"
 
-  /** Per-stratum prefix offsets via the triangular broadcast join — the
-    * distributed-prefix-sum building block [[epochShuffle]],
-    * [[corpusShards]] and [[graft.llm.CorpusExport.assignments]] share.
-    * `tot` is the ≤256-row (partCols, stratumCol, valueCol) rollup; the
-    * result carries (partCols, stratumCol, outCol = sum of valueCol over
-    * strictly-smaller strata within the partition). A global-window
-    * formulation would WARN about (and plan) a single-partition sort
-    * even though the frame is tiny. */
-  private[llm] def stratumOffsets(tot: DataFrame, partCols: Seq[String],
-      stratumCol: String, valueCol: String, outCol: String): DataFrame = {
-    val before = tot.select(
-      (partCols.map(c => col(c).as(s"${c}__p")) :+
-        col(stratumCol).as("__s2") :+ col(valueCol).as("__v2")): _*)
-    val cond = partCols.map(c => col(s"${c}__p") === col(c))
-      .foldLeft(col("__s2") < col(stratumCol))(_ && _)
-    tot.join(broadcast(before), cond, "left")
-      .groupBy((partCols :+ stratumCol).map(col): _*)
-      .agg(coalesce(sum(col("__v2")), lit(0L)).as(outCol))
-  }
-
+  // The r16 triangular-broadcast prefix-sum helper (stratumOffsets) is
+  // gone (r21): every consumer — [[epochShuffle]], [[corpusShards]],
+  // [[graft.llm.CorpusExport.assignments]] — now folds its ≤256-row
+  // stratum rollup driver-side into literal offset maps (one bounded
+  // collect instead of an agg stage + BNLJ + broadcast builds per run).
 
   /** First hex nibble of md5(key) ∈ {0,1} — a deterministic 1/8 sample. */
   def hashSampleFilter(key: Column, nibbles: Seq[String] = Seq("0", "1")): Column =
@@ -575,18 +560,30 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, -1)
     val cumIn = docs.withColumn("cum_in",
       coalesce(sum(col("n_toks")).over(w), lit(0L)))
-    val tot = docs.groupBy(col("stratum")).agg(sum(col("n_toks")).as("st"))
-    val offs = stratumOffsets(tot, Nil, "stratum", "st", "off")
-    // the grand total is a rollup of the tiny per-stratum frame -- a
-    // third corpus scan (with its per-doc tokenize) for one number was
-    // the plan's single most expensive redundancy
-    val total = tot.agg(sum(col("st")).as("t_total"))
-    cumIn.join(broadcast(offs), Seq("stratum"))
-      .crossJoin(broadcast(total))
-      .withColumn("cum_before", col("off") + col("cum_in"))
+    // Stratum token offsets + grand total via ONE bounded collect
+    // (≤ 16^nibbles rows), folded driver-side and embedded as literals —
+    // the [[epochShuffle]] offsets discipline (r21). The previous
+    // triangular-broadcast prefix sum + 1-row total rollup was
+    // semantically identical but scheduled an agg stage, a BNLJ and TWO
+    // broadcast builds per run over a ≤256-row frame — pure job floor.
+    // Hex strata sort identically in Scala and SQL, so the running sum
+    // in stratum order IS the token-offset map; the literal t_total is
+    // the same Spark-computed per-stratum rollup, summed exactly
+    // (longs) on the driver.
+    val offT = graft.Caches.memoObj[(Map[String, Long], java.lang.Long)](
+        spark, s"corpusShardOffsets:$dir:$stratumNibbles") {
+      val counts = docs.groupBy(col("stratum")).agg(sum(col("n_toks")).as("st"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      var acc = 0L
+      val m = counts.map { case (s, c) => val o = acc; acc += c; s -> o }.toMap
+      (m, java.lang.Long.valueOf(acc))
+    }
+    cumIn
+      .withColumn("cum_before",
+        element_at(typedLit(offT._1), col("stratum")) + col("cum_in"))
       .withColumn("shard_id",
         least(lit((nShards - 1).toLong),
-          coalesce(expr(s"(cum_before * $nShards) div t_total"), lit(0L)))
+          coalesce(expr(s"(cum_before * $nShards) div ${offT._2}"), lit(0L)))
           .cast("int"))
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))

@@ -259,16 +259,25 @@ object TextOps {
       .agg(countDistinct(col("doc_id")).as("ddf"))
       .filter(col("ddf") >= minDf)
       .select(col("chunk"))
-    val flagged = chunks.join(broadcast(hot), Seq("chunk"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n_dropped"))
-    val keptAgg = chunks.join(broadcast(hot), Seq("chunk"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("grp"), col("chunk")))),
+    // r21: ONE mark-and-aggregate pass instead of semi+anti joins with
+    // separate per-doc aggregations — the old shape recomputed the
+    // chunking projection for each join probe (broadcast probes are not
+    // exchanges, so AQE reuse cannot cover them) and shuffled doc_id
+    // twice. A left join against the hot set marks each chunk; one
+    // groupBy(doc_id) derives both outputs: collect_list skips the
+    // NULLed-out hot chunks (kept text, same (grp, chunk) sort), the
+    // indicator sum counts them (n_dropped). All-hot docs produce
+    // array_join([]) = "" — identical to the old anti-join dropout path.
+    val marked = chunks.join(
+      broadcast(hot.withColumn("__hot", lit(true))), Seq("chunk"), "left_outer")
+    val perDoc = marked.groupBy(col("doc_id")).agg(
+      sum(when(col("__hot"), 1L).otherwise(0L)).as("n_dropped"),
+      array_join(
+        transform(array_sort(collect_list(when(col("__hot").isNull,
+          struct(col("grp"), col("chunk"))))),
           x => x.getField("chunk")), " ").as("clean_text"))
     docs.select(col("doc_id"))
-      .join(keptAgg, Seq("doc_id"), "left")
-      .join(flagged, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
@@ -335,18 +344,22 @@ object TextOps {
       .agg(countDistinct(col("doc_id")).as("ddf"))
       .filter(col("ddf") >= minDf)
       .select(col("h"))
-    val flagged = chunks.join(broadcast(hot), Seq("h"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n_dropped"))
-    val keptAgg = chunks.join(broadcast(hot), Seq("h"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("chunk_idx"), col("cb")))),
+    // r21: same one-pass mark-and-aggregate as the aligned form — see
+    // [[boilerplateScrubFromDocs]]. Kept byte slices still concatenate
+    // in (chunk_idx, cb) order; all-hot docs fold the empty list to ""
+    // exactly as the old anti-join dropout did.
+    val marked = chunks.join(
+      broadcast(hot.withColumn("__hot", lit(true))), Seq("h"), "left_outer")
+    val perDoc = marked.groupBy(col("doc_id")).agg(
+      sum(when(col("__hot"), 1L).otherwise(0L)).as("n_dropped"),
+      aggregate(
+        array_sort(collect_list(when(col("__hot").isNull,
+          struct(col("chunk_idx"), col("cb"))))),
         lit(Array.emptyByteArray),
         (acc, x) => concat(acc, x.getField("cb")))
         .cast("string").as("clean_text"))
     docs.select(col("doc_id"))
-      .join(keptAgg, Seq("doc_id"), "left")
-      .join(flagged, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
@@ -545,11 +558,24 @@ object TextOps {
   def pmiTopK(spark: SparkSession, dir: String, k: Int = 50,
       minCount: Long = 3L): DataFrame = {
     val docs = Tables.fanOut(Tables.documents(spark, dir))
-    val uni = docs.select(explode(tokens(col("text"))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("c1"))
+    // ONE tokenize+explode pass feeds BOTH distributions (r21): the
+    // unigram and bigram subtrees each scanned+tokenized the corpus
+    // (AQE exchange reuse covers a subtree's multiple consumers but
+    // not two differently-shaped subtrees), so the corpus was
+    // tokenized twice per run. Unigrams and their adjacent bigrams now
+    // explode out of the SAME tokens array into one aggregate; the
+    // split back is exact — a bigram always contains its joining
+    // space, a whitespace-split token never does. Counts, and hence
+    // every PMI value, are bit-identical to the two-pass form.
+    val grams = docs
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(concat(col("toks"), bigrams(col("toks")))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val uni = grams.filter(!col("g").contains(" "))
+      .select(col("g").as("term"), col("c").as("c1"))
     val nUni = uni.agg(sum(col("c1")).as("n_uni")) // 1 row
-    val bi = docs.select(explode(bigrams(tokens(col("text")))).as("big"))
-      .groupBy(col("big")).agg(count(lit(1)).as("c2"))
+    val bi = grams.filter(col("g").contains(" "))
+      .select(col("g").as("big"), col("c").as("c2"))
     val nBi = bi.agg(sum(col("c2")).as("n_bi")) // 1 row
     bi.filter(col("c2") >= minCount)
       .withColumn("w1", substring_index(col("big"), " ", 1))
@@ -1271,12 +1297,57 @@ object TextOps {
     // the static explain still prints the duplicated subtree)
     val perST = toks.groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("cs"))
-    val global = perST.groupBy(col("term")).agg(sum(col("cs")).as("cg"))
-    val top = global.orderBy(col("cg").desc, col("term")).limit(topN)
-    val perSrc = perST.join(broadcast(top.select(col("term"))), Seq("term"))
-    psiOverTop(perSrc, top, docs.select(col("source")).distinct(),
-      topN, alpha)
+    // r21: `top` is consumed THREE ways downstream (term-only broadcast,
+    // grid broadcast, the tg scalar) and each consumption re-derived the
+    // whole rollup subtree past the reused exchange — so it lands in the
+    // SAME memo slot [[topTerms]] fills (the rollup of per-source counts
+    // and the direct corpus aggregate produce bit-identical (term, cg)
+    // rows under the same deterministic (cg DESC, term) cut), making the
+    // 100-row frame free for whichever of source_drift/streaming_drift
+    // runs second. The sources frame likewise rides [[sourcesDistinct]]
+    // instead of paying a per-consumer corpus scan.
+    val top = graft.Caches.memo(spark, s"topTerms:$dir:$topN") {
+      perST.groupBy(col("term")).agg(sum(col("cs")).as("cg"))
+        .orderBy(col("cg").desc, col("term")).limit(topN)
+    }
+    // r21: LOCALIZE the bounded tail. Everything past perST operates on
+    // ≤ |sources|·topN rows (the bound psiOverTop already relies on to
+    // broadcast the grid), yet the distributed formulation scheduled
+    // ~10 jobs of broadcast builds and tiny exchanges per run. One
+    // bounded collect — top (topN rows), sources, and the top-restricted
+    // per-(source, term) counts, filtered by a STATIC IN over the topN
+    // terms (the r20 probe-cell discipline) instead of a broadcast
+    // semi-join — then the psi fold runs over LocalRelations with the
+    // IDENTICAL Spark expressions on identical rows. The corpus-sized
+    // work stays distributed (the perST shuffle); only the
+    // sources-bounded tail moves driver-side, exactly the
+    // [[Sampling.epochShuffle]] / tokenBudgetMix offsets discipline.
+    val (topRows, perSrcRows, srcRows) = graft.Caches.memoObj[
+        (Array[(String, Long)], Array[(String, String, Long)], Array[String])](
+        spark, s"sourceDriftLocal:$dir:$topN") {
+      val t = top.collect().map(r => (r.getString(0), r.getLong(1)))
+      val termSet = t.map(_._1)
+      val p = perST.filter(col("term").isin(termSet.toSeq: _*))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2))
+      val s = sourcesDistinct(spark, dir).collect()
+        .map(_.getString(0)).sorted
+      (t, p, s)
+    }
+    import spark.implicits._
+    val topLocal = topRows.toSeq.toDF("term", "cg")
+    val perSrcLocal = perSrcRows.toSeq.toDF("source", "term", "cs")
+    val srcLocal = srcRows.toSeq.toDF("source")
+    psiOverTop(perSrcLocal, topLocal, srcLocal, topN, alpha)
   }
+
+  /** Distinct corpus sources — a |sources|-row frame (the grid axis of
+    * the drift monitors). Memoized: every consumer otherwise pays a
+    * full document scan + exchange for a handful of rows. */
+  def sourcesDistinct(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(spark, s"sourcesDistinct:$dir") {
+      Tables.documents(spark, dir).select(col("source")).distinct()
+    }
 
   /** The PSI fold shared by [[sourceDrift]] and the streaming form
     * ([[graft.streaming.StreamingDrift]]): complete the

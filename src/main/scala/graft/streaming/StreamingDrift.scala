@@ -86,8 +86,7 @@ object StreamingDrift {
       alpha: Double = 0.5): DataFrame =
     graft.Caches.memo(spark, s"streaming_drift:$dir:$topN:$alpha") {
       val top = TextOps.topTerms(spark, dir, topN)
-      val sources = graft.Tables.documents(spark, dir)
-        .select(col("source")).distinct()
+      val sources = TextOps.sourcesDistinct(spark, dir)
       val schema = graft.Tables.documents(spark, dir).schema
       val stream = spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
