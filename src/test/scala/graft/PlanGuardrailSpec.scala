@@ -31,10 +31,10 @@ class PlanGuardrailSpec extends AnyFunSuite {
     "hybrid_topk",         // bm25's 1-row stats + the 1-row query-vector broadcast
     "lm_score",            // 1-row vocabulary-size aggregate broadcast over the scoring join
     // (epoch_shuffle left the list in r17, token_budget_mix and
-    // dsir_select in r19: their 1-row/rate-table broadcasts moved into
-    // driver-collected memoized artifacts — the registered plans are
-    // now a single aggregate pass and a zero-shuffle scoring scan)
-    "corpus_shards",       // triangular stratum-offset join + 1-row total-tokens broadcast
+    // dsir_select in r19, corpus_shards in r21: their 1-row/rate-table/
+    // stratum-offset broadcasts moved into driver-collected memoized
+    // artifacts — the registered plans are now a single aggregate pass
+    // and a zero-shuffle scoring scan)
     "source_drift",        // |sources|×topN grid completion + 1-row ΣtopN broadcast
     "streaming_drift",     // same grid completion over the converged stream state
     "pmi_topk")            // two 1-row corpus-total broadcasts over the candidate frame
@@ -43,12 +43,10 @@ class PlanGuardrailSpec extends AnyFunSuite {
     * window: the window input is an aggregate of bounded size. */
   private val singlePartitionWindowAllowed = Set(
     "resample_temperature", // window over the |strata|-row rate frame
-    "hybrid_topk",          // rank windows run AFTER TakeOrdered(nLeg) — ≤ 50 rows each
-    // the SinglePartition here is the 1-row total-tokens scalar
-    // aggregate (the same shape bm25's corpus stats plan, which this
-    // coarse Window+SinglePartition co-occurrence check can't see past);
-    // the window itself is stratum-partitioned
-    "corpus_shards")
+    "hybrid_topk")          // rank windows run AFTER TakeOrdered(nLeg) — ≤ 50 rows each
+    // (corpus_shards left the list in r21: the 1-row total-tokens scalar
+    // aggregate + stratum window moved into a driver-folded literal
+    // offset map, so the plan no longer co-locates Window+SinglePartition)
 
   test("scan-predicate queries push their filters into the parquet scan") {
     // the brief's explicit bar: a filter that belongs at the source must
