@@ -251,6 +251,20 @@ object Bench {
     }
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(headline)}$retestPart$coldPart,"errors":$es,"canary":$canaryJson,"passes":2,"mode":"$mode","sf":"$sfDir"}"""
+    // contract self-check (r22): the driver parses this line, and r20's
+    // line silently defeated its parser (BENCH_r20 `parsed: null` at
+    // rc 0), costing that round its per-query prev comparison. Re-parse
+    // with Jackson (on the classpath via Spark) and fail the run loudly
+    // if the line is not one valid JSON object carrying the keys the
+    // driver reads — a malformed artifact must be THIS run's error, not
+    // the next round's missing baseline.
+    locally {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+      require(node.isObject && node.has("metric") && node.has("value")
+          && node.has("queries") && node.get("queries").isObject
+          && node.get("value").isNumber,
+        "bench JSON self-check failed: emitted line breaks the driver contract")
+    }
     println(line)
     try {
       // a name-filtered run defaults to a SEPARATE file: the committed

@@ -75,6 +75,11 @@ object CorpusExport {
         .agg(sum(col("n_toks")).as("st"))
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
         .sortBy(t => (t._1, t._2))
+      // data-contract bound made loud: 3 splits × 256 hex-pair strata —
+      // a violation means the split/stratum derivation changed
+      require(rows.length <= 3 * 256,
+        s"export assignment rollup returned ${rows.length} rows, over " +
+          "the |splits|*256 bound the driver-side fold relies on")
       val offs = scala.collection.mutable.LinkedHashMap[String, Long]()
       val tots = scala.collection.mutable.LinkedHashMap[String, Long]()
       var curSplit = ""

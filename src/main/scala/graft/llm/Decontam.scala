@@ -163,7 +163,14 @@ object Decontam {
     }
     cps.join(broadcast(bench), Seq("h"))
       .groupBy(col("doc_id"), col("bench_id"), col("bench_fp_size"))
-      .agg(countDistinct(col("h")).as("n_shared"))
+      // count, not countDistinct: both posting sides are per-doc SETS
+      // (WinnowedFingerprint dedups and sorts each doc's hashes), so for
+      // a fixed (doc_id, bench_id) every matching h joins exactly 1×1 —
+      // the joined rows are already distinct per (doc_id, bench_id, h)
+      // and the two aggregates are equal by construction. countDistinct
+      // planned a second expand/aggregate layer over the joined postings
+      // for zero change (r22; DecontamSpec pins the equality).
+      .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select(col("doc_id"), col("bench_id"), col("n_shared"),
         round(col("n_shared").cast("double") / col("bench_fp_size"), 6)

@@ -467,7 +467,13 @@ object Dedup {
     val batchSh = sh.filter(isBatch)
     // df known at probe time = standing df + this batch's df; keyed on
     // the BATCH's shingles only (left join), so the standing df store
-    // is a lookup, not a scan
+    // is a lookup, not a scan. r22 A/B note: inverting the lookup into
+    // broadcast-into-stream + broadcast-back (so the memoized df store
+    // never shuffles) was measured cold 1.70 → 2.9 s and warm flat —
+    // the two extra broadcast-build walls each materialize the memo
+    // chain sequentially, costing more locally than the avoided
+    // exchange. Reverted; at true index scale the DedupIndex path (the
+    // _idx form) is the one that serves this probe anyway.
     val kept = batchSh.groupBy(col("shingle")).agg(count(lit(1)).as("dfb"))
       .join(dfIdx, Seq("shingle"), "left")
       .filter(col("dfb") + coalesce(col("dfi"), lit(0L)) <= maxDf)
@@ -616,6 +622,9 @@ object Dedup {
     val dfIdx = graft.Caches.memo(spark, s"containDf:$dir:$batchMod") {
       postings.groupBy(col("shingle")).agg(count(lit(1)).as("dfi"))
     }
+    // r22 A/B note: the broadcast-into-stream membership inversion
+    // (see containmentProbe's note) was measured warm 0.28 → 0.80 and
+    // cold 0.99 → 1.7 here — reverted for the same reason.
     sh.filter(isBatch)
       .join(dfIdx, Seq("shingle"), "left")
       .groupBy(col("doc_id"))
@@ -1252,17 +1261,30 @@ object Dedup {
     */
   def spanSharedPairs(spark: SparkSession, dir: String, n: Int = 13,
       maxDf: Int = 10): DataFrame =
+    // r22 A/B note: memoizing the distinct hashed-gram frame (so the
+    // df-band and posting branches read one cached materialization
+    // instead of re-running the distinct HashAggregate above the reused
+    // exchange) was measured warm 1.55 → ~1.2 s but cold 1.45 → 2.31 s —
+    // building the 5M-row columnar cache costs more than the duplicated
+    // final aggregate it saves, the same wash containmentPairs' r21 A/B
+    // recorded. Reverted; the exchange-reuse form stands.
     spanSharedFromDocs(Tables.fanOut(Tables.documents(spark, dir)), n, maxDf)
 
   /** The span join over an explicit (doc_id, text) relation — the
     * testable core of [[spanSharedPairs]]. */
-  def spanSharedFromDocs(docs: DataFrame, n: Int, maxDf: Int): DataFrame = {
-    val grams = docs
+  def spanSharedFromDocs(docs: DataFrame, n: Int, maxDf: Int): DataFrame =
+    spanSharedFromGrams(distinctSpanGrams(docs, n), maxDf)
+
+  /** Distinct (doc_id, xxhash64(n-gram)) posting keys per document. */
+  private def distinctSpanGrams(docs: DataFrame, n: Int): DataFrame =
+    docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         graft.functions.NGramGenerate.ngram_gen(col("toks"), n).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("g"))
       .distinct()
+
+  private def spanSharedFromGrams(grams: DataFrame, maxDf: Int): DataFrame = {
     val shareable = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)

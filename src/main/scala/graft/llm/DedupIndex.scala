@@ -160,16 +160,28 @@ object DedupIndex {
       // write task sprays a file into each of the ≤64 pfx dirs (tasks ×
       // 64 small files per epoch — measured 2.6× the fold cost and a
       // linearly growing probe tax); with it each epoch adds exactly
-      // one file per touched pfx
-      withPfx(bucketsOf(sets, bands, rows))
-        .repartition(col("pfx"))
-        .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/buckets")
-      withDpfx(sets)
-        .repartition(col("dpfx"))
-        .write.mode("overwrite").partitionBy("dpfx").parquet(s"$path/sets")
-      postingsOf(sets)
-        .repartition(col("pfx"))
-        .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/postings")
+      // one file per touched pfx.
+      // The three component writes go to DISJOINT paths off the same
+      // cached frame, so they run as CONCURRENT jobs — the [[foldIn]]
+      // discipline applied to the initial build (r22): wall-clock is the
+      // slowest write's latency instead of the three summed, and the
+      // tail of one write's shuffle back-fills the others' map stages
+      // (guide §2.6). BlockManager serializes the first compute of each
+      // cached `sets` partition, so the shingle pass still runs once.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writes = Seq(
+        Future(withPfx(bucketsOf(sets, bands, rows))
+          .repartition(col("pfx"))
+          .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/buckets")),
+        Future(withDpfx(sets)
+          .repartition(col("dpfx"))
+          .write.mode("overwrite").partitionBy("dpfx").parquet(s"$path/sets")),
+        Future(postingsOf(sets)
+          .repartition(col("pfx"))
+          .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/postings")))
+      writes.foreach(Await.result(_, Duration.Inf))
       writeMeta(docs.sparkSession, path, bands, rows)
     } finally sets.unpersist()
   }
@@ -311,11 +323,16 @@ object DedupIndex {
       .persist()
     val batchDf = batchSh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("dfb")).persist()
-    // bounded by construction: at most nPfx distinct values
+    // bounded by construction: at most nPfx distinct values. r22 A/B
+    // note: replacing this collect with the probeStaged-style broadcast
+    // semi-join planted NO dynamicpruning filter in this eager plan
+    // (and measured slower) — unlike the lazy staged probe, so the
+    // static isin prune is the only form that GUARANTEES the postings
+    // scan stays pruned at index scale. Kept.
     val pfxs = withSpfx(batchDf).select(col("pfx")).distinct()
       .collect().map(_.getLong(0))
     val idx = spark.read.parquet(s"$path/postings")
-      .filter(col("pfx").isin(pfxs: _*)) // partition-pruned scan
+      .filter(col("pfx").isin(pfxs.toIndexedSeq: _*)) // partition-pruned scan
       .join(broadcast(batchDf.select(col("shingle"))), Seq("shingle"))
       // replay self-exclusion (header note): posting rows carrying a
       // batch doc's id are the batch's own folded copies and would

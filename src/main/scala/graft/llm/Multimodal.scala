@@ -166,16 +166,63 @@ object Multimodal {
     * ≤14 differing bits cannot touch all 15 bands); the cost is a
     * denser candidate join, which is the correct trade only where the
     * duplicate radius genuinely is that wide. */
-  def mediaNearDup(spark: SparkSession, dir: String, maxDist: Int = 14): DataFrame = {
-    // memoize the 16-byte/row signature frame: the banded self-join
-    // reads it on BOTH legs (and the probe leg enumerates variants), so
-    // without the persist the payload scan + dHash runs twice; fanOut
-    // parallelizes the single-file payload scan the hash rides on
-    val hashes = graft.Caches.memo(spark, s"mediaHashes:$dir") {
-      mediaHashesOf(spark, graft.Tables.fanOut(mediaTable(spark, dir)))
+  /** A signature row of the SHARED payload pass: whole-doc rows carry
+    * doc_id and frame=false; frame rows carry the packed doc·2²⁰+frame
+    * key and frame=true. */
+  final case class TaggedHash(doc_id: Long, sig: Long, frame: Boolean)
+
+  /** Whole-doc AND per-frame dHash signatures out of ONE payload pass
+    * (r22): [[mediaNearDup]] and [[mediaFrameNearDup]] each decoded the
+    * payload bytes independently — two fanned corpus scans for two
+    * signature frames derived from the same bytes. One mapPartitions now
+    * emits both row kinds into one shared memo the two banded joins
+    * filter (an InMemoryTableScan each), so the suite decodes the
+    * payload once. Hash values are bit-identical to the split passes:
+    * the whole-doc fold is [[MediaCodec.dHash64]] over the full payload,
+    * the frame fold is the same function over the same
+    * `copyOfRange(off, off+len)` slices [[frameSamples]] cuts
+    * (LlmOpsSpec pins both registered queries equal to the split-pass
+    * forms). */
+  private def allHashes(spark: SparkSession, dir: String,
+      frameBytes: Int = 64, stride: Int = 2): DataFrame =
+    graft.Caches.memo(spark, s"mediaAllHashes:$dir") {
+      import spark.implicits._
+      graft.Tables.fanOut(mediaTable(spark, dir)).as[MediaRow]
+        .mapPartitions { rows =>
+          rows.flatMap { r =>
+            val whole = TaggedHash(r.doc_id, MediaCodec.dHash64(r.payload),
+              frame = false)
+            val n = r.payload.length
+            val frames =
+              if (n == 0) Iterator.empty
+              else {
+                // same packed-key domain guards as [[frameHashes]]
+                require(r.doc_id >= 0 && r.doc_id < (1L << 43),
+                  s"doc_id ${r.doc_id} out of packed-key range [0, 2^43)")
+                val lastFrame = (n - 1) / frameBytes
+                Iterator.range(0, lastFrame + 1, stride).map { i =>
+                  require(i >= 0 && i < (1 << 20),
+                    s"frame_idx $i out of packed-key range [0, 2^20) for doc ${r.doc_id}")
+                  val off = i * frameBytes
+                  val len = math.min(frameBytes, n - off)
+                  val fb = java.util.Arrays.copyOfRange(r.payload, off, off + len)
+                  TaggedHash((r.doc_id << 20) | i.toLong,
+                    MediaCodec.dHash64(fb), frame = true)
+                }
+              }
+            Iterator.single(whole) ++ frames
+          }
+        }
+        .toDF()
     }
-    Dedup.bandedHammingPairs(hashes, maxDist)
-  }
+
+  def mediaNearDup(spark: SparkSession, dir: String, maxDist: Int = 14): DataFrame =
+    // the banded self-join reads the 17-byte/row signature frame on BOTH
+    // legs (and the probe leg enumerates variants): both read the shared
+    // [[allHashes]] memo, filtered to the whole-doc rows
+    Dedup.bandedHammingPairs(
+      allHashes(spark, dir).filter(!col("frame"))
+        .select(col("doc_id"), col("sig")), maxDist)
 
   /** [[mediaNearDup]] over an arbitrary media frame (spec entry point for
     * planted-duplicate fixtures). */
@@ -257,14 +304,12 @@ object Multimodal {
     * LlmOpsSpec plants a re-encoded clip inside a second video and
     * asserts its frames are recalled. */
   def mediaFrameNearDup(spark: SparkSession, dir: String,
-      maxDist: Int = 6): DataFrame = {
-    // memoized like [[mediaNearDup]]'s hashes: both legs of the banded
-    // self-join read the frame-signature frame, and it is 16 bytes/frame
-    val sig = graft.Caches.memo(spark, s"mediaFrameHashes:$dir") {
-      frameHashes(spark, graft.Tables.fanOut(mediaTable(spark, dir)))
-    }
-    framePairsOf(sig, maxDist)
-  }
+      maxDist: Int = 6): DataFrame =
+    // both legs of the banded self-join read the frame rows of the
+    // shared [[allHashes]] memo (one payload decode for this query and
+    // [[mediaNearDup]] together)
+    framePairsOf(allHashes(spark, dir).filter(col("frame"))
+      .select(col("doc_id"), col("sig")), maxDist)
 
   def mediaFrameNearDupPairs(spark: SparkSession, media: DataFrame,
       maxDist: Int = 6): DataFrame =

@@ -504,6 +504,12 @@ object Sampling {
       s"epochShuffleOffsets:$dir:$stratumNibbles:$salt") {
       val counts = docs.groupBy(col("stratum")).agg(count(lit(1)).as("c"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      // data-contract bound made loud: strata are hex-nibble prefixes, so
+      // the collect is ≤ 16^nibbles rows by construction — a violation
+      // means the stratum derivation changed, not that the data grew
+      require(counts.length <= (1 << (4 * stratumNibbles)),
+        s"epochShuffle stratum rollup returned ${counts.length} rows, " +
+          s"over the 16^$stratumNibbles bound the driver-side fold relies on")
       var acc = 0L
       counts.map { case (s, c) => val o = acc; acc += c; s -> o }.toMap
     }
@@ -574,6 +580,11 @@ object Sampling {
         spark, s"corpusShardOffsets:$dir:$stratumNibbles") {
       val counts = docs.groupBy(col("stratum")).agg(sum(col("n_toks")).as("st"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      // same hex-nibble contract as epochShuffle's offsets: ≤ 16^nibbles
+      // rows by construction; degrade loudly, never as a driver OOM
+      require(counts.length <= (1 << (4 * stratumNibbles)),
+        s"corpusShards stratum rollup returned ${counts.length} rows, " +
+          s"over the 16^$stratumNibbles bound the driver-side fold relies on")
       var acc = 0L
       val m = counts.map { case (s, c) => val o = acc; acc += c; s -> o }.toMap
       (m, java.lang.Long.valueOf(acc))

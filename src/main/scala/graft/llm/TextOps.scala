@@ -240,21 +240,35 @@ object TextOps {
     * corpus never shuffles on its way through the scrub; reassembly
     * shuffles once on doc_id. Exact SQL semantics ⇒ DuckDB oracle. */
   def boilerplateScrub(spark: SparkSession, dir: String, minDf: Int = 3,
-      chunkTokens: Int = 8): DataFrame =
-    boilerplateScrubFromDocs(
-      Tables.fanOut(Tables.documents(spark, dir))
-        .select(col("doc_id"), col("text")),
-      minDf, chunkTokens)
+      chunkTokens: Int = 8): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+    // r22 A/B note: memoizing the chunk frame (the hot-set aggregate and
+    // the broadcast-probe mark branch share no exchange, so the
+    // tokenize+chunk projection runs once per branch) was measured cold
+    // 1.13 → 1.40 s with no warm win outside steal noise — caching the
+    // corpus-sized chunk strings costs more than the duplicated
+    // projection it saves (the containmentPairs r21 A/B wash). Reverted.
+    boilerplateScrubFromParts(docs, chunkFrame(docs, chunkTokens), minDf)
+  }
 
   def boilerplateScrubFromDocs(docs: DataFrame, minDf: Int,
-      chunkTokens: Int): DataFrame = {
+      chunkTokens: Int): DataFrame =
+    boilerplateScrubFromParts(docs, chunkFrame(docs, chunkTokens), minDf)
+
+  /** (doc_id, grp, chunk) for every aligned `chunkTokens`-token chunk —
+    * a pure per-row projection + generator over the token array. */
+  private def chunkFrame(docs: DataFrame, chunkTokens: Int): DataFrame = {
     val toks = tokens(col("text"))
     val chunkArr = when(size(toks) > 0,
       transform(sequence(lit(0), ((size(toks) - 1) / chunkTokens).cast("int")),
         i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens)))))
       .otherwise(array().cast("array<string>"))
-    val chunks = docs
-      .select(col("doc_id"), posexplode(chunkArr).as(Seq("grp", "chunk")))
+    docs.select(col("doc_id"), posexplode(chunkArr).as(Seq("grp", "chunk")))
+  }
+
+  private def boilerplateScrubFromParts(docs: DataFrame, chunks: DataFrame,
+      minDf: Int): DataFrame = {
     val hot = chunks.groupBy(col("chunk"))
       .agg(countDistinct(col("doc_id")).as("ddf"))
       .filter(col("ddf") >= minDf)
@@ -323,16 +337,23 @@ object TextOps {
     * one distinct-chunk shuffle for df; broadcast hot set; one doc_id
     * shuffle to reassemble — same shape as the aligned form. */
   def boilerplateScrubCdc(spark: SparkSession, dir: String,
-      minDf: Int = 3): DataFrame =
-    boilerplateScrubCdcFromDocs(
-      Tables.fanOut(Tables.documents(spark, dir))
-        .select(col("doc_id"), col("text")),
-      minDf)
+      minDf: Int = 3): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+    // r22 A/B note: the chunk-frame memo was measured cold 1.13 → 1.3-1.8 s
+    // with no warm win — see [[boilerplateScrub]]'s note. Reverted.
+    boilerplateScrubCdcFromParts(docs, cdcChunkBytes(docs), minDf)
+  }
 
-  def boilerplateScrubCdcFromDocs(docs: DataFrame, minDf: Int): DataFrame = {
+  def boilerplateScrubCdcFromDocs(docs: DataFrame, minDf: Int): DataFrame =
+    boilerplateScrubCdcFromParts(docs, cdcChunkBytes(docs), minDf)
+
+  /** (doc_id, chunk_idx, cb, h) for every CDC chunk, bytes + md5 — a
+    * narrow per-row boundary scan + slice riding the document scan. */
+  private def cdcChunkBytes(docs: DataFrame): DataFrame = {
     val b = docs.select(col("doc_id"), col("text").cast("binary").as("tb"),
       graft.functions.CdcBoundaries.cdc_boundaries(col("text")).as("bnds"))
-    val chunks = b.select(col("doc_id"), col("tb"),
+    b.select(col("doc_id"), col("tb"),
         posexplode(zip_with(
           slice(col("bnds"), lit(1), greatest(size(col("bnds")) - 1, lit(0))),
           slice(col("bnds"), lit(2), greatest(size(col("bnds")) - 1, lit(0))),
@@ -340,6 +361,10 @@ object TextOps {
       .select(col("doc_id"), col("pos").as("chunk_idx"),
         expr("substring(tb, col.off + 1, col.len)").as("cb"))
       .withColumn("h", md5(col("cb")))
+  }
+
+  private def boilerplateScrubCdcFromParts(docs: DataFrame,
+      chunks: DataFrame, minDf: Int): DataFrame = {
     val hot = chunks.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("ddf"))
       .filter(col("ddf") >= minDf)
@@ -1332,6 +1357,19 @@ object TextOps {
         .sortBy(x => (x._1, x._2))
       val s = sourcesDistinct(spark, dir).collect()
         .map(_.getString(0)).sorted
+      // data-contract bounds made loud (the psiOverTop grid-broadcast
+      // bound, now also a collect bound): top is LIMIT topN by
+      // construction; the per-(source, term) tail is ≤ |sources|·topN
+      // because every row's term passed the static IN over the topN cut.
+      // A pathological source domain (|sources| ~ |docs|) must fail here
+      // with the derivation, not as a driver OOM.
+      require(s.length.toLong * topN <= 1000000L,
+        s"sourceDrift localized tail bound |sources|*topN = " +
+          s"${s.length}*$topN exceeds 1e6 — source domain too wide for " +
+          "the driver-side PSI fold; keep the distributed formulation")
+      require(p.length <= s.length.toLong * topN,
+        s"sourceDrift per-(source,term) tail returned ${p.length} rows, " +
+          s"over the |sources|*topN = ${s.length}*$topN bound")
       (t, p, s)
     }
     import spark.implicits._
@@ -1463,7 +1501,7 @@ object TextOps {
     val grams = graft.Caches.memo(spark, s"dupSpanGrams:$dir:$k") {
       windowGrams(base, k)
     }
-    dupSpanFromGrams(base, grams, k, minDf)
+    dupSpanFromParts(base, dupPositionsMemo(spark, dir, grams, k, minDf), k)
   }
 
   def dupSpanScrubFromDocs(docs: DataFrame, k: Int, minDf: Int): DataFrame = {
@@ -1504,6 +1542,33 @@ object TextOps {
       .select(col("doc_id"), col("w.p").as("p"), col("w.gram").as("gram"))
   }
 
+  /** Memoized [[dupPositions]] for the REGISTERED dup-span family (r22):
+    * dup_span_scrub, dup_spans_maximal and dup_span_scrub_maximal all
+    * derive from the same (doc_id, dps) frame at (k, minDf) — without
+    * the memo each query re-paid the two gram-keyed exchanges over the
+    * corpus-sized window-gram frame plus the doc_id rollup (JobAudit:
+    * ~10 jobs each); with it the family pays them once per suite and
+    * each consumer reads a doc-count-sized cached frame. */
+  private def dupPositionsMemo(spark: SparkSession, dir: String,
+      grams: DataFrame, k: Int, minDf: Int): DataFrame = {
+    // scoped set/restore (the StreamingNearDup conf pattern): by default
+    // Spark pins a cached plan's output partitioning, which compiles the
+    // build's gram semi-join WITHOUT AQE's runtime join conversion — the
+    // inline (uncached) form got a runtime broadcast there, the cached
+    // build planned a static sort-merge over the corpus-sized gram frame
+    // (ProfileR22 A/B: cold 3.29 → 3.04 s with the flag). The flag is
+    // sampled when the plan is cached, so the scope covers the build;
+    // it only relaxes a partitioning-stability guarantee no consumer of
+    // this doc-keyed frame relies on (every consumer joins it by doc_id
+    // or folds it per-row).
+    val key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val prev = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try graft.Caches.memo(spark, s"dupSpanPositions:$dir:$k:$minDf") {
+      dupPositions(grams, minDf)
+    } finally spark.conf.set(key, prev)
+  }
+
   /** (doc_id, dps) — the sorted 1-based start positions of every
     * duplicated k-window per document: ONE map-side-combinable df
     * shuffle on the gram plus one doc_id shuffle. Shared by the
@@ -1519,8 +1584,11 @@ object TextOps {
   }
 
   private def dupSpanFromGrams(base: DataFrame, grams: DataFrame, k: Int,
-      minDf: Int): DataFrame = {
-    val dupPos = dupPositions(grams, minDf)
+      minDf: Int): DataFrame =
+    dupSpanFromParts(base, dupPositions(grams, minDf), k)
+
+  private def dupSpanFromParts(base: DataFrame, dupPos: DataFrame,
+      k: Int): DataFrame = {
     base.join(dupPos, Seq("doc_id"), "left")
       .select(col("doc_id"), col("toks"),
         coalesce(col("dps"), array().cast("array<int>")).as("dps"))
@@ -1556,7 +1624,7 @@ object TextOps {
     val grams = graft.Caches.memo(spark, s"dupSpanGrams:$dir:$k") {
       windowGrams(base, k)
     }
-    mergedIvs(dupPositions(grams, minDf), k)
+    mergedIvs(dupPositionsMemo(spark, dir, grams, k, minDf), k)
       .select(col("doc_id"), explode(col("ivs")).as("iv"))
       .select(col("doc_id"),
         col("iv.s").as("span_start"),
@@ -1600,7 +1668,8 @@ object TextOps {
     val grams = graft.Caches.memo(spark, s"dupSpanGrams:$dir:$k") {
       windowGrams(base, k)
     }
-    scrubMaximalFromParts(base, dupPositions(grams, minDf), k, minSpanLen)
+    scrubMaximalFromParts(base, dupPositionsMemo(spark, dir, grams, k, minDf),
+      k, minSpanLen)
   }
 
   def dupSpanScrubMaximalFromDocs(docs: DataFrame, k: Int, minDf: Int,

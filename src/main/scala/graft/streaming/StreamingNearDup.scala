@@ -347,7 +347,6 @@ object StreamingNearDup extends Serializable {
       latenessSec: Long = 600L): DataFrame =
     graft.Caches.memo(spark,
         s"streaming_neardup_wm:$dir:$maxDist:$nChunks:$stepSec:$latenessSec") {
-      val chunkDir = wmChunkDir(spark, dir, nChunks)
       val name = "snd_wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // fan-out width sized to the BATCH, not the machine: each trigger
       // carries one C-doc chunk, and repartitioning a 50-doc batch to 32
@@ -359,16 +358,30 @@ object StreamingNearDup extends Serializable {
       val chunkRows = (nDocs + nChunks - 1) / nChunks
       val fanWidth = math.min(spark.sparkContext.defaultParallelism.toLong,
         math.max(2L, (chunkRows + 31L) / 32L)).toInt
+      // r22: the fan-out moved from a per-batch round-robin exchange
+      // (which shuffled every batch's raw TEXT — guide §2.3 — and cost a
+      // stage per micro-batch, most of the measured ~0.55 s/batch
+      // scheduling floor) into the FEED LAYOUT: each chunk is published
+      // as `fanWidth` part files sharing one mtime, and
+      // maxFilesPerTrigger = fanWidth makes every trigger consume
+      // exactly one chunk (all parts of chunk i are strictly older than
+      // chunk i+1's). The scan itself is then fanWidth-parallel — the
+      // per-file open cost (spark.sql.files.openCostInBytes, 4 MB
+      // default) keeps one file per scan split — so the per-doc simhash
+      // (the dominant per-row cost, measured 22 s single-task vs ~2 s
+      // fanned at sf0.1) parallelizes with ZERO per-batch exchange
+      // before the band shuffle. Batch composition — and therefore the
+      // watermark closed form the oracle replays — is unchanged.
+      val chunkDir = wmChunkDir(spark, dir, nChunks, fanWidth)
       val stream = spark.readStream
         .schema(org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("text",
             org.apache.spark.sql.types.StringType))))
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", fanWidth.toString)
         .parquet(chunkDir)
         .withColumn("ts", timestamp_seconds(col("doc_id") * stepSec))
-        .repartition(fanWidth)
       // scoped set/restore (the streamingNearDupQuery pattern): state
       // partitions sized TO THE STATE, not the machine — each
       // state-store instance pays a fixed per-commit cost (~100 ms/
@@ -498,16 +511,20 @@ object StreamingNearDup extends Serializable {
     } catch { case _: java.io.IOException => () }
 
   /** Dense-id chunk files for the watermarked feed: C consecutive
-    * doc_ids per file, modification time = publish base + chunk index
-    * seconds (FileStreamSource orders by mtime). fileStamp-keyed like
-    * the ORC mirror so a regenerated table rebuilds the feed;
-    * atomic-rename publish for racing builders. */
+    * doc_ids per chunk, published as exactly `parts` parquet files per
+    * chunk that share one modification time = publish base + chunk
+    * index seconds (FileStreamSource orders by mtime; with
+    * maxFilesPerTrigger = parts every trigger consumes exactly one
+    * chunk's files, and the per-trigger scan is parts-parallel with no
+    * fan-out exchange — the r22 layout). fileStamp-keyed like the ORC
+    * mirror so a regenerated table rebuilds the feed; atomic-rename
+    * publish for racing builders. */
   private def wmChunkDir(spark: SparkSession, dir: String,
-      nChunks: Int): String = {
+      nChunks: Int, parts: Int): String = {
     import org.apache.hadoop.fs.Path
     val stamp = graft.Tables.fileStamp(spark, s"$dir/documents.parquet")
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_snd_wm/" +
-      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${stamp}_$nChunks"
+      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${stamp}_${nChunks}_p$parts"
     val fin = new Path(s"$base/final")
     val fs = fin.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(s"$base/final/_PUBLISHED"))) {
@@ -527,18 +544,42 @@ object StreamingNearDup extends Serializable {
       val c = (n + nChunks - 1) / nChunks
       for (i <- 0 until nChunks) {
         val w = new Path(s"$attempt/w_$i")
-        docs.filter(col("doc_id") >= i * c && col("doc_id") < (i + 1) * c)
-          .coalesce(1).write.mode("overwrite").parquet(w.toString)
-        val part = fs.listStatus(w).map(_.getPath)
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(s"no part file in $w"))
-        require(fs.rename(part, new Path(f"$attempt/chunk_$i%02d.parquet")),
-          s"rename failed for chunk $i under $attempt")
+        val chunk = docs
+          .filter(col("doc_id") >= i * c && col("doc_id") < (i + 1) * c)
+        // round-robin into exactly `parts` write tasks (AQE never
+        // coalesces an explicit repartition(n)); a chunk with fewer
+        // rows than `parts` can leave trailing empty partitions with NO
+        // file (Spark only writes the schema-only file for partition 0),
+        // so pad to the exact per-chunk file count the trigger contract
+        // needs
+        chunk.repartition(parts).write.mode("overwrite").parquet(w.toString)
+        var files = fs.listStatus(w).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        for (_ <- files.length until parts) {
+          val pad = new Path(s"$attempt/w_${i}_pad")
+          chunk.filter(lit(false)).coalesce(1)
+            .write.mode("overwrite").parquet(pad.toString)
+          val f = fs.listStatus(pad).map(_.getPath)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(s"no pad file in $pad"))
+          val dst = new Path(s"$w/pad_${java.util.UUID.randomUUID().toString.take(8)}.parquet")
+          require(fs.rename(f, dst), s"pad rename failed under $w")
+          fs.delete(pad, true)
+          files :+= dst
+        }
+        require(files.length == parts,
+          s"chunk $i published ${files.length} files, want exactly $parts " +
+            "(the maxFilesPerTrigger batch contract)")
+        files.zipWithIndex.foreach { case (part, j) =>
+          val dst = new Path(f"$attempt/chunk_$i%02d_$j%02d.parquet")
+          require(fs.rename(part, dst),
+            s"rename failed for chunk $i part $j under $attempt")
+          // mtime drives the file source's batch order; second-spaced so
+          // filesystem mtime granularity can never alias two chunks —
+          // all parts of one chunk share the chunk's mtime
+          fs.setTimes(dst, 1000000000000L + i * 1000L, -1)
+        }
         fs.delete(w, true)
-        // mtime drives the file source's batch order; second-spaced so
-        // filesystem mtime granularity can never alias two chunks
-        fs.setTimes(new Path(f"$attempt/chunk_$i%02d.parquet"),
-          1000000000000L + i * 1000L, -1)
       }
       fs.create(new Path(s"$attempt/_PUBLISHED")).close()
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(

@@ -828,6 +828,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.forall { case (a, _, b, _) => a != b })
   }
 
+  test("registered media_frame_neardup equals the split-pass frame pipeline") {
+    // the r22 shared payload pass (allHashes memo) must emit frame rows
+    // bit-identical to the dedicated frameSamples→frameHashes pipeline —
+    // pin the registered query to the split-pass form on the gate corpus
+    val got = Multimodal.mediaFrameNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getInt(4))).toSet
+    val want = Multimodal.mediaFrameNearDupPairs(spark,
+        Multimodal.mediaTable(spark, sf), maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getInt(4))).toSet
+    assert(want.nonEmpty, "gate corpus has frame-level near-dups")
+    assert(got == want)
+  }
+
   test("frame sampling: stride-1 frames reassemble the payload; luma refolds; stride law") {
     val media = Multimodal.mediaTable(spark, sf)
     val payloads = graft.Tables.documents(spark, sf).select("doc_id", "text")
@@ -908,6 +923,28 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toList
     assert(got.map(g => (g._1, g._2)) == List((1L, 100L)))
     assert(got.head._3 >= 0.8, s"containment ${got.head._3}") // near-full inclusion
+  }
+
+  test("decontam fingerprint: joined postings are distinct per (doc, bench, h)") {
+    // pins the invariant the registered decontam_fp aggregate relies on
+    // since r22 replaced countDistinct(h) with count(*): both posting
+    // sides explode per-doc hash SETS, so for a fixed (doc_id, bench_id)
+    // every matching h joins exactly 1x1 and the two aggregates agree
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val isBench = col("doc_id") % 20 === 7
+    def fps(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      WinnowedFingerprint.winnowed_fingerprint(col("text"), 8, 4).as("fp"))
+    val bench = fps(docs.filter(isBench))
+      .select(col("doc_id").as("bench_id"), explode(col("fp")).as("h"))
+    val cps = fps(docs.filter(!isBench))
+      .select(col("doc_id"), explode(col("fp")).as("h"))
+    val agg = cps.join(bench, Seq("h"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("c"), countDistinct(col("h")).as("cd"))
+    assert(agg.count() > 0, "testdata contains fingerprint-sharing pairs")
+    assert(agg.filter(col("c") =!= col("cd")).count() == 0,
+      "a (doc, bench, h) triple joined more than once — the count()" +
+        " rewrite of decontam_fp's n_shared would over-count")
   }
 
   test("sorted-neighborhood edit-distance dedup equals plain-Scala recomputation") {
